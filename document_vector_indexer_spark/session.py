@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Scale notes (100 TB design, tested on local[32]):
+- AQE on: runtime coalescing, skew-join splitting, dynamic join
+  strategy switches — the knobs that keep a fixed plan healthy when
+  data is 1000x bigger than the planner's estimates.
+- ``spark.sql.session.timeZone=UTC``: parquet timestamps in the test
+  corpus are naive; pinning UTC makes Spark and DuckDB agree on the
+  wall-clock value (oracle parity).
+- shuffle partitions default to the local core count; on a real
+  cluster this should be ~2-3x total executor cores or left to AQE's
+  ``coalescePartitions`` with a high initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "document-vector-indexer-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine.
+
+    If a session already exists (e.g. the driver passed one in),
+    ``getOrCreate`` returns it; our session-level confs then only apply
+    to fresh sessions, so anything correctness-critical (time zone,
+    Arrow) is also set on the existing session's runtime conf.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Runtime-settable confs that matter even on a pre-existing session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark
+
+
+def ensure_oracle_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime confs oracle parity depends on to any session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,53 @@
+"""Local stand-in for the driver's DuckDB oracle comparison.
+
+The driver sorts columns by name, then value-hashes order-insensitively.
+We reproduce that *strictly*: after sorting columns and rows, values
+must compare exactly (floats bit-equal) — if a query needs tolerance it
+must be rewritten to be deterministic, not the test loosened.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # row order is irrelevant to the driver's hash; sort for comparison
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str) -> None:
+    got = normalize(spark_df.toPandas())
+    want = normalize(con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch spark={list(got.columns)} duckdb={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count spark={len(got)} duckdb={len(want)}"
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=True, obj=name
+    )
