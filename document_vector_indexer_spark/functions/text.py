@@ -12,9 +12,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Java/RE2-safe whitespace class used for strip-parity with Python's
-# str.strip() on ASCII text (the corpus is ASCII after clean_text).
-_WS_EDGE = r"^\s+|\s+$"
+# Python's str whitespace set (str.isspace), written as an explicit
+# Java-regex class: the reference strips/splits with Python semantics,
+# where \s and .strip() cover Unicode whitespace (NBSP, ideographic
+# space, ...), while Java's bare \s is ASCII-only. Oracle SQL may keep
+# plain \s because oracle-checked queries run on cleaned ASCII corpus
+# text; these expressions must match the reference on *raw* input too.
+PY_WS = "\\s\\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000"
+_WS_EDGE = f"^[{PY_WS}]+|[{PY_WS}]+$"
 
 
 def strip(col: Column | str) -> Column:
@@ -47,7 +52,7 @@ def split_paragraphs(col: Column | str) -> Column:
     split on blank lines, strip each, drop empties. Returns array<string>.
     """
     c = F.col(col) if isinstance(col, str) else col
-    parts = F.split(c, r"\n\s*\n")
+    parts = F.split(c, f"\\n[{PY_WS}]*\\n")
     stripped = F.transform(parts, lambda p: F.regexp_replace(p, _WS_EDGE, ""))
     return F.filter(stripped, lambda p: p != "")
 
@@ -63,7 +68,7 @@ def split_sentences(col: Column | str) -> Column:
     boundary positions are identical.
     """
     c = strip(col)
-    marked = F.regexp_replace(c, r"([.!?])\s+", "$1\x01")
+    marked = F.regexp_replace(c, f"([.!?])[{PY_WS}]+", "$1\x01")
     parts = F.split(marked, "\x01")
     stripped = F.transform(parts, lambda p: F.regexp_replace(p, _WS_EDGE, ""))
     return F.filter(stripped, lambda p: p != "")
@@ -100,32 +105,39 @@ def fixed_windows(col: Column | str, chunk_size: int, overlap: int) -> Column:
 def group_sentences(sentences: Column, chunk_size: int) -> Column:
     """Reference sentence-grouping (index_documents.py:110-129): greedily
     pack a document's sentences into buffers of up to
-    ``target = max(200, chunk_size)`` chars (joined with single spaces,
-    the ``+1`` accounting for each joining space), flushing *before* a
-    sentence that would overflow a non-empty buffer.
+    ``target = max(200, chunk_size)`` chars (joined with single spaces),
+    flushing *before* a sentence that would overflow a non-empty buffer.
 
-    Implemented with the ``aggregate`` higher-order function: the
-    accumulator is ``struct(groups array<string>, buf string)`` where
-    ``buf`` is the current joined buffer (its length equals the
-    reference's ``buf_len`` bookkeeping). Sequential per document but
-    embarrassingly parallel across documents — the right shape for a
-    cluster (each doc's sentence array lives in one row).
+    Implemented with the ``aggregate`` higher-order function; the
+    accumulator ``struct(groups array<string>, buf string, bl int)``
+    mirrors the reference's bookkeeping *exactly*, including its
+    quirk: every append adds ``len(s) + 1`` (index_documents.py:125) —
+    even the very first — while a flush resets to ``len(s)`` with no
+    +1 (index_documents.py:122). The first buffer therefore carries a
+    phantom +1 and holds one char less than later buffers; tracking
+    ``length(buf)`` instead would diverge on boundary inputs.
+
+    Sequential per document but embarrassingly parallel across
+    documents — each doc's sentence array lives in one row, so the
+    operator needs no shuffle at any scale.
     """
     target = max(200, chunk_size)
     zero = F.struct(
         F.array().cast("array<string>").alias("groups"),
         F.lit("").alias("buf"),
+        F.lit(0).alias("bl"),
     )
 
     def merge(acc: Column, s: Column) -> Column:
         overflow = (acc["buf"] != "") & (
-            F.length(acc["buf"]) + F.length(s) + 1 > F.lit(target)
+            acc["bl"] + F.length(s) + 1 > F.lit(target)
         )
         return F.when(
             overflow,
             F.struct(
                 F.concat(acc["groups"], F.array(acc["buf"])).alias("groups"),
                 s.alias("buf"),
+                F.length(s).alias("bl"),
             ),
         ).otherwise(
             F.struct(
@@ -133,6 +145,7 @@ def group_sentences(sentences: Column, chunk_size: int) -> Column:
                 F.when(acc["buf"] == "", s)
                 .otherwise(F.concat_ws(" ", acc["buf"], s))
                 .alias("buf"),
+                (acc["bl"] + F.length(s) + 1).alias("bl"),
             )
         )
 
@@ -147,7 +160,7 @@ def group_sentences(sentences: Column, chunk_size: int) -> Column:
 def word_tokens(col: Column | str) -> Column:
     """Whitespace tokenization -> array<string>, empties dropped."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(strip(c), r"\s+"), lambda w: w != "")
+    return F.filter(F.split(strip(c), f"[{PY_WS}]+"), lambda w: w != "")
 
 
 def token_count_ws(col: Column | str) -> Column:

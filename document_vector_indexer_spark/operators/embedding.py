@@ -1,0 +1,134 @@
+"""Embedding operators.
+
+The reference embeds chunks through a remote API in sequential batches
+of 32 with in-call retry/backoff and count/dim validation
+(/root/reference/index_documents.py:142-194,291-306). Spark-natively:
+
+- ``embed_local`` — default, offline, deterministic: MLlib
+  Tokenizer -> HashingTF -> IDF, bridged back to ``array<float>``.
+  Distributed model fit (one pass for document frequencies) +
+  distributed transform; no network, so tests and the oracle driver
+  never depend on an external service.
+- ``embed_api_map_in_pandas`` — the parity-mode operator: batches rows
+  per Arrow batch inside ``mapInPandas`` and calls a pluggable
+  ``embed_fn`` with the reference's exact retry/validation contract
+  (1 output per input in order, every vector exactly ``dim`` floats,
+  exponential backoff capped at 16 s, 5 attempts). The default
+  ``embed_fn`` is a deterministic local fake — this container has no
+  network/model libs, so the remote call itself stays stubbed; the
+  Spark-side plumbing (batching, retry, validation, schema) is real
+  and tested.
+
+Retry lives *inside* the UDF because Spark task retry is too coarse:
+a task failure would re-embed an entire partition (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from document_vector_indexer_spark.functions import vector as V
+
+DEFAULT_DIM = 64
+
+
+def embed_local(
+    df: DataFrame,
+    text_col: str = "chunk_text",
+    out_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """TF-IDF embeddings as ``array<float>`` of fixed ``dim``."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    tok = Tokenizer(inputCol=text_col, outputCol="_words")
+    tf = HashingTF(inputCol="_words", outputCol="_tf", numFeatures=dim)
+    with_tf = tf.transform(tok.transform(df))
+    idf_model = IDF(inputCol="_tf", outputCol="_emb").fit(with_tf)
+    out = idf_model.transform(with_tf)
+    return out.withColumn(
+        out_col, vector_to_array(F.col("_emb")).cast("array<float>")
+    ).drop("_words", "_tf", "_emb")
+
+
+def deterministic_fake_embed(texts: Sequence[str], dim: int) -> list[list[float]]:
+    """Offline stand-in for the remote embedding API: a seeded hash of
+    the text drives a tiny LCG per component. Deterministic, so
+    pipeline outputs are stable across runs/retries."""
+    out: list[list[float]] = []
+    for t in texts:
+        state = (len(t) * 2654435761 + sum(ord(c) for c in t[:64])) % (2**31 - 1) or 1
+        vec = []
+        for _ in range(dim):
+            state = (state * 48271) % (2**31 - 1)
+            vec.append((state / (2**31 - 1)) * 2.0 - 1.0)
+        out.append(vec)
+    return out
+
+
+def embed_api_map_in_pandas(
+    df: DataFrame,
+    text_col: str = "chunk_text",
+    out_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    batch_size: int = 32,
+    max_retries: int = 5,
+    embed_fn: Callable[[Sequence[str], int], list[list[float]]] | None = None,
+) -> DataFrame:
+    """Arrow-batched embedding with the reference's retry/validation
+    contract. ``embed_fn(texts, dim) -> vectors`` is the pluggable
+    remote call; defaults to the deterministic local fake."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    fn = embed_fn or deterministic_fake_embed
+    # NB: StructType.add mutates in place — never call it on df.schema.
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            texts = pdf[text_col].tolist()
+            vectors: list[list[float]] = []
+            for i in range(0, len(texts), batch_size):
+                chunk = texts[i : i + batch_size]
+                last_err: Exception | None = None
+                for attempt in range(max_retries):
+                    try:
+                        got = fn(chunk, dim)
+                        if len(got) != len(chunk):
+                            raise RuntimeError(
+                                f"embedding count mismatch: {len(got)} != {len(chunk)}"
+                            )
+                        bad = [len(v) for v in got if len(v) != dim]
+                        if bad:
+                            raise RuntimeError(
+                                f"embedding dim mismatch: expected {dim}, got {bad[:5]}"
+                            )
+                        vectors.extend(got)
+                        break
+                    except Exception as e:  # noqa: BLE001 — mirror reference retry-all
+                        last_err = e
+                        time.sleep(min(2**attempt, 16) if attempt else 0)
+                else:
+                    raise RuntimeError(
+                        f"embedding failed after {max_retries} retries: {last_err}"
+                    )
+            pdf[out_col] = vectors
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def validate_dim(df: DataFrame, vec_col: str = "embedding", dim: int = DEFAULT_DIM) -> DataFrame:
+    """Relational form of the reference's dim check
+    (index_documents.py:181-185): rows failing the contract."""
+    return df.filter(~V.dim_check(F.col(vec_col), dim))

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, mirroring how a 100 TB deployment would stage ANN:
+1. ``knn_brute`` — exact cosine top-k as composition of pure column
+   exprs + TakeOrderedAndProject. O(n) per query vector, fully
+   distributed, no shuffle until the final top-k merge. The baseline
+   and the correctness oracle for the approximate tiers.
+2. ``knn_lsh`` — MLlib BucketedRandomProjectionLSH: hash vectors into
+   buckets with seeded random hyperplanes; candidate generation
+   becomes an equi-join on bucket ids (linear, co-partitioned).
+3. ``knn_ivf`` — IVF-style: seeded KMeans partitions the corpus into
+   nlist cells; a query probes the nprobe nearest centroids and scans
+   only those cells (the classic FAISS-IVF layout, done with
+   DataFrames: cell assignment is a broadcast join against centroids).
+
+The reference delegates this entirely to pgvector
+(/root/reference/README.md:16; the `embedding <=> q` top-k query is
+the downstream consumer's whole API) — here it is native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from document_vector_indexer_spark.functions import vector as V
+
+
+def knn_brute(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors for every row of ``query`` (small, broadcast)
+    against ``vectors`` (arbitrarily large).
+
+    Returns (query_id, id, sim, rk). Deterministic: unique id tiebreak.
+    Scale: broadcast the queries, per-partition partial top-k via the
+    rank window is handled by Spark's WindowExec after a single shuffle
+    on query_id — with q queries the shuffle carries q*k rows per
+    partition at most once AQE coalesces.
+    """
+    sim = (
+        V.cosine(F.col(vec_col), F.col("q_vec"))
+        if metric == "cosine"
+        else -V.l2_distance(F.col(vec_col), F.col("q_vec"))
+    )
+    q = query.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = vectors.join(F.broadcast(q)).select(
+        "query_id", F.col(id_col).alias("id"), sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def knn_lsh(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN via BucketedRandomProjectionLSH (euclidean).
+
+    Returns (id, dist) for the single query row. Seeded hyperplanes ->
+    deterministic buckets; still rows-only checked (approximation
+    contract, not value equality).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = vectors.select(
+        F.col(id_col).alias("id"), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(vecs)
+    q_row = query.select(array_to_vector(F.col(vec_col)).alias("features")).head()
+    return model.approxNearestNeighbors(vecs, q_row.features, k).select(
+        "id", F.col("distCol").alias("dist")
+    )
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Seeded KMeans centroids for IVF cell assignment. Returns the
+    fitted model (centroids are tiny: nlist x dim — broadcastable)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
+    return KMeans(k=nlist, seed=seed, featuresCol="features").fit(feat)
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate kNN: assign every vector to its nearest centroid
+    cell (one broadcast-join pass, persisted in real deployments as a
+    partitioned table clustered by cell), then for each query scan only
+    the ``nprobe`` closest cells.
+
+    At 100 TB: cell assignment is write-time work; the per-query scan
+    touches nprobe/nlist of the data — the same contract as FAISS IVF.
+    """
+    spark = vectors.sparkSession
+    model = train_ivf_centroids(vectors, nlist, vec_col, seed)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        f"cell int, centroid array<double>",
+    )
+    # cell assignment: argmin over broadcast centroids
+    w_assign = Window.partitionBy(id_col).orderBy(F.col("cdist"), F.col("cell"))
+    assigned = (
+        vectors.join(F.broadcast(centroids))
+        .withColumn("cdist", V.l2_distance(F.col(vec_col), F.col("centroid")))
+        .withColumn("crk", F.row_number().over(w_assign))
+        .filter(F.col("crk") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    # probe list per query: nprobe nearest centroids
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("qdist"), F.col("cell"))
+    probes = (
+        query.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .join(F.broadcast(centroids))
+        .withColumn("qdist", V.l2_distance(F.col("q_vec"), F.col("centroid")))
+        .withColumn("prk", F.row_number().over(w_probe))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col(id_col).alias("id"),
+        V.cosine(F.col(vec_col), F.col("q_vec")).alias("sim"),
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id"))
+    return scored.withColumn("rk", F.row_number().over(w_top)).filter(F.col("rk") <= k)

@@ -1,0 +1,105 @@
+"""Text-analysis operators for LLM training-data pipelines:
+language-ID, quality scoring, token counting, fingerprinting.
+
+All pure column expressions (JVM-side, codegen-friendly) so they run
+at full scan speed over 100 TB — no Python in the hot path. Each is a
+deterministic function of the text, so each is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from document_vector_indexer_spark.functions import text as TX
+
+# Tiny per-language stopword signals for the n-gram/stopword heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "is", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+CJK_RANGE = "[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]"
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+FP_MOD = 1_000_000_007
+
+
+def _stop_count(words: Column, stops: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*stops)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: CJK script detection, then stopword-count
+    argmax over the language table, defaulting to 'en'.
+
+    Deliberately rule-based and deterministic (no model) so it is
+    SQL-expressible and auditable; swap in a real classifier via the
+    same column contract when available.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    words = TX.word_tokens(F.lower(c))
+    scores = {lang: _stop_count(words, stops) for lang, stops in LANG_STOPWORDS.items()}
+    best_non_en = (
+        F.when(
+            (scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]),
+            F.lit("de"),
+        )
+        .when(scores["fr"] >= scores["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    best_score = F.greatest(scores["de"], scores["fr"], scores["es"])
+    return (
+        F.when(c.rlike(CJK_RANGE), F.lit("zh"))
+        .when(best_score > scores["en"], best_non_en)
+        .otherwise(F.lit("en"))
+    )
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: length, word stats, stopword ratio,
+    punctuation density, type-token ratio. Divisions are int/int ->
+    double (single IEEE op, engine-exact)."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = TX.word_tokens(c)
+    n_words = F.size(words)
+    n_chars = F.length(c)
+    distinct_words = F.size(F.array_distinct(words))
+    stop_cnt = _stop_count(words, STOPWORDS)
+    punct_cnt = n_chars - F.length(F.regexp_replace(c, "[.,;:!?]", ""))
+    word_len_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "n_distinct_words": distinct_words.cast("long"),
+        "ttr": distinct_words.cast("double") / n_words,
+        "stop_ratio": stop_cnt.cast("double") / n_words,
+        "punct_ratio": punct_cnt.cast("double") / n_chars,
+        "avg_word_len": word_len_sum.cast("double") / n_words,
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1]-ish quality score from hard-coded feature weights
+    (a transparent heuristic, not a trained model)."""
+    f = quality_features(text)
+    length_ok = (f["n_chars"] >= 100).cast("double")
+    ttr_term = F.least(f["ttr"] * 2, F.lit(1.0))
+    stop_term = F.least(f["stop_ratio"] * 5, F.lit(1.0))
+    return (0.4 * length_ok + 0.3 * ttr_term + 0.3 * stop_term).alias("quality")
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-sensitive rolling hash over word tokens (mod 1e9+7):
+    ``fp = fold(words, 0, (acc, w) -> (acc*31 + len(w)*17 + ascii(w)) % M)``.
+    Pure integer arithmetic — bit-identical in any engine."""
+    words = TX.word_tokens(text)
+    mapped = F.transform(words, lambda w: F.length(w) * 17 + F.ascii(w))
+    return F.aggregate(
+        mapped,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(FP_MOD).cast("long"),
+    )

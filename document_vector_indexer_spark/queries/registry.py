@@ -8,10 +8,15 @@ from document_vector_indexer_spark.queries.base import QuerySpec
 def all_queries() -> dict[str, QuerySpec]:
     # Imports are local so a broken module surfaces per-import and new
     # modules bolt on with one line.
-    from document_vector_indexer_spark.queries import relational, textops
+    from document_vector_indexer_spark.queries import (
+        relational,
+        scalarfuncs,
+        textops,
+        vectorops,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (textops, relational):
+    for mod in (textops, relational, scalarfuncs, vectorops):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {sorted(overlap)}")

@@ -124,6 +124,239 @@ GROUP BY lang, source
 """
 
 
+# ---------------------------------------------------------------------------
+# Paragraph / sentence strategies. The corpus is word soup with little
+# inherent structure (FIXTURES.md), so each query first injects
+# structure deterministically with a literal replace — identical
+# left-to-right non-overlapping semantics in both engines — making the
+# strategy nontrivial at sf0.01. Literal-fixture coverage lives in
+# tests/test_chunkers_golden.py.
+
+SENT_CHUNK_SIZE = 220
+
+
+def chunk_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(TX.clean_text("text"), F.lit(" table "), F.lit("\n\n"))
+    )
+    return chunk_documents(docs, strategy="paragraph").select(
+        "doc_id", "chunk_pos", "chunk_text"
+    )
+
+
+SQL_CHUNK_PARAGRAPH = f"""
+WITH cleaned AS (
+  SELECT doc_id, replace({SQL_CLEAN.format(col='text')}, ' table ', e'\\n\\n') AS t
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(t, '\\n\\s*\\n'),
+                                    p -> regexp_replace(p, '^\\s+|\\s+$', '', 'g')),
+                     p -> p <> '') AS parts
+  FROM cleaned
+),
+expl AS (
+  SELECT doc_id, unnest(generate_series(1, len(parts))) AS i, parts FROM paras
+)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_pos, parts[i] AS chunk_text
+FROM expl
+"""
+
+
+def chunk_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(TX.clean_text("text"), F.lit(" the "), F.lit(". "))
+    )
+    return chunk_documents(
+        docs, strategy="sentence", chunk_size=SENT_CHUNK_SIZE
+    ).select("doc_id", "chunk_pos", "chunk_text")
+
+
+# The greedy sentence-packing scan (index_documents.py:110-129) is
+# inherently sequential per document; the oracle replays it with a
+# recursive CTE carrying (group, buf_len) state — including the
+# reference's first-buffer phantom +1 (append adds len(s)+1 at :125,
+# flush resets to len(s) at :122).
+SQL_CHUNK_SENTENCE = f"""
+WITH RECURSIVE cleaned AS (
+  SELECT doc_id, replace({SQL_CLEAN.format(col='text')}, ' the ', '. ') AS t
+  FROM documents
+),
+marked AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(t, '^\\s+|\\s+$', '', 'g'),
+                        '([.!?])\\s+', '\\1' || chr(1), 'g') AS m
+  FROM cleaned
+),
+sents0 AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(m, chr(1)),
+                                    p -> regexp_replace(p, '^\\s+|\\s+$', '', 'g')),
+                     p -> p <> '') AS ss
+  FROM marked
+),
+sent AS (
+  SELECT doc_id, i, ss[i] AS s, length(ss[i]) AS slen
+  FROM (SELECT doc_id, unnest(generate_series(1, len(ss))) AS i, ss FROM sents0)
+),
+walk AS (
+  SELECT doc_id, i, 1 AS g, slen + 1 AS bl FROM sent WHERE i = 1
+  UNION ALL
+  SELECT s.doc_id, s.i,
+         CASE WHEN w.bl + s.slen + 1 > {SENT_CHUNK_SIZE} THEN w.g + 1 ELSE w.g END,
+         CASE WHEN w.bl + s.slen + 1 > {SENT_CHUNK_SIZE} THEN s.slen
+              ELSE w.bl + s.slen + 1 END
+  FROM walk w JOIN sent s ON s.doc_id = w.doc_id AND s.i = w.i + 1
+)
+SELECT w.doc_id, CAST(g - 1 AS INTEGER) AS chunk_pos,
+       string_agg(s.s, ' ' ORDER BY w.i) AS chunk_text
+FROM walk w JOIN sent s ON s.doc_id = w.doc_id AND s.i = w.i
+GROUP BY w.doc_id, g
+"""
+
+
+def clean_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verifies clean_text (R3) over every document byte-for-byte via
+    md5 (same algorithm in both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = TX.clean_text("text")
+    return docs.select(
+        "doc_id",
+        F.length(cleaned).cast("long").alias("clean_len"),
+        F.md5(cleaned.cast("binary")).alias("clean_md5"),
+    )
+
+
+SQL_CLEAN_TEXT = f"""
+SELECT doc_id, CAST(length(t) AS BIGINT) AS clean_len, md5(t) AS clean_md5
+FROM (SELECT doc_id, {SQL_CLEAN.format(col='text')} AS t FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (operators/textanalysis.py)
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_vector_indexer_spark.operators.textanalysis import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_words"].alias("n_words"),
+        feats["n_distinct_words"].alias("n_distinct_words"),
+        feats["ttr"].alias("ttr"),
+        feats["stop_ratio"].alias("stop_ratio"),
+        feats["avg_word_len"].alias("avg_word_len"),
+    )
+
+
+SQL_TEXT_STATS = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                        '\\s+'), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+       CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS ttr,
+       CAST(len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is')))
+            AS DOUBLE) / len(words) AS stop_ratio,
+       CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+         / len(words) AS avg_word_len
+FROM w
+"""
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_vector_indexer_spark.operators.textanalysis import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# Oracle replays the same rule table: CJK regex, then stopword-count
+# argmax (de/fr/es over en, ties broken de > fr > es), default en.
+SQL_LANG_ID = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                                        '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text,
+         len(list_filter(words, x -> x IN ('the','of','and','is','to'))) AS s_en,
+         len(list_filter(words, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+         len(list_filter(words, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+         len(list_filter(words, x -> x IN ('el','la','los','y','es'))) AS s_es
+  FROM w
+)
+SELECT lang_pred, count(*) AS n_docs FROM (
+  SELECT CASE
+    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]') THEN 'zh'
+    WHEN greatest(s_de, s_fr, s_es) > s_en THEN
+      CASE WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END
+    ELSE 'en' END AS lang_pred
+  FROM scored
+) GROUP BY lang_pred
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_vector_indexer_spark.operators.textanalysis import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_DOC_FINGERPRINT = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                        '\\s+'), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                list_transform(words, x -> CAST(length(x) * 17 + ascii(x) AS BIGINT))),
+                   (a, x) -> (a * 31 + x) % 1000000007) AS fp
+FROM w
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("tok_ws"),
+        TX.token_count_bpe_ish(F.col("text")).alias("tok_bpe"),
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                               '\\s+'), x -> x <> '')) AS BIGINT) AS tok_ws,
+       CAST(len(list_filter(string_split(
+                regexp_replace(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])',
+                               '\\1' || chr(1), 'g'), chr(1)),
+                x -> regexp_replace(x, '\\s+', '', 'g') <> '')) AS BIGINT) AS tok_bpe
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_chunk_topk": QuerySpec(
         flagship_chunk_topk,
@@ -134,5 +367,24 @@ QUERIES: dict[str, QuerySpec] = {
         chunk_fixed_stats,
         SQL_CHUNK_FIXED_STATS,
         "full fixed-chunker output verified via per-(lang,source) aggregates",
+    ),
+    "q_chunk_paragraph": QuerySpec(
+        chunk_paragraph, SQL_CHUNK_PARAGRAPH, "paragraph-split chunk table (R4)"
+    ),
+    "q_chunk_sentence": QuerySpec(
+        chunk_sentence,
+        SQL_CHUNK_SENTENCE,
+        "greedy sentence-grouping chunker (R5+R7) vs recursive-CTE oracle",
+    ),
+    "q_clean_text": QuerySpec(
+        clean_text_check, SQL_CLEAN_TEXT, "clean_text (R3) md5-verified per doc"
+    ),
+    "q_text_stats": QuerySpec(text_stats, SQL_TEXT_STATS, "per-doc quality features"),
+    "q_lang_id": QuerySpec(doc_lang_id, SQL_LANG_ID, "heuristic language ID"),
+    "q_doc_fingerprint": QuerySpec(
+        doc_fingerprint, SQL_DOC_FINGERPRINT, "rolling-hash document fingerprint"
+    ),
+    "q_token_count": QuerySpec(
+        token_counts, SQL_TOKEN_COUNTS, "whitespace + BPE-ish token counts"
     ),
 }

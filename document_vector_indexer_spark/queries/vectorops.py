@@ -1,0 +1,368 @@
+"""Vector / dedup / similarity queries (SURVEY.md §2B north-star ops).
+
+Float-portability rules: cosine math runs in double with sequential
+left-to-right accumulation in both engines; outputs are rounded to 6
+decimals (cosine values never sit on the decimal grid, so rounding is
+boundary-safe — unlike money, see relational.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from document_vector_indexer_spark.functions import vector as V
+from document_vector_indexer_spark.io import EMBEDDING_DIM, load_table
+from document_vector_indexer_spark.queries.base import QuerySpec
+
+# DuckDB fragments: dot/norm with explicit sequential fold, mirroring
+# the Spark zip_with+aggregate accumulation order bit-for-bit.
+SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (s, x) -> s + x)"
+)
+
+
+def SQL_COSINE(a: str, b: str) -> str:
+    return (
+        f"({SQL_DOT.format(a=a, b=b)} / "
+        f"(sqrt({SQL_DOT.format(a=a, b=a)}) * sqrt({SQL_DOT.format(a=b, b=b)})))"
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == vec_id).select(
+        F.lit(vec_id).alias("qid"), "embedding"
+    )
+
+
+def q_vec_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity of every vector to the vec_id=0 query vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir).select(F.col("embedding").alias("q_vec"))
+    return emb.join(F.broadcast(q)).select(
+        "vec_id",
+        F.round(V.cosine("embedding", "q_vec"), 6).alias("cos_sim"),
+    )
+
+
+SQL_VEC_COSINE = f"""
+WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round({SQL_COSINE('embedding', 'q_vec')}, 6) AS cos_sim
+FROM embeddings, q
+"""
+
+
+def q_vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms + first component of the unit-normalized vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(V.l2_norm("embedding"), 6).alias("l2"),
+        F.round(F.element_at(V.l2_normalize("embedding"), 1), 6).alias("unit_x0"),
+    )
+
+
+SQL_VEC_NORM = f"""
+SELECT vec_id,
+       round(sqrt({SQL_DOT.format(a='embedding', b='embedding')}), 6) AS l2,
+       round(CAST(embedding[1] AS DOUBLE)
+             / sqrt({SQL_DOT.format(a='embedding', b='embedding')}), 6) AS unit_x0
+FROM embeddings
+"""
+
+
+def q_vec_dim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's embed-time dim validation
+    (index_documents.py:181-185) as a table-level contract check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ok = V.dim_check(F.col("embedding"), EMBEDDING_DIM)
+    return emb.agg(
+        F.count("*").alias("n_vectors"),
+        F.count_if(~ok).alias("n_bad"),
+        F.min(F.size("embedding")).cast("int").alias("min_dim"),
+        F.max(F.size("embedding")).cast("int").alias("max_dim"),
+    )
+
+
+SQL_VEC_DIM_CHECK = f"""
+SELECT count(*) AS n_vectors,
+       count(*) FILTER (len(embedding) <> {EMBEDDING_DIM}
+         OR len(list_filter(embedding, x -> x IS NULL)) > 0) AS n_bad,
+       CAST(min(len(embedding)) AS INTEGER) AS min_dim,
+       CAST(max(len(embedding)) AS INTEGER) AS max_dim
+FROM embeddings
+"""
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the vec_id=0 query (pgvector's
+    ``ORDER BY embedding <=> q LIMIT k``, Spark-native)."""
+    from document_vector_indexer_spark.operators.similarity import knn_brute
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    out = knn_brute(emb, _query_vec(spark, sf_dir), k=10)
+    return out.select("id", F.round("sim", 6).alias("cos_sim"), "rk")
+
+
+SQL_KNN_BRUTE = f"""
+WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id AS id, {SQL_COSINE('embedding', 'q_vec')} AS sim
+  FROM embeddings, q WHERE vec_id <> 0
+)
+SELECT id, round(sim, 6) AS cos_sim,
+       row_number() OVER (ORDER BY sim DESC, id) AS rk
+FROM scored QUALIFY rk <= 10
+"""
+
+
+def q_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors for each of 5 query vectors — the batched-query
+    shape (one broadcast, one window)."""
+    from document_vector_indexer_spark.operators.similarity import knn_brute
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = knn_brute(emb.filter(F.col("vec_id") >= 5), queries, k=3)
+    return out.select(
+        F.col("query_id").alias("qid"), "id", F.round("sim", 6).alias("cos_sim"), "rk"
+    )
+
+
+SQL_KNN_PER_QUERY = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id AS id, {SQL_COSINE('e.embedding', 'q.q_vec')} AS sim
+  FROM embeddings e, q WHERE e.vec_id >= 5
+)
+SELECT qid, id, round(sim, 6) AS cos_sim,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk
+FROM scored QUALIFY rk <= 3
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic keep-first survivor; per-lang
+    survivor counts."""
+    from document_vector_indexer_spark.operators.dedup import exact_dedup_keep_first
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = exact_dedup_keep_first(docs)
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_survivors"),
+        F.sum(F.length("text")).cast("long").alias("surviving_chars"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+WITH survivors AS (
+  SELECT lang, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents QUALIFY rn = 1
+)
+SELECT lang, count(*) AS n_survivors,
+       CAST(sum(length(text)) AS BIGINT) AS surviving_chars
+FROM survivors GROUP BY lang
+"""
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup: top-20 most similar same-source
+    pairs (explode-join, never a cross join)."""
+    from document_vector_indexer_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_cols=("source",))
+    return (
+        pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+        .select("id_a", "id_b", "inter", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+SQL_DEDUP_NGRAM = """
+WITH sh AS (
+  SELECT source, doc_id AS id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           list_transform(generate_series(1, len(words) - 2),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           ELSE [] END) AS shingles
+  FROM (SELECT source, doc_id,
+               list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                              '\\s+'), x -> x <> '') AS words
+        FROM documents)
+),
+expl AS (
+  SELECT source, id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS inter
+  FROM expl a JOIN expl b ON a.shingle = b.shingle AND a.source = b.source
+  WHERE a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, inter,
+       round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+FROM pairs
+ORDER BY CAST(inter AS DOUBLE) / (n_a + n_b - inter) DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 32-bit SimHash per document (pure integer arithmetic —
+    bit-identical across engines)."""
+    from document_vector_indexer_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+
+
+SQL_DEDUP_SIMHASH = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                        '\\s+'), x -> x <> '') AS words
+  FROM documents WHERE doc_id < 100
+),
+h AS (
+  SELECT doc_id,
+         list_transform(words, wd ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(generate_series(1, length(wd)),
+                                        i -> CAST(ascii(substr(wd, i, 1)) AS BIGINT))),
+                       (a, c) -> (a * 131 + c) % 2147483647)) AS hashes
+  FROM w
+),
+votes AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 31), b ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(hashes, hh ->
+                           CASE WHEN (hh // CAST(power(2, b) AS BIGINT)) % 2 = 1
+                                THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                       (a, v) -> a + v)) AS bit_votes
+  FROM h
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(generate_series(1, 32), i ->
+           CASE WHEN bit_votes[i] > 0 THEN CAST(power(2, i - 1) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END)),
+         (a, x) -> a + x) AS simhash
+FROM votes
+"""
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by cluster label."""
+    from document_vector_indexer_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.9, block_col="label")
+    return (
+        pairs.orderBy(F.col("sim").desc(), "id_a", "id_b")
+        .limit(50)
+        .select("id_a", "id_b", F.round("sim", 6).alias("cos_sim"))
+    )
+
+
+SQL_DEDUP_EMBED = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {SQL_COSINE('a.embedding', 'b.embedding')} AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 6) AS cos_sim
+FROM pairs WHERE sim >= 0.9
+ORDER BY sim DESC, id_a, id_b LIMIT 50
+"""
+
+
+# --- approximate / model-backed (rows-only checks) -------------------------
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_vector_indexer_spark.operators.similarity import knn_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh(emb.filter(F.col("vec_id") != 0), _query_vec(spark, sf_dir), k=10)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_vector_indexer_spark.operators.similarity import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return knn_ivf(emb.filter(F.col("vec_id") >= 3), queries, k=5)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_vector_indexer_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_near_dup_pairs(docs, threshold=0.3)
+
+
+def q_embed_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_vector_indexer_spark.operators.embedding import embed_local
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = embed_local(docs, text_col="text", dim=EMBEDDING_DIM)
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        (V.l2_norm("embedding") > 0).alias("nonzero"),
+    )
+
+
+def q_embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full pipeline shape, offline: clean -> chunk ->
+    mapInPandas batch 'API' embedding (deterministic fake) with the
+    reference's retry/validation contract -> dim check."""
+    from document_vector_indexer_spark.functions import text as TX
+    from document_vector_indexer_spark.operators.chunking import chunk_documents
+    from document_vector_indexer_spark.operators.embedding import (
+        embed_api_map_in_pandas,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("text", TX.clean_text("text"))
+        .limit(200)
+    )
+    chunks = chunk_documents(docs, strategy="fixed", chunk_size=180, overlap=30)
+    embedded = embed_api_map_in_pandas(chunks, dim=32)
+    return embedded.groupBy("split_strategy").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if(F.size("embedding") == 32).alias("n_dim_ok"),
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q_vec_cosine": QuerySpec(q_vec_cosine, SQL_VEC_COSINE),
+    "q_vec_norm": QuerySpec(q_vec_norm, SQL_VEC_NORM),
+    "q_vec_dim_check": QuerySpec(q_vec_dim_check, SQL_VEC_DIM_CHECK),
+    "q_knn_brute": QuerySpec(q_knn_brute, SQL_KNN_BRUTE),
+    "q_knn_per_query": QuerySpec(q_knn_per_query, SQL_KNN_PER_QUERY),
+    "q_dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
+    "q_dedup_ngram": QuerySpec(q_dedup_ngram, SQL_DEDUP_NGRAM),
+    "q_dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "q_dedup_embed": QuerySpec(q_dedup_embed, SQL_DEDUP_EMBED),
+    # approximate / model-backed: rows-only driver check
+    "q_knn_lsh": QuerySpec(q_knn_lsh, None, "BucketedRandomProjectionLSH approx kNN"),
+    "q_knn_ivf": QuerySpec(q_knn_ivf, None, "IVF (KMeans cells) approx kNN"),
+    "q_dedup_minhash": QuerySpec(q_dedup_minhash, None, "MinHashLSH near-dup pairs"),
+    "q_embed_local": QuerySpec(q_embed_local, None, "MLlib TF-IDF embeddings"),
+    "q_embed_pipeline": QuerySpec(
+        q_embed_pipeline, None, "clean->chunk->batched embed->validate pipeline"
+    ),
+}

@@ -55,10 +55,42 @@ def get_spark(
     # Runtime-settable confs that matter even on a pre-existing session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    ship_package(spark)
     return spark
 
 
 def ensure_oracle_confs(spark: SparkSession) -> SparkSession:
     """Apply the runtime confs oracle parity depends on to any session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Spark Python workers.
+
+    UDF closures (mapInPandas embedding, etc.) reference module-level
+    functions, which cloudpickle pickles *by reference* — the worker
+    must be able to ``import document_vector_indexer_spark`` even when
+    the driver process runs from an arbitrary cwd. ``addPyFile`` ships
+    a zip of the package to every worker (including local-mode ones)
+    at runtime, no PYTHONPATH assumptions.
+    """
+    if getattr(spark, "_dvi_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"dvi_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fname in filenames:
+                if fname.endswith(".py"):
+                    full = os.path.join(dirpath, fname)
+                    zf.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zip_path)
+    spark._dvi_pkg_shipped = True
