@@ -1,0 +1,167 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched ``mapInPandas`` operators.
+
+The container ships no image/audio libraries, so the *decode kernels*
+are stubbed: ``decode_backend="fake"`` (default) runs a deterministic
+pure-Python stand-in; ``decode_backend="pil"``/``"ffmpeg"`` raise
+``NotImplementedError`` until the real libs are present. Everything
+Spark-side — schema, partition sizing, UDF signatures, batch shapes,
+null/corrupt-row handling — is real and tested
+(tests/test_multimodal.py).
+
+Scale design: media bytes ride in their own column so column pruning
+skips them unless a kernel needs pixels; operators are mapInPandas
+(per-partition Arrow batches), so throughput scales with executors and
+no media blob ever passes through the driver. Partition sizing for
+blob-heavy tables: keep ``spark.sql.files.maxPartitionBytes`` at
+128 MB and rely on parquet row-group pruning for the metadata-only
+queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Literal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),   # images/video
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),  # audio/video
+    ]
+)
+
+Backend = Literal["fake", "pil", "ffmpeg"]
+
+
+def _require_backend(backend: Backend) -> None:
+    if backend == "fake":
+        return
+    raise NotImplementedError(
+        f"decode backend {backend!r} needs media libraries not present in "
+        "this environment; the Spark plumbing is identical — plug the real "
+        "kernel into the same mapInPandas signature."
+    )
+
+
+def _fake_pixels(content: bytes, w: int, h: int) -> list[int]:
+    """Deterministic pixel stand-in: sha256-seeded byte stream."""
+    seed = hashlib.sha256(content).digest()
+    need = w * h
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out.extend(hashlib.sha256(seed + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    return list(out[:need])
+
+
+def image_features(
+    df: DataFrame,
+    backend: Backend = "fake",
+    thumb: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """Decode images and emit fixed-size feature rows: a thumb x thumb
+    mean-pooled grayscale thumbnail (as array<float>) + basic stats.
+    Null/empty content yields a row with null features (corrupt media
+    must never kill a 100 TB job)."""
+    import pandas as pd
+
+    _require_backend(backend)
+    tw, th = thumb
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("thumbnail", T.ArrayType(T.FloatType())),
+            T.StructField("mean_intensity", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = r.content
+                if content is None or len(content) == 0:
+                    rows.append((r.media_id, 0, None, None))
+                    continue
+                w = int(r.width or tw)
+                h = int(r.height or th)
+                px = _fake_pixels(bytes(content), w, h)
+                # mean-pool to thumb grid
+                tn = []
+                for ty in range(th):
+                    for tx in range(tw):
+                        xs = range(tx * w // tw, max(tx * w // tw + 1, (tx + 1) * w // tw))
+                        ys = range(ty * h // th, max(ty * h // th + 1, (ty + 1) * h // th))
+                        vals = [px[y * w + x] for y in ys for x in xs]
+                        tn.append(float(sum(vals)) / len(vals))
+                rows.append(
+                    (r.media_id, len(content), tn, float(sum(px)) / len(px))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "thumbnail", "mean_intensity"]
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_ms: int = 1000,
+    backend: Backend = "fake",
+) -> DataFrame:
+    """Sample video frames every ``every_ms``: one output row per
+    sampled frame with a content digest (stand-in for the decoded
+    frame). Fan-out happens executor-side inside the UDF — the planner
+    never sees per-frame rows until after the map."""
+    import pandas as pd
+
+    _require_backend(backend)
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("frame_digest", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.content is None or not r.duration_ms:
+                    continue
+                for i, ts in enumerate(range(0, int(r.duration_ms), every_ms)):
+                    digest = hashlib.sha256(
+                        bytes(r.content) + ts.to_bytes(8, "big")
+                    ).hexdigest()[:16]
+                    rows.append((r.media_id, i, ts, digest))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "frame_digest"]
+            )
+
+    return df.filter(F.col("kind") == "video").mapInPandas(run, schema=out_schema)
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Per-kind inventory aggregate (counts, blob bytes, durations)."""
+    return df.groupBy("kind").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.coalesce(F.octet_length("content"), F.lit(0))).cast("long").alias(
+            "total_bytes"
+        ),
+        F.max("duration_ms").alias("max_duration_ms"),
+    )

@@ -1,0 +1,97 @@
+"""The reference's whole program (/root/reference/index_documents.py:253-308
+``main()``) as ONE declarative DataFrame chain:
+
+    read -> clean (R3) -> chunk (R4/R6/R7 via R8) -> embed (R9) ->
+    chunk table with (id, chunk_text, embedding, filename,
+    split_strategy, created_at) -> sink (R10-R12)
+
+Differences from the reference, by design:
+- Parallel by partition instead of a sequential batch loop; embedding
+  batches form per Arrow batch inside mapInPandas (same 32-text
+  batching, reference index_documents.py:261,291-306).
+- Idempotent-by-overwrite sink: the reference duplicates rows on
+  re-run (no global txn, SURVEY.md §3.1); we overwrite per
+  (filename, split_strategy) partition via dynamic partition
+  overwrite, so a re-run converges instead of duplicating.
+- `id` is a deterministic row_number over (filename, strategy,
+  chunk_pos) — an explicit global-sort shuffle, only materialized at
+  the sink (the reference's SERIAL, index_documents.py:217). At 100 TB
+  scale prefer the composite natural key and skip the global id; the
+  flag keeps both contracts available.
+- `created_at` is stamped once per run (the reference stamps per
+  insert-batch, index_documents.py:235) — excluded from any oracle
+  output (wall clock).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from document_vector_indexer_spark.functions import text as TX
+from document_vector_indexer_spark.operators.chunking import chunk_documents
+from document_vector_indexer_spark.operators.embedding import (
+    DEFAULT_DIM,
+    embed_api_map_in_pandas,
+    embed_local,
+)
+
+
+def index_documents(
+    docs: DataFrame,
+    strategy: str = "fixed",
+    chunk_size: int = 1200,
+    overlap: int = 200,
+    embedding_dim: int = DEFAULT_DIM,
+    embedder: str = "local",
+    text_col: str = "text",
+    filename_col: str | None = None,
+    with_global_id: bool = True,
+) -> DataFrame:
+    """documents -> embedded chunk table (the `document_chunks` schema,
+    index_documents.py:214-223, minus autoincrement semantics)."""
+    if filename_col is None:
+        docs = docs.withColumn("filename", F.concat(F.lit("doc_"), F.col("doc_id")))
+        filename_col = "filename"
+    cleaned = docs.withColumn(text_col, TX.clean_text(text_col))
+    chunks = chunk_documents(
+        cleaned,
+        strategy=strategy,
+        chunk_size=chunk_size,
+        overlap=overlap,
+        text_col=text_col,
+        id_cols=(filename_col,),
+    )
+    if embedder == "local":
+        embedded = embed_local(chunks, text_col="chunk_text", dim=embedding_dim)
+    elif embedder == "api":
+        embedded = embed_api_map_in_pandas(chunks, dim=embedding_dim)
+    else:
+        raise ValueError(f"unknown embedder: {embedder}")
+
+    out = embedded.withColumn("created_at", F.current_timestamp())
+    if with_global_id:
+        w = Window.orderBy(filename_col, "split_strategy", "chunk_pos")
+        out = out.withColumn("id", F.row_number().over(w).cast("long"))
+    return out.select(
+        *(["id"] if with_global_id else []),
+        F.col("chunk_text"),
+        F.col("embedding"),
+        F.col(filename_col).alias("filename"),
+        F.col("split_strategy"),
+        F.col("chunk_pos"),
+        F.col("created_at"),
+    )
+
+
+def write_chunk_table(chunks: DataFrame, path: str) -> None:
+    """Idempotent parquet sink: dynamic overwrite of only the
+    (split_strategy) partitions present in this run — re-running a
+    strategy replaces its rows instead of appending duplicates."""
+    spark = chunks.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        chunks.write.mode("overwrite")
+        .partitionBy("split_strategy")
+        .parquet(path)
+    )

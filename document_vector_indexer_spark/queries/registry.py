@@ -11,12 +11,13 @@ def all_queries() -> dict[str, QuerySpec]:
     from document_vector_indexer_spark.queries import (
         relational,
         scalarfuncs,
+        streamingops,
         textops,
         vectorops,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (textops, relational, scalarfuncs, vectorops):
+    for mod in (textops, relational, scalarfuncs, vectorops, streamingops):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {sorted(overlap)}")

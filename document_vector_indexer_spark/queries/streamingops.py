@@ -1,0 +1,80 @@
+"""Streaming-op query specs: the batch analogs (oracle-checked); true
+readStream parity is exercised in tests/test_streaming.py with the
+*same* operator functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from document_vector_indexer_spark.io import load_table
+from document_vector_indexer_spark.queries.base import QuerySpec
+from document_vector_indexer_spark.streaming import windows as W
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+# time_bucket aligns hour buckets on the epoch grid exactly like
+# Spark's window(); value sums use the exact-decimal pattern.
+SQL_STREAM_TUMBLING = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+# A 1h/15m sliding window covers each event exactly 4 times: the
+# windows starting at bucket15(ts) - k*15min, k = 0..3.
+SQL_STREAM_SLIDING = """
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes',
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events
+FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+GROUP BY 1, 2
+"""
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.session_aggregates(load_table(spark, sf_dir, "events"))
+
+
+# Gaps-and-islands replay of session_window semantics: a new session
+# starts when the gap to the previous event is >= 30 min (Spark merges
+# only strictly-overlapping [ts, ts+gap) windows, so an event landing
+# exactly at prev_ts + gap opens a new session); session end = last
+# event + gap. Comparisons run on full microsecond timestamps.
+SQL_STREAM_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts, value, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       count(DISTINCT event_type) AS n_types
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q_stream_tumbling": QuerySpec(q_stream_tumbling, SQL_STREAM_TUMBLING),
+    "q_stream_sliding": QuerySpec(q_stream_sliding, SQL_STREAM_SLIDING),
+    "q_stream_session": QuerySpec(q_stream_session, SQL_STREAM_SESSION),
+}

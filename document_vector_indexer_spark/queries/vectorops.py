@@ -185,6 +185,8 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same df-capped (max_df=20) discriminative-shingle semantics as the
+# operator — see operators/dedup.py for why the cap is load-bearing.
 SQL_DEDUP_NGRAM = """
 WITH sh AS (
   SELECT source, doc_id AS id,
@@ -198,18 +200,29 @@ WITH sh AS (
         FROM documents)
 ),
 expl AS (
-  SELECT source, id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh
+  SELECT source, id, unnest(shingles) AS shingle FROM sh
+),
+retained AS (
+  SELECT source, id, shingle,
+         count(*) OVER (PARTITION BY source, shingle) AS df
+  FROM expl QUALIFY df <= 20
+),
+sizes AS (
+  SELECT source, id, count(*) AS n_ret FROM retained GROUP BY 1, 2
 ),
 pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS inter
-  FROM expl a JOIN expl b ON a.shingle = b.shingle AND a.source = b.source
+  SELECT a.source, a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM retained a JOIN retained b
+    ON a.shingle = b.shingle AND a.source = b.source
   WHERE a.id < b.id
-  GROUP BY 1, 2, 3, 4
+  GROUP BY 1, 2, 3
 )
 SELECT id_a, id_b, inter,
-       round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
-FROM pairs
-ORDER BY CAST(inter AS DOUBLE) / (n_a + n_b - inter) DESC, id_a, id_b
+       round(CAST(inter AS DOUBLE) / (sa.n_ret + sb.n_ret - inter), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source AND sa.id = p.id_a
+JOIN sizes sb ON sb.source = p.source AND sb.id = p.id_b
+ORDER BY CAST(inter AS DOUBLE) / (sa.n_ret + sb.n_ret - inter) DESC, id_a, id_b
 LIMIT 20
 """
 
@@ -217,10 +230,10 @@ LIMIT 20
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable 32-bit SimHash per document (pure integer arithmetic —
     bit-identical across engines)."""
-    from document_vector_indexer_spark.operators.dedup import simhash
+    from document_vector_indexer_spark.operators.dedup import simhash_df
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    return simhash_df(docs)
 
 
 SQL_DEDUP_SIMHASH = """

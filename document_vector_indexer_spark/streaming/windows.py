@@ -1,0 +1,164 @@
+"""Windowed event aggregations (SURVEY.md §2B streaming ops).
+
+Each operator is written once as a function of a DataFrame, so the
+*same* code path serves batch (oracle-checkable against DuckDB) and
+Structured Streaming (``readStream`` + watermark; see
+``read_events_stream`` and tests/test_streaming.py). That batch/stream
+parity is the point: Spark's incrementalization of these plans is what
+a 100 TB/day event pipeline runs in production.
+
+Output-time note: window bounds are formatted as UTC strings — raw
+timestamps never appear in oracle-checked output (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+# Exact decimal sum for the 2dp `value` column (see queries/relational.py).
+_DEC = "decimal(18,2)"
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts + value sums per event_type."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Sliding-window counts: each event contributes to width/slide
+    overlapping windows (Spark emits all covering windows)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_aggregates(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based). ``session_window`` merges
+    events whose windows overlap; a session ends ``gap`` after its last
+    event. Works identically in batch and streaming group-by."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+            # size(collect_set) == exact distinct, but unlike
+            # countDistinct it is legal in streaming aggregations
+            F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT).alias("session_start"),
+            F.date_format("w.end", TS_FMT).alias("session_end"),
+            "n_events",
+            "total_value",
+            "n_types",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming harness
+
+# events.parquet stores ts as INT64 TIMESTAMP(NANOS); streams need an
+# explicit schema, so we read nanos as long and convert (same
+# truncation as io._load_events).
+_RAW_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet (file source — swap for
+    kafka in production; the query shapes are identical).
+
+    The file source wants a *directory*, and the testdata dir mixes all
+    ten tables — so stage a symlink to events.parquet in a temp dir.
+    """
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"dvi_events_stream_{abs(hash(sf_dir))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_RAW_STREAM_SCHEMA).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming DataFrame to completion over the available
+    files (availableNow) into an in-memory table named ``query_name``."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def dedup_within_watermark(
+    events: DataFrame, watermark: str = "1 hour", key_cols: tuple[str, ...] = ("event_id",)
+) -> DataFrame:
+    """Stateful streaming dedup: drop duplicate events whose keys were
+    seen within the watermark horizon — bounded state, unlike a global
+    dropDuplicates. Streaming-only (rows-only check)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def tumbling_with_watermark(
+    events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling counts under a watermark: late events beyond the
+    horizon are dropped and windows finalize (append mode)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -1,0 +1,67 @@
+"""Structured Streaming parity: the SAME operator functions produce
+identical results through readStream (availableNow) as through batch,
+plus watermark/stateful-dedup smoke checks (SURVEY.md §5.2.5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from document_vector_indexer_spark.io import load_table
+from document_vector_indexer_spark.streaming import windows as W
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_tumbling_batch_stream_parity(spark):
+    batch = W.tumbling_counts(load_table(spark, SF_DIR, "events")).toPandas()
+    stream = W.tumbling_counts(W.read_events_stream(spark, SF_DIR))
+    W.run_stream_to_memory(stream, "t_tumbling", output_mode="complete")
+    got = spark.sql("SELECT * FROM t_tumbling").toPandas()
+    pd.testing.assert_frame_equal(
+        _normalize(got), _normalize(batch), check_dtype=False
+    )
+
+
+def test_session_batch_stream_parity(spark):
+    batch = W.session_aggregates(load_table(spark, SF_DIR, "events")).toPandas()
+    stream = W.session_aggregates(
+        W.read_events_stream(spark, SF_DIR).withWatermark("ts", "1 hour")
+    )
+    W.run_stream_to_memory(stream, "t_session", output_mode="complete")
+    got = spark.sql("SELECT * FROM t_session").toPandas()
+    pd.testing.assert_frame_equal(
+        _normalize(got), _normalize(batch), check_dtype=False
+    )
+
+
+def test_watermark_append_finalizes_windows(spark):
+    stream = W.tumbling_with_watermark(W.read_events_stream(spark, SF_DIR))
+    W.run_stream_to_memory(stream, "t_watermark", output_mode="append")
+    got = spark.sql("SELECT * FROM t_watermark").toPandas()
+    # append mode only emits windows the watermark has closed; with one
+    # availableNow pass the final (max-ts) window is still open.
+    batch = W.tumbling_counts(load_table(spark, SF_DIR, "events")).toPandas()
+    assert 0 < len(got) < len(batch)
+    merged = got.merge(
+        batch[["window_start", "event_type", "n_events"]],
+        on=["window_start", "event_type"],
+        suffixes=("_s", "_b"),
+    )
+    assert (merged.n_events_s == merged.n_events_b).all()
+
+
+def test_dedup_within_watermark(spark):
+    ev = W.read_events_stream(spark, SF_DIR)
+    deduped = W.dedup_within_watermark(ev, watermark="2 hours")
+    W.run_stream_to_memory(
+        deduped.groupBy().count(), "t_dedup", output_mode="complete"
+    )
+    got = spark.sql("SELECT * FROM t_dedup").toPandas()
+    n_batch = load_table(spark, SF_DIR, "events").count()
+    # event_id is unique in the corpus -> dedup must be lossless
+    assert int(got["count"].iloc[0]) == n_batch
