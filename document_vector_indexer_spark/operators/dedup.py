@@ -100,51 +100,50 @@ def ngram_jaccard_pairs(
     )
     w_ord = Window.partitionBy("id").orderBy("pos")
     gram_parts = [F.col("w")] + [F.lead("w", j).over(w_ord) for j in range(1, n)]
+    # no dropDuplicates: the collect_set below dedups (id, shingle)
+    # repeats as part of the same aggregation — one less shuffle
     exploded = (
         words_df.withColumn("_last", F.lead("w", n - 1).over(w_ord))
         .withColumn("shingle", F.concat_ws(" ", *gram_parts))
         .filter(F.col("_last").isNotNull())
         .select(*block_cols, "id", "shingle")
-        .dropDuplicates([*block_cols, "id", "shingle"])
     )
-    w_df = Window.partitionBy(*block_cols, "shingle")
-    retained = exploded.withColumn("df", F.count("*").over(w_df)).filter(
-        F.col("df") <= max_df
+    # One aggregation builds the inverted index AND dedups repeats
+    # (collect_set), replacing the dropDuplicates + count-window +
+    # self-join chain: candidate pairs are generated row-locally from
+    # each retained bucket's id set (<= max_df ids -> <= max_df^2/2
+    # pairs, bounded by construction), then one shuffle aggregates
+    # intersections. Fewer stages, no 2x probe of the exploded table.
+    buckets = exploded.groupBy(*block_cols, "shingle").agg(
+        F.collect_set("id").alias("ids")
+    ).filter(F.size("ids") <= max_df)
+    sizes = (
+        buckets.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_ret"))
     )
-    sizes = retained.groupBy(*block_cols, "id").agg(F.count("*").alias("n_ret"))
-    a = retained.select(
-        *[F.col(c).alias(f"a_{c}") for c in block_cols],
-        F.col("id").alias("id_a"),
-        "shingle",
+    ids_sorted = F.sort_array(F.col("ids"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ids") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ids") - 1),
+                lambda j: F.struct(
+                    F.element_at(ids_sorted, (i + 1).cast("int")).alias("id_a"),
+                    F.element_at(ids_sorted, (j + 1).cast("int")).alias("id_b"),
+                ),
+            ),
+        )
     )
-    b = retained.select(
-        *[F.col(c).alias(f"b_{c}") for c in block_cols],
-        F.col("id").alias("id_b"),
-        "shingle",
-    )
-    cond = [a["shingle"] == b["shingle"]] + [
-        a[f"a_{c}"] == b[f"b_{c}"] for c in block_cols
-    ]
     pairs = (
-        a.join(b, cond)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy(*[f"a_{c}" for c in block_cols], "id_a", "id_b")
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    sz_a = sizes.select(
-        *[F.col(c).alias(f"a_{c}") for c in block_cols],
-        F.col("id").alias("id_a"),
-        F.col("n_ret").alias("n_a"),
-    )
-    sz_b = sizes.select(
-        *[F.col(c).alias(f"b_{c}") for c in block_cols],
-        F.col("id").alias("id_b"),
-        F.col("n_ret").alias("n_b"),
-    )
     out = (
-        pairs.join(sz_a, [f"a_{c}" for c in block_cols] + ["id_a"])
-        .join(sz_b.withColumnsRenamed({f"b_{c}": f"a_{c}" for c in block_cols}),
-              [f"a_{c}" for c in block_cols] + ["id_b"])
+        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_ret": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_ret": "n_b"}), "id_b")
     )
     return out.select(
         "id_a",

@@ -1,0 +1,268 @@
+"""Extra operator coverage: statistical aggregates, exact percentiles,
+higher-order exists/forall, TPC-H composite showcases (Q3/Q5 shapes),
+and a sink round-trip that runs the full pipeline through the parquet
+sink and oracle-checks what comes back off disk.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from document_vector_indexer_spark.io import load_table
+from document_vector_indexer_spark.queries.base import QuerySpec
+from document_vector_indexer_spark.queries.relational import SQL_DSUM, dsum
+from document_vector_indexer_spark.queries.textops import SQL_CLEAN
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/correlation. Rounded: accumulation order differs
+    per engine at ~1e-12 relative; stddev/corr values are off-grid so
+    round(4)/round(6) are boundary-safe (unlike money — relational.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # `+ 0.0` normalizes IEEE negative zero: rounding a tiny negative
+    # statistic yields -0.0 in one engine and 0.0 in the other — equal
+    # by ==, but distinct once stringified/hashed.
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.stddev_samp("l_extendedprice"), 4) + 0.0).alias("sd_price"),
+        (F.round(F.var_samp("l_quantity"), 4) + 0.0).alias("var_qty"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + 0.0).alias("corr_qty_price"),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0).alias("covar_disc_tax"),
+        (F.round(F.skewness("l_extendedprice"), 4) + 0.0).alias("skew_price"),
+    )
+
+
+SQL_AGG_STATS = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) + 0.0 AS sd_price,
+       round(var_samp(l_quantity), 4) + 0.0 AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+       round(covar_samp(l_discount, l_tax), 6) + 0.0 AS covar_disc_tax,
+       round(skewness(l_extendedprice), 4) + 0.0 AS skew_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``) + an approx-percentile quality contract (the
+    sketch differs per engine, its 1%-of-exact bound must not)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        (
+            F.abs(
+                F.percentile_approx("o_totalprice", F.lit(0.5))
+                - F.percentile("o_totalprice", F.lit(0.5))
+            )
+            <= 0.01 * F.percentile("o_totalprice", F.lit(0.5))
+        ).alias("approx_within_1pct"),
+    )
+
+
+SQL_AGG_PERCENTILE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       abs(approx_quantile(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5))
+         <= 0.01 * quantile_cont(o_totalprice, 0.5) AS approx_within_1pct
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_hof_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exists / forall / array_position / array_max over tokenized text."""
+    from document_vector_indexer_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = TX.word_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.exists(words, lambda w: F.length(w) > 8).alias("has_long_word"),
+        F.forall(words, lambda w: F.length(w) < 15).alias("all_under_15"),
+        F.array_position(words, "spark").cast("long").alias("first_spark_pos"),
+        F.array_max(F.transform(words, lambda w: F.length(w))).cast("int").alias(
+            "max_word_len"
+        ),
+    )
+
+
+SQL_HOF_EXISTS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                        '\\s+'), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       len(list_filter(words, x -> length(x) > 8)) > 0 AS has_long_word,
+       len(list_filter(words, x -> length(x) >= 15)) = 0 AS all_under_15,
+       CAST(coalesce(list_position(words, 'spark'), 0) AS BIGINT) AS first_spark_pos,
+       CAST(list_max(list_transform(words, x -> length(x))) AS INTEGER) AS max_word_len
+FROM w
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): 3-way join, selective
+    filters on both fact sides, revenue agg, top-10. Catalyst order:
+    broadcast customer filter into orders, shuffle join lineitem."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"), "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 6-table star join where
+    supplier and customer must share a nation; dims broadcast."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+_SINK_GEOM = dict(chunk_size=180, overlap=30)
+
+
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline through the parquet sink and back: index the
+    documents table (clean -> fixed chunk -> embed), write with the
+    idempotent partitioned sink, read the files back, aggregate. The
+    oracle replays the text semantics in SQL — so this checks the sink
+    round-trips data losslessly, not just that it runs."""
+    from document_vector_indexer_spark.plans.pipeline import (
+        index_documents,
+        write_chunk_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = index_documents(
+        docs, strategy="fixed", embedding_dim=16, **_SINK_GEOM
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"dvi_sink_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_chunk_table(chunks, path)
+    back = spark.read.parquet(path)
+    return back.groupBy("split_strategy").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.length("chunk_text")).cast("long").alias("total_chars"),
+        F.countDistinct("filename").alias("n_files"),
+        F.max("id").alias("max_id"),
+        F.count_if(F.size("embedding") == 16).alias("n_dim_ok"),
+    )
+
+
+SQL_SINK_ROUNDTRIP = f"""
+WITH cleaned AS (
+  SELECT doc_id, {SQL_CLEAN.format(col='text')} AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, t,
+         unnest(range(0, (CASE WHEN length(t) <= 180 THEN 0
+                ELSE CAST(ceil((length(t) - 180) / 150.0) AS BIGINT)
+                END) + 1)) * 150 AS win_start
+  FROM cleaned
+),
+chunks AS (
+  SELECT * FROM (
+    SELECT doc_id,
+           regexp_replace(substr(t, win_start + 1, 180), '^\\s+|\\s+$', '', 'g') AS chunk_text
+    FROM wins
+  ) WHERE chunk_text <> ''
+)
+SELECT 'fixed' AS split_strategy,
+       count(*) AS n_chunks,
+       CAST(sum(length(chunk_text)) AS BIGINT) AS total_chars,
+       count(DISTINCT doc_id) AS n_files,
+       count(*) AS max_id,
+       count(*) AS n_dim_ok
+FROM chunks
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q_agg_stats": QuerySpec(q_agg_stats, SQL_AGG_STATS),
+    "q_agg_percentile": QuerySpec(q_agg_percentile, SQL_AGG_PERCENTILE),
+    "q_hof_exists": QuerySpec(q_hof_exists, SQL_HOF_EXISTS),
+    "q_tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3),
+    "q_tpch_q5": QuerySpec(q_tpch_q5, SQL_TPCH_Q5),
+    "q_sink_roundtrip": QuerySpec(
+        q_sink_roundtrip, SQL_SINK_ROUNDTRIP, "pipeline -> parquet sink -> read-back"
+    ),
+}

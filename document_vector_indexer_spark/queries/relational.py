@@ -38,6 +38,27 @@ def SQL_DSUM(expr: str) -> str:
     return f"CAST(sum(CAST({expr} AS DECIMAL(28,2))) AS DOUBLE)"
 
 
+def fsum(col: Column, scale: int = 100) -> Column:
+    """Fixed-point exact sum for <=2dp doubles: round to integer cents,
+    sum longs (cheap JVM-native aggregation — measured ~2x faster than
+    decimal), divide once at the end. rint(x*100) is exact for 2dp
+    inputs (the double sits within 1e-11 of the true cent value, never
+    near a .5). long->double and the final /scale are IEEE ops with
+    identical results in every engine."""
+    return (
+        F.sum(F.rint(col * scale).cast("long")).cast("double") / F.lit(float(scale))
+    )
+
+
+def SQL_FSUM(expr: str, scale: int = 100) -> str:
+    # CAST .. BIGINT before DOUBLE: DuckDB sums BIGINT into HUGEINT,
+    # and hugeint->double may round differently than bigint->double.
+    return (
+        f"CAST(CAST(sum(CAST(round({expr} * {scale}, 0) AS BIGINT)) AS BIGINT)"
+        f" AS DOUBLE) / {scale}.0"
+    )
+
+
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
 
@@ -405,42 +426,48 @@ def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    # Money math fully in decimal, built only from casts of RAW 2dp
-    # columns (unambiguous in both engines); never cast a double
-    # *product* to decimal — Spark rounds the shortest repr, DuckDB the
-    # exact expansion, and they can disagree at the last digit.
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc_mult = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
-    tax_mult = (F.lit(1.0) + F.col("l_tax")).cast("decimal(4,2)")
-    disc_price = price * disc_mult          # decimal(17,4), exact
-    charge = price * disc_mult * tax_mult   # decimal(22,6), exact
+    # Money math in exact fixed-point (integer cents / micro-units),
+    # built only from RAW 2dp columns — never round() or cast a double
+    # *product* for parity (Spark rounds the shortest repr, DuckDB the
+    # exact expansion, and they can disagree at the last digit). The
+    # products below are integers of value*1e6: price_c (<=1e7 cents) *
+    # dm_c (<=100) * tm_c (<=110) < 2^53 per row, summed as longs —
+    # measured ~2x faster than decimal aggregation and engine-exact.
+    price_c = F.rint(F.col("l_extendedprice") * 100).cast("long")
+    dm_c = F.rint((F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+    tm_c = F.rint((F.lit(1.0) + F.col("l_tax")) * 100).cast("long")
+    disc_price_u = price_c * dm_c           # value * 1e4, exact long
+    charge_u = price_c * dm_c * tm_c        # value * 1e6, exact long
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
-            (dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
-            (dsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+            fsum(F.col("l_quantity")).alias("sum_qty"),
+            fsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            (F.sum(disc_price_u).cast("double") / F.lit(1e4)).alias("sum_disc_price"),
+            (F.sum(charge_u).cast("double") / F.lit(1e6)).alias("sum_charge"),
+            (fsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (fsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (fsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
+_Q1_PRICE_C = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+_Q1_DM_C = "CAST(round((1.0 - l_discount) * 100, 0) AS BIGINT)"
+_Q1_TM_C = "CAST(round((1.0 + l_tax) * 100, 0) AS BIGINT)"
+
 SQL_AGG_BASIC = f"""
 SELECT l_returnflag, l_linestatus,
-       {SQL_DSUM('l_quantity')} AS sum_qty,
-       {SQL_DSUM('l_extendedprice')} AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * CAST(1.0 - l_discount AS DECIMAL(4,2))
-                * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
-       {SQL_DSUM('l_quantity')} / count(*) AS avg_qty,
-       {SQL_DSUM('l_extendedprice')} / count(*) AS avg_price,
-       {SQL_DSUM('l_discount')} / count(*) AS avg_disc,
+       {SQL_FSUM('l_quantity')} AS sum_qty,
+       {SQL_FSUM('l_extendedprice')} AS sum_base_price,
+       CAST(CAST(sum({_Q1_PRICE_C} * {_Q1_DM_C}) AS BIGINT) AS DOUBLE) / 1e4
+         AS sum_disc_price,
+       CAST(CAST(sum({_Q1_PRICE_C} * {_Q1_DM_C} * {_Q1_TM_C}) AS BIGINT) AS DOUBLE) / 1e6
+         AS sum_charge,
+       {SQL_FSUM('l_quantity')} / count(*) AS avg_qty,
+       {SQL_FSUM('l_extendedprice')} / count(*) AS avg_price,
+       {SQL_FSUM('l_discount')} / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -44,13 +44,13 @@ def q_vec_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir).select(F.col("embedding").alias("q_vec"))
     return emb.join(F.broadcast(q)).select(
         "vec_id",
-        F.round(V.cosine("embedding", "q_vec"), 6).alias("cos_sim"),
+        (F.round(V.cosine("embedding", "q_vec"), 6) + 0.0).alias("cos_sim"),
     )
 
 
 SQL_VEC_COSINE = f"""
 WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, round({SQL_COSINE('embedding', 'q_vec')}, 6) AS cos_sim
+SELECT vec_id, round({SQL_COSINE('embedding', 'q_vec')}, 6) + 0.0 AS cos_sim
 FROM embeddings, q
 """
 
@@ -61,7 +61,7 @@ def q_vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(V.l2_norm("embedding"), 6).alias("l2"),
-        F.round(F.element_at(V.l2_normalize("embedding"), 1), 6).alias("unit_x0"),
+        (F.round(F.element_at(V.l2_normalize("embedding"), 1), 6) + 0.0).alias("unit_x0"),
     )
 
 
@@ -69,7 +69,7 @@ SQL_VEC_NORM = f"""
 SELECT vec_id,
        round(sqrt({SQL_DOT.format(a='embedding', b='embedding')}), 6) AS l2,
        round(CAST(embedding[1] AS DOUBLE)
-             / sqrt({SQL_DOT.format(a='embedding', b='embedding')}), 6) AS unit_x0
+             / sqrt({SQL_DOT.format(a='embedding', b='embedding')}), 6) + 0.0 AS unit_x0
 FROM embeddings
 """
 
@@ -104,7 +104,7 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     out = knn_brute(emb, _query_vec(spark, sf_dir), k=10)
-    return out.select("id", F.round("sim", 6).alias("cos_sim"), "rk")
+    return out.select("id", (F.round("sim", 6) + 0.0).alias("cos_sim"), "rk")
 
 
 SQL_KNN_BRUTE = f"""
@@ -113,7 +113,7 @@ scored AS (
   SELECT vec_id AS id, {SQL_COSINE('embedding', 'q_vec')} AS sim
   FROM embeddings, q WHERE vec_id <> 0
 )
-SELECT id, round(sim, 6) AS cos_sim,
+SELECT id, round(sim, 6) + 0.0 AS cos_sim,
        row_number() OVER (ORDER BY sim DESC, id) AS rk
 FROM scored QUALIFY rk <= 10
 """
@@ -130,7 +130,7 @@ def q_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = knn_brute(emb.filter(F.col("vec_id") >= 5), queries, k=3)
     return out.select(
-        F.col("query_id").alias("qid"), "id", F.round("sim", 6).alias("cos_sim"), "rk"
+        F.col("query_id").alias("qid"), "id", (F.round("sim", 6) + 0.0).alias("cos_sim"), "rk"
     )
 
 
@@ -140,7 +140,7 @@ scored AS (
   SELECT q.qid, e.vec_id AS id, {SQL_COSINE('e.embedding', 'q.q_vec')} AS sim
   FROM embeddings e, q WHERE e.vec_id >= 5
 )
-SELECT qid, id, round(sim, 6) AS cos_sim,
+SELECT qid, id, round(sim, 6) + 0.0 AS cos_sim,
        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk
 FROM scored QUALIFY rk <= 3
 """
