@@ -256,7 +256,200 @@ FROM chunks
 """
 
 
+def q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join through the deterministic salting operator — result
+    must equal the plain join (the oracle IS the plain join)."""
+    from document_vector_indexer_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    weights = ev.select("event_type").distinct().withColumn(
+        "weight", F.length("event_type").cast("long")
+    )
+    joined = salted_join(ev, weights, on=["event_type"], stable_col="event_id")
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("weight").cast("long").alias("total_weight"),
+    )
+
+
+SQL_JOIN_SKEW = """
+SELECT e.event_type, count(*) AS n,
+       CAST(sum(length(w.event_type)) AS BIGINT) AS total_weight
+FROM events e JOIN (SELECT DISTINCT event_type FROM events) w
+  ON e.event_type = w.event_type
+GROUP BY e.event_type
+"""
+
+
+def q_agg_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation — equals the plain group-by."""
+    from document_vector_indexer_spark.operators.skew import two_phase_agg
+    from document_vector_indexer_spark.queries.relational import fsum
+
+    ev = load_table(spark, sf_dir, "events")
+    out = two_phase_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": F.count("*"),
+            "total_cents": F.sum(F.rint(F.col("value") * 100).cast("long")),
+        },
+        stable_col="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("total_cents").cast("double") / 100.0).alias("total_value"),
+    )
+
+
+SQL_AGG_TWO_PHASE = """
+SELECT event_type, count(*) AS n,
+       CAST(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 100.0 AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per user, sum of event
+    value over the trailing hour by *timestamp value* — peers at the
+    same second share the frame, so the result is tie-order-proof."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "es", F.unix_timestamp("ts")
+    ).withColumn("cents", F.rint(F.col("value") * 100).cast("long"))
+    w = Window.partitionBy("user_id").orderBy("es").rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum("cents").over(w).cast("double") / 100.0).alias("trailing_1h_value"),
+        F.count("*").over(w).cast("long").alias("trailing_1h_events"),
+    )
+
+
+SQL_WIN_RANGE_FRAME = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(cents) OVER w AS DOUBLE) / 100.0 AS trailing_1h_value,
+       count(*) OVER w AS trailing_1h_events
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic per doc (operators/textanalysis)."""
+    from document_vector_indexer_spark.operators.textanalysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+SQL_QUALITY_SCORE = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                        '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 100 THEN 1.0 ELSE 0.0 END AS length_ok,
+         CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS ttr,
+         CAST(len(list_filter(words,
+              x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+           / len(words) AS stop_ratio
+  FROM w
+)
+SELECT doc_id,
+       0.4 * length_ok + 0.3 * least(ttr * 2, 1.0) + 0.3 * least(stop_ratio * 5, 1.0)
+         AS quality
+FROM f
+"""
+
+
+def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-document source end-to-end: materialize the first 50 docs
+    as .txt files, scan them with the distributed binaryFile source,
+    extract executor-side, aggregate. Oracle checks byte-lossless
+    extraction against the original table."""
+    import tempfile
+
+    from document_vector_indexer_spark.sources.binary_docs import read_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"dvi_source_binary_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    for r in docs.select("doc_id", "text").collect():
+        fp = os.path.join(stage, f"doc_{r.doc_id}.txt")
+        if not os.path.exists(fp):
+            with open(fp, "w") as f:
+                f.write(r.text)
+    got = read_documents(spark, stage)
+    return got.agg(
+        F.count("*").alias("n_files"),
+        F.count_if(F.col("ok")).alias("n_ok"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    )
+
+
+SQL_SOURCE_BINARY = """
+SELECT count(*) AS n_files, count(*) AS n_ok,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_bytes
+FROM documents WHERE doc_id < 50
+"""
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (rows-only: fake decode kernels):
+    synthesize media rows from documents, extract image features and
+    sample video frames, aggregate."""
+    from document_vector_indexer_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(16).alias("width"),
+        F.lit(12).alias("height"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit(2500)).cast("long").alias("duration_ms"),
+    )
+    feats = MM.image_features(media).agg(
+        F.count("*").alias("n_images"),
+        F.count_if(F.col("thumbnail").isNotNull()).alias("n_decoded"),
+    )
+    frames = MM.frame_sample(media).agg(F.count("*").alias("n_frames"))
+    return feats.crossJoin(frames)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_join_skew": QuerySpec(q_join_skew, SQL_JOIN_SKEW),
+    "q_agg_two_phase": QuerySpec(q_agg_two_phase, SQL_AGG_TWO_PHASE),
+    "q_win_range_frame": QuerySpec(q_win_range_frame, SQL_WIN_RANGE_FRAME),
+    "q_quality_score": QuerySpec(q_quality_score, SQL_QUALITY_SCORE),
+    "q_source_binary": QuerySpec(
+        q_source_binary, SQL_SOURCE_BINARY, "binaryFile source round-trip"
+    ),
+    "q_multimodal": QuerySpec(
+        q_multimodal, None, "media decode/frame-sample plumbing (fake kernels)"
+    ),
     "q_agg_stats": QuerySpec(q_agg_stats, SQL_AGG_STATS),
     "q_agg_percentile": QuerySpec(q_agg_percentile, SQL_AGG_PERCENTILE),
     "q_hof_exists": QuerySpec(q_hof_exists, SQL_HOF_EXISTS),
