@@ -93,7 +93,13 @@ def ngram_jaccard_pairs(
     # lambda boundaries), turning shingling O(n^2 * regex) per doc —
     # measured 60 s vs <2 s at sf0.1. posexplode evaluates the
     # tokenizer once per row; lead() is linear after one per-doc sort.
-    words_df = df.select(
+    # Repartition on the doc id BEFORE tokenizing: the lead-window
+    # below needs hash(id) partitioning anyway, so this moves that
+    # shuffle ahead of the regex-heavy tokenize+explode work instead of
+    # adding one — and parallelizes it even when the input is a single
+    # file/row group (the local fixture; at scale inputs are many files
+    # and this is a no-op cost-wise).
+    words_df = df.repartition(F.col(id_col)).select(
         *block_cols,
         F.col(id_col).alias("id"),
         F.posexplode(TX.word_tokens(F.col(text_col))).alias("pos", "w"),

@@ -56,7 +56,9 @@ def knn_brute(
         "query_id", F.col(id_col).alias("id"), sim.alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= k
+    )
 
 
 def knn_lsh(
@@ -159,4 +161,6 @@ def knn_ivf(
         V.cosine(F.col(vec_col), F.col("q_vec")).alias("sim"),
     )
     w_top = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id"))
-    return scored.withColumn("rk", F.row_number().over(w_top)).filter(F.col("rk") <= k)
+    return scored.withColumn("rk", F.row_number().over(w_top).cast("long")).filter(
+        F.col("rk") <= k
+    )

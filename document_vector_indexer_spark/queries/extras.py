@@ -439,7 +439,61 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.crossJoin(frames)
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulated without Delta (guide's CDC pattern): a base
+    snapshot (orders before 2000) upserted with a change set (orders
+    from 2000 on) via full outer join + coalesce merge. The oracle is
+    the semantic definition — the aggregate over all orders — so the
+    merge path must reproduce it exactly."""
+    from document_vector_indexer_spark.queries.relational import TS_FMT, fsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.rint(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+            F.max("o_orderdate").alias("last_dt"),
+        )
+
+    base = snap(orders.filter(F.col("o_orderdate") < cutoff))
+    updates = snap(orders.filter(F.col("o_orderdate") >= cutoff))
+    b = base.select(
+        F.col("o_custkey").alias("k"),
+        F.col("n_orders").alias("b_n"),
+        F.col("cents").alias("b_c"),
+        F.col("last_dt").alias("b_dt"),
+    )
+    u = updates.select(
+        F.col("o_custkey").alias("k"),
+        F.col("n_orders").alias("u_n"),
+        F.col("cents").alias("u_c"),
+        F.col("last_dt").alias("u_dt"),
+    )
+    merged = b.join(u, "k", "full").select(
+        F.col("k").alias("o_custkey"),
+        (F.coalesce("b_n", F.lit(0)) + F.coalesce("u_n", F.lit(0))).alias("n_orders"),
+        (
+            (F.coalesce("b_c", F.lit(0)) + F.coalesce("u_c", F.lit(0))).cast("double")
+            / 100.0
+        ).alias("total_price"),
+        F.date_format(F.greatest("b_dt", "u_dt"), TS_FMT).alias("last_order"),
+    )
+    return merged
+
+
+SQL_MERGE_UPSERT = """
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 100.0 AS total_price,
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order
+FROM orders GROUP BY o_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_merge_upsert": QuerySpec(q_merge_upsert, SQL_MERGE_UPSERT),
     "q_join_skew": QuerySpec(q_join_skew, SQL_JOIN_SKEW),
     "q_agg_two_phase": QuerySpec(q_agg_two_phase, SQL_AGG_TWO_PHASE),
     "q_win_range_frame": QuerySpec(q_win_range_frame, SQL_WIN_RANGE_FRAME),

@@ -630,9 +630,9 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_coarse = Window.partitionBy("o_custkey").orderBy(band.desc())
     return (
         orders.withColumn("price_band", band.cast("long"))
-        .withColumn("rn", F.row_number().over(w_unique))
-        .withColumn("rnk", F.rank().over(w_coarse))
-        .withColumn("drnk", F.dense_rank().over(w_coarse))
+        .withColumn("rn", F.row_number().over(w_unique).cast("long"))
+        .withColumn("rnk", F.rank().over(w_coarse).cast("long"))
+        .withColumn("drnk", F.dense_rank().over(w_coarse).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "price_band", "rn", "rnk", "drnk")
     )
@@ -725,7 +725,7 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
     return cust.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
@@ -769,7 +769,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").desc(), F.col("p_partkey")
     )
     return (
-        part.withColumn("rk", F.row_number().over(w))
+        part.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 2)
         .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rk")
     )

@@ -80,7 +80,7 @@ def flagship_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         chunks.withColumn("chunk_chars", F.length("chunk_text").cast("long"))
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
         .select("lang", "doc_id", "chunk_pos", "chunk_text", "chunk_chars", "rk")
     )
