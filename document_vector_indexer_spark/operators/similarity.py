@@ -134,7 +134,7 @@ def knn_ivf(
     model = train_ivf_centroids(vectors, nlist, vec_col, seed)
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        f"cell int, centroid array<double>",
+        "cell int, centroid array<double>",
     )
     # cell assignment: argmin over broadcast centroids
     w_assign = Window.partitionBy(id_col).orderBy(F.col("cdist"), F.col("cell"))

@@ -492,7 +492,99 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar surface (coalesce/nullif/nvl2/nanvl) over a
+    left join that actually produces NULLs."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 280000.0)
+    j = cust.join(big, cust.c_custkey == big.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("o_orderkey", F.lit(-1)).alias("order_or_default"),
+        F.nullif("o_orderstatus", F.lit("O")).alias("status_unless_open"),
+        F.when(F.col("o_orderkey").isNotNull(), F.lit("has_big"))
+        .otherwise(F.lit("none"))
+        .alias("nvl2_equiv"),
+        F.isnull("o_totalprice").alias("is_missing"),
+        F.coalesce(F.col("o_totalprice"), F.col("c_acctbal")).alias("price_or_bal"),
+    )
+
+
+SQL_NULL_FUNCS = """
+SELECT c_custkey,
+       coalesce(o_orderkey, -1) AS order_or_default,
+       nullif(o_orderstatus, 'O') AS status_unless_open,
+       CASE WHEN o_orderkey IS NOT NULL THEN 'has_big' ELSE 'none' END AS nvl2_equiv,
+       o_totalprice IS NULL AS is_missing,
+       coalesce(o_totalprice, c_acctbal) AS price_or_bal
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 280000.0) o
+  ON c_custkey = o_custkey
+"""
+
+
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: every/any/count_if per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.some(F.col("l_discount") >= 0.1).alias("any_max_discount"),
+        F.count_if(F.col("l_tax") == 0.0).alias("n_tax_free"),
+    )
+
+
+SQL_AGG_BOOL = """
+SELECT l_returnflag,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       bool_or(l_discount >= 0.1) AS any_max_discount,
+       count(*) FILTER (l_tax = 0.0) AS n_tax_free
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar generation (sequence + explode) left-joined to data:
+    every month in the order range appears, including empty ones."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month_start")
+    ).select(F.date_format("month_start", "yyyy-MM").alias("month"))
+    per_month = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.count("*").alias("n_orders"))
+    return months.join(per_month, "month", "left").select(
+        "month", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+
+
+SQL_DATE_SERIES = """
+WITH bounds AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+),
+months AS (
+  SELECT strftime(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)), '%Y-%m') AS month
+  FROM bounds
+),
+per_month AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT m.month, coalesce(p.n_orders, 0) AS n_orders
+FROM months m LEFT JOIN per_month p ON m.month = p.month
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_null_funcs": QuerySpec(q_null_funcs, SQL_NULL_FUNCS),
+    "q_agg_bool": QuerySpec(q_agg_bool, SQL_AGG_BOOL),
+    "q_date_series": QuerySpec(q_date_series, SQL_DATE_SERIES),
     "q_merge_upsert": QuerySpec(q_merge_upsert, SQL_MERGE_UPSERT),
     "q_join_skew": QuerySpec(q_join_skew, SQL_JOIN_SKEW),
     "q_agg_two_phase": QuerySpec(q_agg_two_phase, SQL_AGG_TWO_PHASE),

@@ -191,6 +191,48 @@ def test_embed_fails_after_max_retries(spark):
 # --- partition pruning on partitioned sinks --------------------------------
 
 
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key co-locates matching rows at
+    write time — the later join plans zero Exchange nodes (the 100 TB
+    pre-partitioning story: pay the shuffle once, reuse it forever)."""
+    from document_vector_indexer_spark.io import load_table
+
+    orders = load_table(spark, SF, "orders")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    # external-table paths keep the bucketed data under tmp_path
+    # (warehouse dir is a static conf we can't change on a live session)
+    orders.write.bucketBy(4, "o_custkey").sortBy("o_custkey").option(
+        "path", os.path.join(str(tmp_path), "b_orders")
+    ).mode("overwrite").saveAsTable("b_orders")
+    cust.write.bucketBy(4, "c_custkey").sortBy("c_custkey").option(
+        "path", os.path.join(str(tmp_path), "b_customer")
+    ).mode("overwrite").saveAsTable("b_customer")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = j._jdf.queryExecution().explainString(mode)
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in join_section, (
+            f"bucketed join still shuffles:\n{join_section}"
+        )
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
 def test_partitioned_sink_prunes(spark, tmp_path):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     path = os.path.join(str(tmp_path), "docs_by_lang")
