@@ -23,4 +23,16 @@ def all_queries() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query keys: {sorted(overlap)}")
         merged.update(mod.QUERIES)
+    # SURVEY.md §2B names that this implementation carries under a more
+    # specific key — registered under both so the inventory check maps
+    # one-to-one.
+    aliases = {
+        "q_cross_cosine": "q_dedup_embed",   # vector x vector similarity join
+        "q_dedup_near": "q_dedup_minhash",   # near-dup via MinHash
+    }
+    for alias, target in aliases.items():
+        spec = merged[target]
+        merged[alias] = QuerySpec(
+            spec.fn, spec.oracle, f"SURVEY §2B alias of {target}"
+        )
     return merged
