@@ -47,8 +47,8 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     WARNING (perf): fine for unit-scale use, but the element_at calls
     inside the transform lambda re-evaluate the tokenizer per element
     (Catalyst CSE stops at lambda boundaries) — O(n_words^2) per doc.
-    For bulk shingling use the posexplode+lead plan inside
-    ``ngram_jaccard_pairs``."""
+    For bulk shingling, materialize the words array behind an Exchange
+    first, as ``ngram_jaccard_pairs`` does."""
     words = TX.word_tokens(text)
     grams = F.when(
         F.size(words) >= n,
@@ -87,33 +87,38 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, inter, n_a, n_b, jaccard) with id_a < id_b.
     """
-    # Shingles via posexplode + lead() windows, NOT the array-HOF form:
-    # element_at(words, i) inside a transform lambda re-evaluates the
-    # whole tokenizer expression per element (Catalyst CSE stops at
-    # lambda boundaries), turning shingling O(n^2 * regex) per doc —
-    # measured 60 s vs <2 s at sf0.1. posexplode evaluates the
-    # tokenizer once per row; lead() is linear after one per-doc sort.
-    # Repartition on the doc id BEFORE tokenizing: the lead-window
-    # below needs hash(id) partitioning anyway, so this moves that
-    # shuffle ahead of the regex-heavy tokenize+explode work instead of
-    # adding one — and parallelizes it even when the input is a single
-    # file/row group (the local fixture; at scale inputs are many files
-    # and this is a no-op cost-wise).
+    # Tokenize once per row BEHIND AN EXCHANGE, then build shingles
+    # from the materialized words array. The repartition is
+    # LOAD-BEARING, not a tuning knob: element_at(words, i) inside the
+    # transform lambda re-evaluates whatever expression `words` is per
+    # element (Catalyst CSE stops at lambda boundaries, and
+    # CollapseProject inlines the tokenizer into the lambda) — only an
+    # Exchange forces materialization. Measured on this logical plan at
+    # sf0.1: ~120 s inlined vs 0.6 s with the barrier. The exchange
+    # also parallelizes tokenization when the input is a single
+    # file/row group, and hash(id) distribution is what downstream
+    # wants anyway.
     words_df = df.repartition(F.col(id_col)).select(
         *block_cols,
         F.col(id_col).alias("id"),
-        F.posexplode(TX.word_tokens(F.col(text_col))).alias("pos", "w"),
+        TX.word_tokens(F.col(text_col)).alias("words"),
     )
-    w_ord = Window.partitionBy("id").orderBy("pos")
-    gram_parts = [F.col("w")] + [F.lead("w", j).over(w_ord) for j in range(1, n)]
-    # no dropDuplicates: the collect_set below dedups (id, shingle)
-    # repeats as part of the same aggregation — one less shuffle
-    exploded = (
-        words_df.withColumn("_last", F.lead("w", n - 1).over(w_ord))
-        .withColumn("shingle", F.concat_ws(" ", *gram_parts))
-        .filter(F.col("_last").isNotNull())
-        .select(*block_cols, "id", "shingle")
-    )
+    grams = F.when(
+        F.size("words") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("words"), (i + j + 1).cast("int"))
+                    for j in range(n)
+                ],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # no per-doc distinct / dropDuplicates: the collect_set below
+    # dedups (id, shingle) repeats as part of the same aggregation
+    exploded = words_df.select(*block_cols, "id", F.explode(grams).alias("shingle"))
     # One aggregation builds the inverted index AND dedups repeats
     # (collect_set), replacing the dropDuplicates + count-window +
     # self-join chain: candidate pairs are generated row-locally from

@@ -196,6 +196,139 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure filter + agg —
+    every predicate reaches the parquet scan, zero joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.rint(F.col("l_extendedprice") * 100).cast("long") * F.rint(
+        F.col("l_discount") * 100
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg((F.sum(rev).cast("double") / 1e4).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 1e4 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional CASE aggregation by group."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_if(high).alias("high_line_count"),
+            F.count_if(~high).alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+       count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue %): ratio of two conditional
+    fixed-point sums — exact in both engines, single division at the
+    end."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev_u = F.rint(F.col("l_extendedprice") * 100).cast("long") * F.rint(
+        (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    promo = F.col("p_type").like("PROMO%")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        (
+            F.sum(F.when(promo, rev_u).otherwise(F.lit(0))).cast("double")
+            * 100.0
+            / F.sum(rev_u).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+                 CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 * CAST(round((1.0 - l_discount) * 100, 0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS DOUBLE) * 100.0
+       / CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 * CAST(round((1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): group-by HAVING as a
+    semi-join filter, then a 3-way join and top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.rint(F.col("l_quantity")).cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+         AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
 _SINK_GEOM = dict(chunk_size=180, overlap=30)
 
 
@@ -601,6 +734,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q_hof_exists": QuerySpec(q_hof_exists, SQL_HOF_EXISTS),
     "q_tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3),
     "q_tpch_q5": QuerySpec(q_tpch_q5, SQL_TPCH_Q5),
+    "q_tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6),
+    "q_tpch_q12": QuerySpec(q_tpch_q12, SQL_TPCH_Q12),
+    "q_tpch_q14": QuerySpec(q_tpch_q14, SQL_TPCH_Q14),
+    "q_tpch_q18": QuerySpec(q_tpch_q18, SQL_TPCH_Q18),
     "q_sink_roundtrip": QuerySpec(
         q_sink_roundtrip, SQL_SINK_ROUNDTRIP, "pipeline -> parquet sink -> read-back"
     ),
