@@ -1,0 +1,174 @@
+"""Command-line interface — the reference's CLI contract
+(/root/reference/index_documents.py:253-308), Spark-natively, plus the
+query side the reference delegated to pgvector.
+
+    # index a directory of documents (.txt/.pdf/.docx) or a parquet
+    # table with a `text` column into an embedded chunk table
+    python -m document_vector_indexer_spark.cli index INPUT \
+        --strategy fixed --chunk-size 1200 --overlap 200 \
+        --embedding-dim 64 --output /path/chunks
+
+    # top-k most similar chunks for a query string (pgvector's
+    # `ORDER BY embedding <=> q LIMIT k`, offline)
+    python -m document_vector_indexer_spark.cli query \
+        --chunks /path/chunks --text "what is a sort merge join" --k 5
+
+Flag names and defaults mirror the reference
+(index_documents.py:256-264): --strategy fixed|sentence|paragraph,
+--chunk-size 1200, --overlap 200, --embedding-dim (768 there, 64 here
+to match the corpus), plus --embedder local|api (default local: MLlib
+TF-IDF, no network; 'api' uses the mapInPandas batch operator with the
+reference's retry contract and a deterministic offline backend).
+The fitted embedding model is persisted under <output>/_idf_model so
+`query` embeds in the same space the index was built in.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _load_input(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet documents table, or a directory of raw documents."""
+    if path.endswith(".parquet") or os.path.isfile(os.path.join(path, "_SUCCESS")):
+        df = spark.read.parquet(path)
+        if "doc_id" not in df.columns:
+            from pyspark.sql import Window
+            from pyspark.sql.functions import row_number
+
+            df = df.withColumn(
+                "doc_id", row_number().over(Window.orderBy(df.columns[0])).cast("long")
+            )
+        return df.withColumn("filename", F.concat(F.lit("doc_"), F.col("doc_id")))
+    from document_vector_indexer_spark.sources.binary_docs import read_documents
+
+    raw = read_documents(spark, path)
+    bad = raw.filter(~F.col("ok"))
+    n_bad = bad.count()
+    if n_bad:
+        print(f"warning: {n_bad} file(s) failed extraction:", file=sys.stderr)
+        for r in bad.select("filename", "extract_error").collect()[:10]:
+            print(f"  {r.filename}: {r.extract_error}", file=sys.stderr)
+    return raw.filter(F.col("ok")).select("filename", "text")
+
+
+def cmd_index(args: argparse.Namespace) -> None:
+    from document_vector_indexer_spark.operators.chunking import chunk_documents
+    from document_vector_indexer_spark.operators.embedding import (
+        embed_api_map_in_pandas,
+        embed_with_model,
+        fit_local_embedder,
+    )
+    from document_vector_indexer_spark.functions import text as TX
+    from document_vector_indexer_spark.plans.pipeline import write_chunk_table
+    from document_vector_indexer_spark.session import get_spark
+    from pyspark.sql import Window
+
+    spark = get_spark(app_name="dvi-index")
+    docs = _load_input(spark, args.input)
+    cleaned = docs.withColumn("text", TX.clean_text("text")).filter(
+        F.length("text") > 0
+    )
+    chunks = chunk_documents(
+        cleaned,
+        strategy=args.strategy,
+        chunk_size=args.chunk_size,
+        overlap=args.overlap,
+        text_col="text",
+        id_cols=("filename",),
+    )
+    if args.embedder == "local":
+        model = fit_local_embedder(chunks, text_col="chunk_text", dim=args.embedding_dim)
+        model.write().overwrite().save(os.path.join(args.output, "_idf_model"))
+        embedded = embed_with_model(model, chunks)
+    else:
+        embedded = embed_api_map_in_pandas(
+            chunks, dim=args.embedding_dim, batch_size=args.batch_size
+        )
+    w = Window.orderBy("filename", "split_strategy", "chunk_pos")
+    out = (
+        embedded.withColumn("id", F.row_number().over(w).cast("long"))
+        .withColumn("created_at", F.current_timestamp())
+        .select(
+            "id", "chunk_text", "embedding", "filename", "split_strategy",
+            "chunk_pos", "created_at",
+        )
+    )
+    write_chunk_table(out, args.output)
+    n = spark.read.parquet(args.output).count()
+    # mirrors the reference's completion message (index_documents.py:308)
+    print(
+        f"Done. Indexed {n} chunks to {args.output} "
+        f"(strategy={args.strategy}, embedder={args.embedder})"
+    )
+
+
+def cmd_query(args: argparse.Namespace) -> None:
+    from document_vector_indexer_spark.operators.similarity import knn_brute
+    from document_vector_indexer_spark.session import get_spark
+
+    spark = get_spark(app_name="dvi-query")
+    chunks = spark.read.parquet(args.chunks)
+    model_path = os.path.join(args.chunks, "_idf_model")
+    if os.path.exists(model_path):
+        from pyspark.ml import PipelineModel
+        from pyspark.ml.functions import vector_to_array
+
+        model = PipelineModel.load(model_path)
+        q = spark.createDataFrame([(args.text,)], "chunk_text string")
+        q = (
+            model.transform(q)
+            .withColumn("embedding", vector_to_array(F.col("_emb")).cast("array<float>"))
+            .select(F.lit(0).alias("qid"), "embedding")
+        )
+    else:
+        from document_vector_indexer_spark.operators.embedding import (
+            deterministic_fake_embed,
+        )
+
+        dim = chunks.select(F.size("embedding")).first()[0]
+        vec = deterministic_fake_embed([args.text], dim)[0]
+        q = spark.createDataFrame([(0, vec)], "qid int, embedding array<float>")
+    top = knn_brute(chunks, q, k=args.k, id_col="id").join(
+        chunks.select("id", "chunk_text", "filename"), "id"
+    )
+    for r in top.orderBy("rk").collect():
+        print(f"[{r.rk}] sim={r.sim:.4f} {r.filename}: {r.chunk_text[:100]}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(
+        prog="document_vector_indexer_spark",
+        description="Index documents into an embedded chunk table and query it.",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ix = sub.add_parser("index", help="document dir / parquet -> chunk table")
+    ix.add_argument("input")
+    ix.add_argument("--strategy", default="fixed",
+                    choices=["fixed", "sentence", "paragraph"])
+    ix.add_argument("--chunk-size", type=int, default=1200)
+    ix.add_argument("--overlap", type=int, default=200)
+    ix.add_argument("--batch-size", type=int, default=32)
+    ix.add_argument("--embedding-dim", type=int, default=64)
+    ix.add_argument("--embedder", default="local", choices=["local", "api"])
+    ix.add_argument("--output", required=True)
+    ix.set_defaults(fn=cmd_index)
+
+    qp = sub.add_parser("query", help="top-k similar chunks for a text query")
+    qp.add_argument("--chunks", required=True)
+    qp.add_argument("--text", required=True)
+    qp.add_argument("--k", type=int, default=5)
+    qp.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

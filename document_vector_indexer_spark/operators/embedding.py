@@ -36,24 +36,56 @@ from document_vector_indexer_spark.functions import vector as V
 DEFAULT_DIM = 64
 
 
+def fit_local_embedder(
+    df: DataFrame, text_col: str = "chunk_text", dim: int = DEFAULT_DIM
+):
+    """Fit the TF-IDF embedding model (Tokenizer -> HashingTF -> IDF)
+    on a corpus. Returns a PipelineModel that can be persisted with
+    ``model.save(path)`` and reloaded with ``PipelineModel.load`` — the
+    query path must embed with the SAME fitted model the index used.
+
+    Quality note: ``dim`` doubles as HashingTF's feature count, so hash
+    collisions bound retrieval quality — at dim<=64 unrelated terms
+    collide noticeably (observed: a cooking doc outranking the on-topic
+    doc at dim 32). Use >=256 for real corpora, or swap in a learned
+    embedder via embed_api_map_in_pandas for semantic similarity."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol=text_col, outputCol="_words"),
+            HashingTF(inputCol="_words", outputCol="_tf", numFeatures=dim),
+            IDF(inputCol="_tf", outputCol="_emb"),
+        ]
+    )
+    return pipe.fit(df)
+
+
+def embed_with_model(
+    model, df: DataFrame, out_col: str = "embedding"
+) -> DataFrame:
+    """Apply a fitted embedding PipelineModel -> array<float> column."""
+    from pyspark.ml.functions import vector_to_array
+
+    out = model.transform(df)
+    return out.withColumn(
+        out_col, vector_to_array(F.col("_emb")).cast("array<float>")
+    ).drop("_words", "_tf", "_emb")
+
+
 def embed_local(
     df: DataFrame,
     text_col: str = "chunk_text",
     out_col: str = "embedding",
     dim: int = DEFAULT_DIM,
 ) -> DataFrame:
-    """TF-IDF embeddings as ``array<float>`` of fixed ``dim``."""
-    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
-    from pyspark.ml.functions import vector_to_array
-
-    tok = Tokenizer(inputCol=text_col, outputCol="_words")
-    tf = HashingTF(inputCol="_words", outputCol="_tf", numFeatures=dim)
-    with_tf = tf.transform(tok.transform(df))
-    idf_model = IDF(inputCol="_tf", outputCol="_emb").fit(with_tf)
-    out = idf_model.transform(with_tf)
-    return out.withColumn(
-        out_col, vector_to_array(F.col("_emb")).cast("array<float>")
-    ).drop("_words", "_tf", "_emb")
+    """TF-IDF embeddings as ``array<float>`` of fixed ``dim`` (fit +
+    transform in one step; use fit_local_embedder/embed_with_model when
+    the model must be persisted for a later query path)."""
+    return embed_with_model(
+        fit_local_embedder(df, text_col=text_col, dim=dim), df, out_col=out_col
+    )
 
 
 def deterministic_fake_embed(texts: Sequence[str], dim: int) -> list[list[float]]:
