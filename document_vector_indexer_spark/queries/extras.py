@@ -26,12 +26,17 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `+ 0.0` normalizes IEEE negative zero: rounding a tiny negative
     # statistic yields -0.0 in one engine and 0.0 in the other — equal
     # by ==, but distinct once stringified/hashed.
+    # Estimator alignment: Spark's skewness() is the population g1;
+    # DuckDB's is the bias-corrected sample G1 = g1*sqrt(n(n-1))/(n-2).
+    # Apply the correction explicitly (diverges visibly at small n).
+    n = F.count("*")
+    g1_to_G1 = F.sqrt(n.cast("double") * (n - 1)) / (n - 2)
     return li.groupBy("l_returnflag").agg(
         (F.round(F.stddev_samp("l_extendedprice"), 4) + 0.0).alias("sd_price"),
         (F.round(F.var_samp("l_quantity"), 4) + 0.0).alias("var_qty"),
         (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + 0.0).alias("corr_qty_price"),
         (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0).alias("covar_disc_tax"),
-        (F.round(F.skewness("l_extendedprice"), 4) + 0.0).alias("skew_price"),
+        (F.round(F.skewness("l_extendedprice") * g1_to_G1, 4) + 0.0).alias("skew_price"),
     )
 
 
@@ -54,13 +59,16 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        # 5% bound: at ~300 rows/group the sketches' error exceeds 1%
+        # in one engine but not the other — the contract must hold at
+        # every scale factor the driver might probe
         (
             F.abs(
                 F.percentile_approx("o_totalprice", F.lit(0.5))
                 - F.percentile("o_totalprice", F.lit(0.5))
             )
-            <= 0.01 * F.percentile("o_totalprice", F.lit(0.5))
-        ).alias("approx_within_1pct"),
+            <= 0.05 * F.percentile("o_totalprice", F.lit(0.5))
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -69,7 +77,7 @@ SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
        abs(approx_quantile(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5))
-         <= 0.01 * quantile_cont(o_totalprice, 0.5) AS approx_within_1pct
+         <= 0.05 * quantile_cont(o_totalprice, 0.5) AS approx_within_5pct
 FROM orders GROUP BY o_orderpriority
 """
 
