@@ -32,9 +32,6 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimension tables that should always be broadcast in joins.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
-
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(
         [

@@ -73,8 +73,52 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator END-TO-END through a real
+    streaming query: applyInPandasWithState running totals driven to
+    completion (availableNow) into a memory sink, final state per user
+    extracted. The oracle is the batch aggregate the state must
+    converge to — an exact check on stateful streaming."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from document_vector_indexer_spark.streaming.stateful import running_user_totals
+
+    name = f"q_stream_stateful_{uuid.uuid4().hex[:8]}"
+    stream = running_user_totals(W.read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql(f"SELECT * FROM {name}")
+    # update mode emits one row per user per micro-batch; n_events is
+    # strictly increasing, so max_by picks the final state
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
+SQL_STREAM_STATEFUL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 100.0 AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_stream_tumbling": QuerySpec(q_stream_tumbling, SQL_STREAM_TUMBLING),
     "q_stream_sliding": QuerySpec(q_stream_sliding, SQL_STREAM_SLIDING),
     "q_stream_session": QuerySpec(q_stream_session, SQL_STREAM_SESSION),
+    "q_stream_stateful": QuerySpec(
+        q_stream_stateful,
+        SQL_STREAM_STATEFUL,
+        "applyInPandasWithState running totals vs batch-aggregate oracle",
+    ),
 }

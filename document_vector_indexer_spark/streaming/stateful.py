@@ -38,7 +38,10 @@ def _update_user(key, pdfs: Iterator, state: GroupState) -> Iterable:
     n, cents = state.get() if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(round(float(pdf["value"].sum()) * 100))
+        # per-ROW exact cents (2dp data), never round a batch sum:
+        # batch-level rounding would make the state depend on
+        # micro-batch boundaries
+        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}

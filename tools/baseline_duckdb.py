@@ -35,9 +35,12 @@ def main() -> None:
         if sql is None:
             continue
         con.execute(sql).fetchall()  # warm (I/O cache)
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     print(
         json.dumps(
             {
