@@ -53,6 +53,32 @@ def test_cli_index_then_query(spark, doc_dir, tmp_path, capsys):
     assert "spark.txt" in lines[0]
 
 
+def test_cli_self_retrieval_at_corpus_scale(spark, tmp_path, capsys):
+    """Retrieval sanity over the real corpus: indexing the sf0.001
+    documents and querying with one document's own text must rank a
+    chunk of that document first."""
+    out = str(tmp_path / "chunks_corpus")
+    main(
+        [
+            "index", "/root/testdata/sf0.001/documents.parquet",
+            "--strategy", "fixed", "--chunk-size", "300", "--overlap", "50",
+            "--embedding-dim", "256", "--output", out,
+        ]
+    )
+    capsys.readouterr()
+    # the corpus is same-vocabulary word soup, so distinct documents sit
+    # close in TF-IDF space — query with an exact chunk's text: its own
+    # chunk has an identical token multiset and must rank first (cos=1)
+    target = (
+        spark.read.parquet(out).filter("filename = 'doc_123'").orderBy("chunk_pos")
+        .collect()[0]
+    )
+    main(["query", "--chunks", out, "--text", target.chunk_text, "--k", "3"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("[")]
+    assert lines and "doc_123:" in lines[0], lines
+    assert "sim=1.0000" in lines[0], lines
+
+
 def test_cli_index_parquet_input(tmp_path, capsys):
     out = str(tmp_path / "chunks_pq")
     main(
