@@ -117,6 +117,51 @@ def image_features(
     return df.filter(F.col("kind") == "image").mapInPandas(run, schema=out_schema)
 
 
+def image_resize(
+    df: DataFrame,
+    target: tuple[int, int] = (4, 4),
+    backend: Backend = "fake",
+) -> DataFrame:
+    """Resize images to ``target`` (mean-pooled grayscale with the fake
+    kernel; a real backend plugs PIL's resample into the same
+    mapInPandas signature). Emits one row per image with the resized
+    pixel array + new dims."""
+    import pandas as pd
+
+    _require_backend(backend)
+    tw, th = target
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixels", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.content is None or len(r.content) == 0:
+                    rows.append((r.media_id, tw, th, None))
+                    continue
+                w = int(r.width or tw)
+                h = int(r.height or th)
+                px = _fake_pixels(bytes(r.content), w, h)
+                resized = []
+                for ty in range(th):
+                    for tx in range(tw):
+                        xs = range(tx * w // tw, max(tx * w // tw + 1, (tx + 1) * w // tw))
+                        ys = range(ty * h // th, max(ty * h // th + 1, (ty + 1) * h // th))
+                        vals = [px[y * w + x] for y in ys for x in xs]
+                        resized.append(float(sum(vals)) / len(vals))
+                rows.append((r.media_id, tw, th, resized))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "pixels"])
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, schema=out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     every_ms: int = 1000,

@@ -204,6 +204,74 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): EXISTS semi-join from
+    orders into lineitem, then priority counts."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linenumber") >= 3  # proxy for the commit/receipt-lag predicate
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_linenumber >= 3)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned items): 4-way join, revenue agg per
+    customer, top-20 by lost revenue."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev_u = F.rint(F.col("l_extendedprice") * 100).cast("long") * F.rint(
+        (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev_u).cast("double") / 1e4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 1e4 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape (forecast revenue change): pure filter + agg —
     every predicate reaches the parquet scan, zero joins."""
@@ -742,7 +810,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q_hof_exists": QuerySpec(q_hof_exists, SQL_HOF_EXISTS),
     "q_tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3),
     "q_tpch_q5": QuerySpec(q_tpch_q5, SQL_TPCH_Q5),
+    "q_tpch_q4": QuerySpec(q_tpch_q4, SQL_TPCH_Q4),
     "q_tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6),
+    "q_tpch_q10": QuerySpec(q_tpch_q10, SQL_TPCH_Q10),
     "q_tpch_q12": QuerySpec(q_tpch_q12, SQL_TPCH_Q12),
     "q_tpch_q14": QuerySpec(q_tpch_q14, SQL_TPCH_Q14),
     "q_tpch_q18": QuerySpec(q_tpch_q18, SQL_TPCH_Q18),

@@ -53,6 +53,16 @@ def test_frame_sample_fanout(spark, media_df):
     assert set(pdf.frame_idx.unique()) == {0, 1, 2, 3}
 
 
+def test_image_resize(spark, media_df):
+    out = MM.image_resize(media_df, target=(4, 4)).collect()
+    assert out
+    for r in out:
+        assert (r.width, r.height) == (4, 4)
+        if r.pixels is not None:
+            assert len(r.pixels) == 16
+            assert all(0.0 <= p <= 255.0 for p in r.pixels)
+
+
 def test_media_stats_per_kind(spark, media_df):
     got = {r.kind: r for r in MM.media_stats(media_df).collect()}
     assert set(got) == {"image", "video", "audio"}
