@@ -69,6 +69,8 @@ def cmd_index(args: argparse.Namespace) -> None:
     from document_vector_indexer_spark.session import get_spark
     from pyspark.sql import Window
 
+    if not os.path.exists(args.input):
+        sys.exit(f"error: input not found: {args.input}")
     spark = get_spark(app_name="dvi-index")
     docs = _load_input(spark, args.input)
     cleaned = docs.withColumn("text", TX.clean_text("text")).filter(
@@ -82,8 +84,13 @@ def cmd_index(args: argparse.Namespace) -> None:
         text_col="text",
         id_cols=("filename",),
     )
-    if args.embedder == "local":
-        model = fit_local_embedder(chunks, text_col="chunk_text", dim=args.embedding_dim)
+    if args.embedder in ("local", "word2vec"):
+        from document_vector_indexer_spark.operators.embedding import (
+            fit_word2vec_embedder,
+        )
+
+        fit = fit_local_embedder if args.embedder == "local" else fit_word2vec_embedder
+        model = fit(chunks, text_col="chunk_text", dim=args.embedding_dim)
         model.write().overwrite().save(os.path.join(args.output, "_idf_model"))
         embedded = embed_with_model(model, chunks)
     else:
@@ -112,6 +119,9 @@ def cmd_query(args: argparse.Namespace) -> None:
     from document_vector_indexer_spark.operators.similarity import knn_brute
     from document_vector_indexer_spark.session import get_spark
 
+    if not os.path.exists(args.chunks):
+        sys.exit(f"error: chunk table not found: {args.chunks} "
+                 "(run the `index` command first)")
     spark = get_spark(app_name="dvi-query")
     chunks = spark.read.parquet(args.chunks)
     model_path = os.path.join(args.chunks, "_idf_model")
@@ -156,7 +166,8 @@ def main(argv: list[str] | None = None) -> None:
     ix.add_argument("--overlap", type=int, default=200)
     ix.add_argument("--batch-size", type=int, default=32)
     ix.add_argument("--embedding-dim", type=int, default=64)
-    ix.add_argument("--embedder", default="local", choices=["local", "api"])
+    ix.add_argument("--embedder", default="local",
+                    choices=["local", "word2vec", "api"])
     ix.add_argument("--output", required=True)
     ix.set_defaults(fn=cmd_index)
 

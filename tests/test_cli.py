@@ -79,6 +79,45 @@ def test_cli_self_retrieval_at_corpus_scale(spark, tmp_path, capsys):
     assert "sim=1.0000" in lines[0], lines
 
 
+def test_cli_word2vec_embedder(spark, doc_dir, tmp_path, capsys):
+    out = str(tmp_path / "chunks_w2v")
+    main(
+        [
+            "index", str(doc_dir), "--strategy", "fixed",
+            "--chunk-size", "200", "--overlap", "40",
+            "--embedding-dim", "24", "--embedder", "word2vec",
+            "--output", out,
+        ]
+    )
+    assert "Done. Indexed" in capsys.readouterr().out
+    emb = spark.read.parquet(out).select("embedding").collect()
+    assert all(len(r.embedding) == 24 for r in emb)
+    main(["query", "--chunks", out, "--text", "sort merge join shuffle", "--k", "2"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("[")]
+    assert len(lines) == 2 and "spark.txt" in lines[0]
+
+
+def test_cli_reindex_idempotent(spark, doc_dir, tmp_path, capsys):
+    out = str(tmp_path / "chunks_twice")
+    args = ["index", str(doc_dir), "--chunk-size", "200", "--overlap", "40",
+            "--embedding-dim", "16", "--output", out]
+    main(args)
+    n1 = spark.read.parquet(out).count()
+    main(args)  # re-run must converge, not duplicate (unlike the reference)
+    n2 = spark.read.parquet(out).count()
+    capsys.readouterr()
+    assert n1 == n2 > 0
+
+
+def test_cli_friendly_errors(tmp_path, capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["query", "--chunks", str(tmp_path / "nope"), "--text", "x"])
+    with _pytest.raises(SystemExit):
+        main(["index", str(tmp_path / "missing_input"), "--output", str(tmp_path / "o")])
+
+
 def test_cli_index_parquet_input(tmp_path, capsys):
     out = str(tmp_path / "chunks_pq")
     main(
