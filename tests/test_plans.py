@@ -84,6 +84,31 @@ def test_chunking_needs_no_shuffle(spark):
     assert n_exchanges <= 1, f"chunking introduced extra shuffles:\n{tree}"
 
 
+def test_ngram_tokenizer_behind_exchange(spark):
+    """The repartition before tokenization in ngram_jaccard_pairs is
+    LOAD-BEARING (see operators/dedup.py): without the exchange the
+    tokenizer inlines into the shingle lambda and re-evaluates per
+    element (measured 120 s vs 0.6 s). Guard its presence."""
+    p = _plan(spark, "q_dedup_ngram")
+    assert "REPARTITION_BY_COL" in p and "hashpartitioning(doc_id" in p, (
+        "the tokenizer materialization barrier disappeared"
+    )
+
+
+def test_queries_rerun_safely(spark):
+    """The driver may invoke a query more than once per session —
+    the stateful/side-effecting ones must not collide with themselves
+    (temp views, memory sinks, staged /tmp paths)."""
+    from document_vector_indexer_spark.queries.registry import all_queries
+
+    specs = all_queries()
+    for name in ("q_agg_gsets", "q_sink_roundtrip", "q_source_binary",
+                 "q_stream_stateful"):
+        a = specs[name].fn(spark, SF).count()
+        b = specs[name].fn(spark, SF).count()
+        assert a == b > 0, name
+
+
 def test_whole_stage_codegen_active(spark):
     """AQE's AdaptiveSparkPlan wrapper hides codegen markers in
     formatted output, so assert with AQE off: the whole scan->agg path
