@@ -84,14 +84,69 @@ def index_documents(
     )
 
 
-def write_chunk_table(chunks: DataFrame, path: str) -> None:
+def incremental_index(
+    docs: DataFrame,
+    existing_chunks_path: str,
+    strategy: str = "fixed",
+    chunk_size: int = 1200,
+    overlap: int = 200,
+    embedding_dim: int = DEFAULT_DIM,
+    embedder: str = "local",
+    filename_col: str = "filename",
+) -> DataFrame:
+    """Index only documents not yet present in the chunk table (anti
+    join on filename) — the converge-don't-recompute path for periodic
+    re-runs over a growing corpus. At 100 TB the anti join is a
+    broadcast of the existing filename set when small, or a shuffle
+    join pruned to one column otherwise; either way no text is
+    re-chunked or re-embedded.
+
+    Returns the NEW chunks only (append them with write_chunk_table —
+    partition overwrite keeps per-strategy idempotence).
+    """
+    spark = docs.sparkSession
+    import os
+
+    if os.path.exists(existing_chunks_path):
+        seen = spark.read.parquet(existing_chunks_path).select(filename_col).distinct()
+        docs = docs.join(seen, filename_col, "left_anti")
+    if docs.isEmpty():
+        # nothing new — IDF/Word2Vec cannot fit on an empty corpus
+        from pyspark.sql import types as T
+
+        empty_schema = T.StructType(
+            [
+                T.StructField("chunk_text", T.StringType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("filename", T.StringType()),
+                T.StructField("split_strategy", T.StringType()),
+                T.StructField("chunk_pos", T.IntegerType()),
+                T.StructField("created_at", T.TimestampType()),
+            ]
+        )
+        return spark.createDataFrame([], empty_schema)
+    return index_documents(
+        docs,
+        strategy=strategy,
+        chunk_size=chunk_size,
+        overlap=overlap,
+        embedding_dim=embedding_dim,
+        embedder=embedder,
+        filename_col=filename_col,
+        with_global_id=False,
+    )
+
+
+def write_chunk_table(chunks: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Idempotent parquet sink: dynamic overwrite of only the
     (split_strategy) partitions present in this run — re-running a
-    strategy replaces its rows instead of appending duplicates."""
+    strategy replaces its rows instead of appending duplicates.
+    Use mode="append" for incremental_index output (new documents
+    only; the anti join already guarantees no duplicates)."""
     spark = chunks.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
-        chunks.write.mode("overwrite")
+        chunks.write.mode(mode)
         .partitionBy("split_strategy")
         .parquet(path)
     )

@@ -65,6 +65,34 @@ def test_sink_idempotent_rerun(spark, docs, tmp_path):
     assert n1 == n2 > 0
 
 
+def test_incremental_index(spark, docs, tmp_path):
+    """Incremental re-run over a grown corpus indexes ONLY the new
+    documents and appends without touching existing chunks."""
+    from document_vector_indexer_spark.plans.pipeline import incremental_index
+
+    path = os.path.join(str(tmp_path), "inc_chunks")
+    batch1 = docs.limit(40).withColumn(
+        "filename", F.concat(F.lit("doc_"), F.col("doc_id"))
+    )
+    out1 = index_documents(batch1, strategy="fixed", embedding_dim=16,
+                           filename_col="filename", with_global_id=False)
+    write_chunk_table(out1, path)
+    n1 = spark.read.parquet(path).count()
+
+    grown = docs.limit(80).withColumn(
+        "filename", F.concat(F.lit("doc_"), F.col("doc_id"))
+    )
+    new_chunks = incremental_index(grown, path, strategy="fixed", embedding_dim=16)
+    new_files = {r.filename for r in new_chunks.select("filename").distinct().collect()}
+    old_files = {r.filename for r in batch1.select("filename").collect()}
+    assert new_files and not (new_files & old_files), "re-indexed existing docs"
+    write_chunk_table(new_chunks, path, mode="append")
+    n2 = spark.read.parquet(path).count()
+    assert n2 == n1 + new_chunks.count()
+    # a further incremental run over the same corpus finds nothing new
+    assert incremental_index(grown, path, strategy="fixed", embedding_dim=16).count() == 0
+
+
 def test_binary_docs_source(spark, tmp_path):
     d = tmp_path / "raw"
     d.mkdir()
