@@ -5,6 +5,12 @@ Python UDFs): whole-stage-codegen friendly, vectorized, and runs at
 full JVM speed on a 1000-executor cluster. Each function documents the
 reference behavior it reproduces (cites into
 ``/root/reference/index_documents.py``).
+
+Unicode note: Spark SQL strings are UTF8String with CODE-POINT
+semantics for length/substring (unlike java.lang.String's UTF-16 code
+units), so chunk offsets match Python exactly even for astral-plane
+characters — verified by tests/test_chunkers_golden.py::
+test_unicode_codepoint_parity.
 """
 
 from __future__ import annotations

@@ -102,6 +102,18 @@ def test_sentence_grouping_property(spark, texts):
         assert chunks == REF.group_sentences(REF.split_sentences(text), 43)
 
 
+def test_unicode_codepoint_parity(spark):
+    """Spark's UTF8String length/substring count CODE POINTS (not
+    UTF-16 code units like java.lang.String), so chunk boundaries match
+    Python exactly even for astral-plane characters — verified, not
+    assumed (functions/text.py documents this)."""
+    astral = "ab" + "\U0001d11e" * 3 + "cd" * 30  # musical symbol G clef
+    bmp = "ab" + "中" * 3 + "cd" * 30
+    for text in (astral, bmp):
+        [chunks] = _run_chunk_expr(spark, [text], "fixed", 10, 2)
+        assert chunks == REF.fixed_windows(text, 10, 2), repr(text[:12])
+
+
 def test_overlap_invariant(spark):
     """Mid-document consecutive fixed chunks of whitespace-free text
     share exactly `overlap` chars (index_documents.py:100)."""
