@@ -16,11 +16,12 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # time_bucket aligns hour buckets on the epoch grid exactly like
-# Spark's window(); value sums use the exact-decimal pattern.
+# Spark's window(); value sums use the exact fixed-point pattern.
 SQL_STREAM_TUMBLING = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 100.0 AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -67,7 +68,8 @@ SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 100.0 AS total_value,
        count(DISTINCT event_type) AS n_types
 FROM sess GROUP BY user_id, session_id
 """

@@ -19,8 +19,11 @@ from pyspark.sql import types as T
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
-# Exact decimal sum for the 2dp `value` column (see queries/relational.py).
-_DEC = "decimal(18,2)"
+# Exact fixed-point sum for the 2dp `value` column: integer cents
+# summed as longs, one division at the end (see relational.fsum — ~2x
+# cheaper than decimal aggregation and engine-exact).
+def _cents_sum(col: str) -> "F.Column":
+    return F.sum(F.rint(F.col(col) * 100).cast("long")).cast("double") / 100.0
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -29,7 +32,7 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+            _cents_sum("value").alias("total_value"),
         )
         .select(
             F.date_format("w.start", TS_FMT).alias("window_start"),
@@ -64,7 +67,7 @@ def session_aggregates(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+            _cents_sum("value").alias("total_value"),
             # size(collect_set) == exact distinct, but unlike
             # countDistinct it is legal in streaming aggregations
             F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
