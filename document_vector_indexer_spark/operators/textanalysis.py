@@ -92,6 +92,40 @@ def quality_score(text: Column | str) -> Column:
     return (0.4 * length_ok + 0.3 * ttr_term + 0.3 * stop_term).alias("quality")
 
 
+# PII-ish patterns, RE2/Java-portable (no lookaround). Deliberately
+# simple: production scrubbing layers domain-specific patterns on the
+# same redact() contract.
+# Order is load-bearing (dict order = application order): EMAIL first
+# (digits inside emails must not half-match phones), SSN before PHONE
+# (an SSN is also a valid phone-pattern match), PHONE last.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "SSN": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "IPV4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "PHONE": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def redact(text: Column | str, kinds: tuple[str, ...] = tuple(PII_PATTERNS)) -> Column:
+    """Scrub PII-shaped spans, replacing each with ``[KIND]`` — the
+    standard pre-training text-hygiene pass, as pure regexp_replace
+    chain (scan-speed, no UDF). Applied in PII_PATTERNS order — see
+    the ordering note there."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind}]")
+    return c
+
+
+def redaction_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind count of PII-shaped spans in a text column."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-sensitive rolling hash over word tokens (mod 1e9+7):
     ``fp = fold(words, 0, (acc, w) -> (acc*31 + len(w)*17 + ascii(w)) % M)``.

@@ -790,7 +790,94 @@ FROM months m LEFT JOIN per_month p ON m.month = p.month
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-hygiene scrubbing: inject deterministic PII-shaped spans
+    (the corpus has none), redact, verify counts + scrubbed text."""
+    from document_vector_indexer_spark.operators.textanalysis import (
+        redact,
+        redaction_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" key "), F.lit(" bob@example.com ")),
+            F.lit(" row "),
+            F.lit(" 10.0.0.1 "),
+        ),
+    )
+    counts = redaction_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["EMAIL"].alias("n_email"),
+        counts["IPV4"].alias("n_ip"),
+        F.md5(redact(F.col("text")).cast("binary")).alias("redacted_md5"),
+    )
+
+
+SQL_REDACT_PII = r"""
+WITH injected AS (
+  SELECT doc_id,
+         replace(replace(text, ' key ', ' bob@example.com '),
+                 ' row ', ' 10.0.0.1 ') AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+            '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+            '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IPV4]', 'g'),
+            '\+?[0-9][0-9()\-\s]{7,}[0-9]', '[PHONE]', 'g')) AS redacted_md5
+FROM injected
+"""
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profile (nulls/cardinality/ranges) — ingest
+    step one for any training-data pipeline."""
+    from document_vector_indexer_spark.operators.profiling import profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
+SQL_PROFILE = """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+         count(*) FILTER (o_orderkey IS NULL) AS n_nulls,
+         count(DISTINCT o_orderkey) AS n_distinct,
+         CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+         CAST(max(o_orderkey) AS VARCHAR) AS max_str FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*), count(*) FILTER (o_custkey IS NULL),
+         count(DISTINCT o_custkey),
+         CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), count(*) FILTER (o_orderstatus IS NULL),
+         count(DISTINCT o_orderstatus),
+         min(o_orderstatus), max(o_orderstatus) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(*), count(*) FILTER (o_totalprice IS NULL),
+         count(DISTINCT o_totalprice),
+         CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), count(*) FILTER (o_orderpriority IS NULL),
+         count(DISTINCT o_orderpriority),
+         min(o_orderpriority), max(o_orderpriority) FROM orders
+)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_redact_pii": QuerySpec(q_redact_pii, SQL_REDACT_PII),
+    "q_profile": QuerySpec(q_profile, SQL_PROFILE),
     "q_null_funcs": QuerySpec(q_null_funcs, SQL_NULL_FUNCS),
     "q_agg_bool": QuerySpec(q_agg_bool, SQL_AGG_BOOL),
     "q_date_series": QuerySpec(q_date_series, SQL_DATE_SERIES),
