@@ -405,6 +405,55 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """
 
 
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): disjunction of conjunct
+    groups across both join sides — the classic test that OR-of-ANDs
+    predicates still partially push down and the join stays equi.
+    (Adapted to this corpus's part columns: brand/size/type.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_type") == "ECONOMY")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("l_quantity") >= 25)
+        )
+    )
+    rev_u = F.rint(F.col("l_extendedprice") * 100).cast("long") * F.rint(
+        (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return j.filter(cond).agg(
+        (F.sum(rev_u).cast("double") / 1e4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 1e4 AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND l_quantity >= 25)
+"""
+
+
 _SINK_GEOM = dict(chunk_size=180, overlap=30)
 
 
@@ -903,6 +952,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_tpch_q12": QuerySpec(q_tpch_q12, SQL_TPCH_Q12),
     "q_tpch_q14": QuerySpec(q_tpch_q14, SQL_TPCH_Q14),
     "q_tpch_q18": QuerySpec(q_tpch_q18, SQL_TPCH_Q18),
+    "q_tpch_q19": QuerySpec(q_tpch_q19, SQL_TPCH_Q19),
     "q_sink_roundtrip": QuerySpec(
         q_sink_roundtrip, SQL_SINK_ROUNDTRIP, "pipeline -> parquet sink -> read-back"
     ),
