@@ -295,30 +295,120 @@ def minhash_near_dup_pairs(
     )
 
 
+def lsh_hyperplanes(dim: int, bands: int, bits: int, seed: int = 7):
+    """Seeded ±1 random-hyperplane matrix, shape (bands, bits, dim).
+    ±1 components keep the projection dot product an exact sequence of
+    double adds/subtracts — bit-identical in any engine — and inline as
+    clean literals in both the Spark plan and the DuckDB oracle SQL."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.choice([-1.0, 1.0], size=(bands, bits, dim))
+
+
+def embedding_lsh_blocks(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 6,
+    bits: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Sign-LSH banding of an embedding column: one output row per
+    (vector, band) with the band's bucket = the ``bits``-bit sign
+    pattern of the vector against seeded random hyperplanes. Self-join
+    on (band, bucket) gives near-dup candidates — the standard
+    random-hyperplane LSH family, where P[bit match] = 1 - angle/pi.
+
+    Scale note: buckets per band = 2^bits, so ``bits`` must grow with
+    data size (~log2(n_rows) - log2(target_bucket_rows)); 4 bits suits
+    the test corpus, web scale wants 16-20. ``bands`` trades recall for
+    candidate volume (union over bands).
+    """
+    H = lsh_hyperplanes(dim, bands, bits, seed)
+    band_structs = []
+    for b in range(bands):
+        bucket: Column | None = None
+        for j in range(bits):
+            plane = F.array(*[F.lit(float(v)) for v in H[b][j]])
+            bit = F.when(V.dot(F.col(vec_col), plane) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            bucket = bit if bucket is None else bucket + bit
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bucket.cast("int").alias("bucket"))
+        )
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        id_col,
+        vec_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,
     block_col: str | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
+    bands: int = 6,
+    bits: int = 4,
+    seed: int = 7,
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine >= threshold, optionally
-    blocked (e.g. by cluster label / LSH bucket) so the self-join is
-    per-block instead of global. Returns (id_a, id_b, sim)."""
-    a = df.select(
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-    )
-    b = df.select(
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-    )
-    joined = a.join(b, on="blk" if block_col else None, how="inner") if block_col else a.crossJoin(b)
+    """Near-dup pairs by embedding cosine >= threshold. ALWAYS blocked:
+    either by an explicit ``block_col`` (e.g. a cluster id) or, when
+    ``block_col`` is None, by vector-derived sign-LSH buckets
+    (``embedding_lsh_blocks`` — requires ``dim``). There is no
+    all-pairs path: a crossJoin fallback is quadratic and unrunnable at
+    scale, so it does not exist here. Returns (id_a, id_b, sim)."""
+    if block_col is not None:
+        a = df.select(
+            F.col(block_col).alias("blk"),
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("vec_a"),
+        )
+        b = df.select(
+            F.col(block_col).alias("blk"),
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vec_b"),
+        )
+        cand = a.join(b, on="blk", how="inner").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            raise ValueError(
+                "block_col=None requires dim= for LSH-bucket blocking "
+                "(all-pairs comparison is not supported)"
+            )
+        blocks = embedding_lsh_blocks(
+            df, dim=dim, vec_col=vec_col, id_col=id_col, bands=bands, bits=bits, seed=seed
+        )
+        a = blocks.select(
+            "band",
+            "bucket",
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("vec_a"),
+        )
+        b = blocks.select(
+            "band",
+            "bucket",
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vec_b"),
+        )
+        # equi-join on (band, bucket); a pair found in several bands is
+        # collapsed to one row (vectors are identical per id, so any
+        # surviving copy is the same pair)
+        cand = (
+            a.join(b, on=["band", "bucket"], how="inner")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", V.cosine(F.col("vec_a"), F.col("vec_b")))
+        cand.withColumn("sim", V.cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

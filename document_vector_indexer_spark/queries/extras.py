@@ -648,12 +648,26 @@ def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"dvi_source_binary_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    os.makedirs(stage, exist_ok=True)
-    for r in docs.select("doc_id", "text").collect():
-        fp = os.path.join(stage, f"doc_{r.doc_id}.txt")
-        if not os.path.exists(fp):
-            with open(fp, "w") as f:
-                f.write(r.text)
+    # Fixture staging is DISTRIBUTED: each executor task writes its own
+    # rows as files (atomic tmp+rename; re-runs/task retries are
+    # idempotent). No row passes through the driver. The `_STAGED`
+    # marker (leading underscore => invisible to Spark file listings)
+    # skips re-staging on warm calls. In local mode executors share
+    # /tmp with the driver; on a real cluster this stage dir would be a
+    # shared FS path, same code.
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(stage, exist_ok=True)
+
+        def dump(rows) -> None:
+            for r in rows:
+                tmp = os.path.join(stage, f"_doc_{r.doc_id}.tmp")
+                with open(tmp, "w") as f:
+                    f.write(r.text)
+                os.replace(tmp, os.path.join(stage, f"doc_{r.doc_id}.txt"))
+
+        docs.select("doc_id", "text").foreachPartition(dump)
+        open(marker, "w").close()
     got = read_documents(spark, stage)
     return got.agg(
         F.count("*").alias("n_files"),

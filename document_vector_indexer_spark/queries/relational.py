@@ -723,13 +723,28 @@ WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 
 
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist WITHOUT a global single-partition
+    window: two-pass global rank (range repartition -> per-partition
+    row_number -> broadcast cumulative offsets, operators/ranking.py)
+    then each function as a closed form of (rank, total). The unique
+    (c_acctbal, c_custkey) sort key makes the closed forms exact —
+    values hash-match the window-function oracle while every stage
+    stays parallel at 100 TB."""
+    from document_vector_indexer_spark.operators.ranking import (
+        cume_dist_from_rank,
+        global_rank,
+        ntile_from_rank,
+        percent_rank_from_rank,
+    )
+
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    return cust.select(
+    ranked = global_rank(cust, ["c_acctbal", "c_custkey"])
+    r, n = F.col("_grank"), F.col("_gtotal")
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        ntile_from_rank(r, n, 4).alias("quartile"),
+        percent_rank_from_rank(r, n).alias("pct_rank"),
+        cume_dist_from_rank(r, n).alias("cume"),
     )
 
 
