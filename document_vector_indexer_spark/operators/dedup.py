@@ -125,20 +125,22 @@ def ngram_jaccard_pairs(
     # each retained bucket's id set (<= max_df ids -> <= max_df^2/2
     # pairs, bounded by construction), then one shuffle aggregates
     # intersections. Fewer stages, no 2x probe of the exploded table.
-    from pyspark.storagelevel import StorageLevel
-
-    # persist the diamond node: both the sizes branch and the pairs
-    # branch consume `buckets`, and without materialization the whole
-    # tokenize+shuffle+collect_set upstream executes twice (measured
-    # 6.7 s -> 3.1 s cold at sf0.1). The bucket table is small (one row
-    # per retained shingle); MEMORY_AND_DISK spills safely at scale.
-    # Deliberately not unpersisted here — the caller consumes the
-    # returned frame lazily; Spark's LRU eviction reclaims it.
+    #
+    # `buckets` is a diamond node (both the sizes branch and the pairs
+    # branch consume it) but deliberately NOT persisted: the expensive
+    # upstream — tokenize + shingle explode + the groupBy(shingle)
+    # shuffle write — is shared by both consumers through Spark's
+    # ReuseExchange rule (verified in the physical plan: the second
+    # consumer is a ReusedExchange of the same shuffle), so only the
+    # cheap post-shuffle collect_set re-runs per branch. An earlier
+    # revision persisted here, which flattered warm benchmarks with
+    # cross-query cache hits and leaked cache entries in long-lived
+    # drivers (round-2 finding); measured honest cost of the
+    # no-persist plan at sf0.1 is ~1.0 s vs ~0.9 s cache-flattered.
     buckets = (
         exploded.groupBy(*block_cols, "shingle")
         .agg(F.collect_set("id").alias("ids"))
         .filter(F.size("ids") <= max_df)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = (
         buckets.select(F.explode("ids").alias("id"))

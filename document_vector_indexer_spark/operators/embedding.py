@@ -142,15 +142,19 @@ def embed_api_map_in_pandas(
     batch_size: int = 32,
     max_retries: int = 5,
     embed_fn: Callable[[Sequence[str], int], list[list[float]]] | None = None,
+    sleep_fn: Callable[[float], None] | None = None,
 ) -> DataFrame:
     """Arrow-batched embedding with the reference's retry/validation
     contract. ``embed_fn(texts, dim) -> vectors`` is the pluggable
-    remote call; defaults to the deterministic local fake."""
+    remote call; defaults to the deterministic local fake. ``sleep_fn``
+    injects the backoff sleep (tests pass a no-op); production uses
+    ``time.sleep``."""
     import pandas as pd
 
     from pyspark.sql import types as T
 
     fn = embed_fn or deterministic_fake_embed
+    do_sleep = sleep_fn or time.sleep
     # NB: StructType.add mutates in place — never call it on df.schema.
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -180,7 +184,12 @@ def embed_api_map_in_pandas(
                         break
                     except Exception as e:  # noqa: BLE001 — mirror reference retry-all
                         last_err = e
-                        time.sleep(min(2**attempt, 16) if attempt else 0)
+                        # unconditional exponential backoff after every
+                        # failure (1,2,4,...,16 s) — the reference's
+                        # sleep(min(2**attempt, 16)) contract exactly
+                        # (index_documents.py:191); an earlier revision
+                        # skipped the first sleep (round-2 ADVICE)
+                        do_sleep(min(2**attempt, 16))
                 else:
                     raise RuntimeError(
                         f"embedding failed after {max_retries} retries: {last_err}"

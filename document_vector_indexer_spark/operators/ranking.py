@@ -38,7 +38,17 @@ def global_rank(
     ``order_cols`` must be a unique key of ``df`` (ties would make the
     rank nondeterministic — same contract as any order-based id).
     """
-    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if num_partitions is not None:
+        n_part = num_partitions
+    else:
+        # sparkContext is absent under Spark Connect (round-2 ADVICE);
+        # fall back to the shuffle-partition conf there.
+        try:
+            n_part = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:
+            n_part = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
     ranged = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
     local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_lrn",

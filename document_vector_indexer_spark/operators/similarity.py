@@ -91,6 +91,10 @@ def knn_lsh(
         seed=seed,
     ).fit(vecs)
     q_row = query.select(array_to_vector(F.col(vec_col)).alias("features")).head()
+    if q_row is None:
+        raise ValueError(
+            "knn_lsh: query DataFrame is empty — need exactly one query vector"
+        )
     return model.approxNearestNeighbors(vecs, q_row.features, k).select(
         "id", F.col("distCol").alias("dist")
     )

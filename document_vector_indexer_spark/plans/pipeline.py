@@ -144,9 +144,23 @@ def write_chunk_table(chunks: DataFrame, path: str, mode: str = "overwrite") -> 
     Use mode="append" for incremental_index output (new documents
     only; the anti join already guarantees no duplicates)."""
     spark = chunks.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        chunks.write.mode(mode)
-        .partitionBy("split_strategy")
-        .parquet(path)
-    )
+    # scope the dynamic-overwrite conf to this write: permanently
+    # flipping a session-wide mode would silently change the semantics
+    # of every later overwrite in the same session (round-2 ADVICE)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:  # unset in fresh sessions
+        prev = None
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            chunks.write.mode(mode)
+            .partitionBy("split_strategy")
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)

@@ -372,9 +372,12 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+    # l_quantity is integral-valued (TPC-H: 1..50 stored as double), so a
+    # direct cast is exact in both engines — no dependence on Spark's
+    # half-to-even rint vs DuckDB's half-away round (round-2 ADVICE).
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.rint(F.col("l_quantity")).cast("long")).alias("sum_qty"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 250)
     )
     return (
@@ -394,7 +397,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q18 = """
 WITH big AS (
-  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
          AS sum_qty
   FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
 )
@@ -644,17 +647,30 @@ def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_vector_indexer_spark.sources.binary_docs import read_documents
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"dvi_source_binary_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
     # Fixture staging is DISTRIBUTED: each executor task writes its own
     # rows as files (atomic tmp+rename; re-runs/task retries are
     # idempotent). No row passes through the driver. The `_STAGED`
     # marker (leading underscore => invisible to Spark file listings)
-    # skips re-staging on warm calls. In local mode executors share
-    # /tmp with the driver; on a real cluster this stage dir would be a
-    # shared FS path, same code.
+    # skips re-staging on warm calls. Executors write and the driver
+    # reads the SAME directory, so the stage root must be visible to
+    # both: in local mode the process-local tempdir qualifies; on a
+    # real cluster it must be a shared filesystem supplied via
+    # $DVI_STAGE_DIR (round-2 ADVICE — tempfile.gettempdir() on a
+    # cluster would scatter files across executor-local disks).
+    stage_root = os.environ.get("DVI_STAGE_DIR")
+    if stage_root is None:
+        master = spark.conf.get("spark.master", "")
+        if not master.startswith("local"):
+            raise RuntimeError(
+                "q_source_binary stages fixture files from executors; on a "
+                f"non-local master ({master!r}) set $DVI_STAGE_DIR to a "
+                "shared filesystem path visible to driver and executors"
+            )
+        stage_root = tempfile.gettempdir()
+    stage = os.path.join(
+        stage_root,
+        f"dvi_source_binary_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
     marker = os.path.join(stage, "_STAGED")
     if not os.path.exists(marker):
         os.makedirs(stage, exist_ok=True)
@@ -667,6 +683,11 @@ def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.replace(tmp, os.path.join(stage, f"doc_{r.doc_id}.txt"))
 
         docs.select("doc_id", "text").foreachPartition(dump)
+        # failed/retried tasks may leave behind orphaned tmp files —
+        # sweep them once staging has fully succeeded
+        for leftover in os.listdir(stage):
+            if leftover.startswith("_doc_") and leftover.endswith(".tmp"):
+                os.remove(os.path.join(stage, leftover))
         open(marker, "w").close()
     got = read_documents(spark, stage)
     return got.agg(

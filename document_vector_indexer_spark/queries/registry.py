@@ -35,18 +35,41 @@ def all_queries() -> dict[str, QuerySpec]:
         merged[alias] = QuerySpec(
             spec.fn, spec.oracle, f"SURVEY §2B alias of {target}"
         )
-    return _rotate_for_driver_budget(merged)
+    return _reverification_order(merged)
 
 
-# The driver's per-round correctness run checks the FIRST 50 registry keys
-# in iteration order (observed in CORRECTNESS_r01.json: exactly keys 0-49,
-# everything after q_knn_per_query got no row). With 90 keys the whole
-# surface cannot fit in one round, so the order rotates per round: keys
-# that already have a green row in a prior CORRECTNESS_r*.json move to the
-# back, never-checked keys move to the front. Round 1 verified the text /
-# relational / scalar / vector-search block below; round 2 fronts the
-# dedup, streaming, TPC-H-shape and extras block.
-_R01_VERIFIED = [
+# Re-verification policy (round-3 rework of the round-2 rotation, per
+# ADVICE): registry iteration order is a *priority* order — the least
+# proven keys come first — so any bounded correctness budget (the driver
+# checks a prefix of the registry; local CI may do the same) spends its
+# checks where they carry information:
+#
+#   1. _CHANGED_SINCE_VERIFIED: keys whose implementation changed after
+#      their last green driver row. A stale green row is NOT evidence,
+#      so these always re-front. Maintained by hand each round: touch a
+#      query (or an operator it calls) -> add its key here; a fresh
+#      green row in CORRECTNESS_r*.json -> remove it.
+#   2. Never-driver-verified keys (everything not in _VERIFIED).
+#   3. Verified-and-unchanged keys, registration order preserved.
+#
+# The round-2 version of this ordering only rotated verified keys to the
+# back, which let the rewritten q_win_ntile evade re-checking behind its
+# stale round-1 row — exactly what rule 1 now prevents.
+
+# Changed in round 3 (or round 2, stale green row): see rule 1 above.
+_CHANGED_SINCE_VERIFIED = [
+    "q_win_ntile",       # r2: rewritten onto operators/ranking.py two-pass
+    "q_dedup_embed",     # r3: non-vacuous sign-LSH-blocked rewrite
+    "q_cross_cosine",    # alias of q_dedup_embed
+    "q_dedup_ngram",     # r3: operator persist removed (ReuseExchange)
+    "q_tpch_q18",        # r3: exact-integer quantity sum (both sides)
+    "q_source_binary",   # r3: injectable stage root + tmp cleanup
+]
+
+# Keys with a green (or, for rows-only keys, clean-run) driver row in
+# CORRECTNESS_r01/r02 (and unchanged since, unless listed above).
+# r1 block:
+_VERIFIED = [
     "flagship_chunk_topk",
     "q_chunk_fixed",
     "q_chunk_paragraph",
@@ -97,14 +120,54 @@ _R01_VERIFIED = [
     "q_vec_dim_check",
     "q_knn_brute",
     "q_knn_per_query",
+    # r2 block (green oracle rows in CORRECTNESS_r02.json):
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_stateful",
+    "q_redact_pii",
+    "q_profile",
+    "q_null_funcs",
+    "q_agg_bool",
+    "q_date_series",
+    "q_merge_upsert",
+    "q_join_skew",
+    "q_agg_two_phase",
+    "q_win_range_frame",
+    "q_quality_score",
+    "q_agg_stats",
+    "q_agg_percentile",
+    "q_hof_exists",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_tpch_q19",
+    "q_sink_roundtrip",
+    # r2 block, rows-only keys that ran clean (no oracle by design):
+    "q_knn_lsh",
+    "q_knn_ivf",
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_embed_local",
+    "q_embed_pipeline",
+    "q_multimodal",
 ]
 
 
-def _rotate_for_driver_budget(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    """Never-driver-checked keys first, round-1-verified keys last,
-    relative order preserved within each group. Pure reordering — the
-    key set and every spec are untouched."""
-    verified = set(_R01_VERIFIED)
-    front = {k: v for k, v in merged.items() if k not in verified}
+def _reverification_order(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    """Priority order per the policy above: changed-since-verified keys
+    first, never-verified keys next, verified-and-unchanged keys last;
+    registration order preserved within each group. Pure reordering —
+    the key set and every spec are untouched."""
+    changed = [k for k in _CHANGED_SINCE_VERIFIED if k in merged]
+    verified = set(_VERIFIED) - set(changed)
+    front = {k: merged[k] for k in changed}
+    middle = {k: v for k, v in merged.items() if k not in verified and k not in front}
     back = {k: v for k, v in merged.items() if k in verified}
-    return {**front, **back}
+    return {**front, **middle, **back}

@@ -273,29 +273,100 @@ FROM votes
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs blocked by cluster label."""
+    """Embedding-cosine near-dup pairs through the scale path: sign-LSH
+    bucket blocking (``block_col=None``), NOT an explicit label column.
+
+    The corpus has no natural near-dups at high cosine (max same-label
+    cosine ~0.33 — round-2 finding: the old label-blocked query green-
+    matched on 0 rows, proving nothing), so the query PLANTS them
+    deterministically: every 5th vector is duplicated under vec_id +
+    10000. Identical vectors land in identical LSH buckets in every
+    band, so the blocked join provably recovers each planted pair; the
+    brute-force oracle then checks the LSH path returns *exactly* the
+    true pair set — recall and precision 1.0 on this data, with
+    spark_rows > 0.
+    """
     from document_vector_indexer_spark.operators.dedup import embedding_near_dup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, threshold=0.9, block_col="label")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    pairs = embedding_near_dup_pairs(
+        emb.unionByName(planted), threshold=0.95, block_col=None, dim=64
+    )
     return (
         pairs.orderBy(F.col("sim").desc(), "id_a", "id_b")
-        .limit(50)
+        .limit(200)
         .select("id_a", "id_b", F.round("sim", 6).alias("cos_sim"))
     )
 
 
+# Brute-force oracle over the same planted corpus: the LSH-blocked Spark
+# result must equal the full all-pairs answer (blocking is an optimization,
+# not a semantic change, for pairs this far above threshold).
 SQL_DEDUP_EMBED = f"""
-WITH pairs AS (
+WITH allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+),
+pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {SQL_COSINE('a.embedding', 'b.embedding')} AS sim
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(sim, 6) AS cos_sim
-FROM pairs WHERE sim >= 0.9
-ORDER BY sim DESC, id_a, id_b LIMIT 50
+FROM pairs WHERE sim >= 0.95
+ORDER BY sim DESC, id_a, id_b LIMIT 200
 """
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH band/bucket assignments themselves (the blocking
+    primitive behind ``q_dedup_embed``), hash-checked value-for-value
+    against a DuckDB oracle that carries the identical ±1 hyperplane
+    literals — the projections are exact sequences of double adds and
+    subtracts, so the sign pattern is bit-identical in both engines."""
+    from document_vector_indexer_spark.operators.dedup import embedding_lsh_blocks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        embedding_lsh_blocks(emb, dim=64)
+        .select("vec_id", "band", "bucket")
+        .orderBy("vec_id", "band")
+    )
+
+
+def _sql_lsh_buckets() -> str:
+    """Generate the mirrored-oracle SQL from the same seeded hyperplanes
+    the Spark operator uses (bands=6, bits=4, seed=7 defaults)."""
+    from document_vector_indexer_spark.operators.dedup import lsh_hyperplanes
+
+    H = lsh_hyperplanes(64, 6, 4, 7)
+
+    def dot_sql(plane) -> str:
+        # left-to-right double accumulation, matching F.aggregate's fold
+        terms = "".join(
+            f" {'+' if v > 0 else '-'} CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i, v in enumerate(plane)
+        )
+        return "0.0" + terms
+
+    parts = []
+    for b in range(6):
+        bucket = " + ".join(
+            f"(CASE WHEN ({dot_sql(H[b][j])}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(4)
+        )
+        parts.append(
+            f"SELECT vec_id, {b} AS band, CAST({bucket} AS INTEGER) AS bucket"
+            " FROM embeddings"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY vec_id, band"
+
+
+SQL_LSH_BUCKETS = _sql_lsh_buckets()
 
 
 # --- approximate / model-backed (rows-only checks) -------------------------
@@ -370,6 +441,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_dedup_ngram": QuerySpec(q_dedup_ngram, SQL_DEDUP_NGRAM),
     "q_dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "q_dedup_embed": QuerySpec(q_dedup_embed, SQL_DEDUP_EMBED),
+    "q_lsh_buckets": QuerySpec(q_lsh_buckets, SQL_LSH_BUCKETS),
     # approximate / model-backed: rows-only driver check
     "q_knn_lsh": QuerySpec(q_knn_lsh, None, "BucketedRandomProjectionLSH approx kNN"),
     "q_knn_ivf": QuerySpec(q_knn_ivf, None, "IVF (KMeans cells) approx kNN"),

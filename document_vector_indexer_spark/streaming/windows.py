@@ -108,11 +108,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file source wants a *directory*, and the testdata dir mixes all
     ten tables — so stage a symlink to events.parquet in a temp dir.
     """
+    import hashlib
     import os
     import tempfile
 
+    # md5 of the path, not hash(): Python string hashing is randomized
+    # per process (PYTHONHASHSEED), which would leak one stage dir per
+    # run (round-2 ADVICE); md5 makes re-runs reuse the same symlink.
     stage = os.path.join(
-        tempfile.gettempdir(), f"dvi_events_stream_{abs(hash(sf_dir))}"
+        tempfile.gettempdir(),
+        f"dvi_events_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")

@@ -169,7 +169,9 @@ def test_embed_retry_then_succeed(spark):
     df = spark.createDataFrame(
         [(i, f"text number {i}") for i in range(10)], "id long, chunk_text string"
     ).coalesce(1)
-    out = embed_api_map_in_pandas(df, dim=8, embed_fn=flaky, batch_size=4)
+    out = embed_api_map_in_pandas(
+        df, dim=8, embed_fn=flaky, batch_size=4, sleep_fn=lambda _s: None
+    )
     rows = out.collect()
     assert len(rows) == 10 and all(len(r.embedding) == 8 for r in rows)
 
@@ -183,7 +185,9 @@ def test_embed_fails_after_max_retries(spark):
         return [[0.0] * (dim - 1) for _ in texts]  # wrong dim every time
 
     df = spark.createDataFrame([(1, "t")], "id long, chunk_text string")
-    out = embed_api_map_in_pandas(df, dim=8, embed_fn=always_bad, max_retries=2)
+    out = embed_api_map_in_pandas(
+        df, dim=8, embed_fn=always_bad, max_retries=2, sleep_fn=lambda _s: None
+    )
     with pytest.raises(Exception, match="failed after 2 retries"):
         out.collect()
 
