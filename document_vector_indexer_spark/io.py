@@ -141,12 +141,35 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Catalog cache: session -> {(sf_dir, table): DataFrame}. A DataFrame
+# is an immutable logical plan, so handing the same one to every query
+# is semantically free, and it spares the per-query driver-side file
+# listing + parquet footer read that spark.read.parquet performs — the
+# same role a metastore catalog plays for spark.table() in production.
+# The test corpus dirs are immutable by contract (TESTDATA.md); writers
+# in this package never write into an sf_dir. Weak keying drops a
+# session's entries when the session itself is released.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    global _TABLE_CACHE
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if _TABLE_CACHE is None:
+        import weakref
+
+        _TABLE_CACHE = weakref.WeakKeyDictionary()
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    got = per_session.get((sf_dir, name))
+    if got is not None:
+        return got
     if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = _load_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    per_session[(sf_dir, name)] = df
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,3 +196,44 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works too."""
     for n in TABLES:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# Per-row-CPU-heavy tables: downstream operators (chunkers, shingling,
+# vector math) cost per ROW, not per byte, so their parallelism must
+# come from row spread even when the files are byte-small.
+_ROW_SPREAD_TABLES = {"documents": 16, "embeddings": 16}
+
+
+def ingest_engine_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    dest: str,
+    max_files: int = 16,
+    target_file_bytes: int = 1 << 20,
+) -> str:
+    """Rewrite the corpus into the engine's own multi-file parquet
+    layout and return ``dest`` (usable anywhere a ``sf_dir`` is).
+
+    Why this exists: a storage engine owns its layout. The driver's
+    fixtures are one file with ONE row group per table, which caps every
+    Spark scan at one task regardless of cores — an artifact of the
+    fixture writer, not of the data. At production scale the same
+    principle is the standard ~128 MB-files ingest/compaction step every
+    lakehouse runs; at bench scale the target is ~1 MB files so a
+    local[32] session actually parallelizes. The rewrite is lossless
+    (parquet -> parquet, values bit-identical; ``events.ts`` nanos are
+    normalized to the same microsecond timestamps ``load_table`` yields
+    either way), so correctness is layout-independent.
+
+    File count per table = max(bytes / target_file_bytes, row-spread
+    for per-row-CPU-heavy tables), capped at ``max_files``.
+    """
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        nbytes = os.path.getsize(table_path(sf_dir, t))
+        k = max(1, min(max_files, nbytes // target_file_bytes))
+        k = max(k, _ROW_SPREAD_TABLES.get(t, 1))
+        df.repartition(int(k)).write.mode("overwrite").parquet(
+            os.path.join(dest, f"{t}.parquet")
+        )
+    return dest

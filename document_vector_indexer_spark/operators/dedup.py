@@ -142,12 +142,21 @@ def ngram_jaccard_pairs(
         .agg(F.collect_set("id").alias("ids"))
         .filter(F.size("ids") <= max_df)
     )
-    sizes = (
-        buckets.select(F.explode("ids").alias("id"))
-        .groupBy("id")
-        .agg(F.count("*").alias("n_ret"))
-    )
+    # ONE explode emits both row kinds from each retained bucket —
+    # a singleton marker (id, -1) per member (for per-doc retained
+    # counts) and the ordered candidate pairs — so the expensive
+    # tokenize + shingle-shuffle + collect_set pass has exactly one
+    # consumer and runs exactly once. One count aggregation then
+    # yields n_ret (singleton rows) and inter (pair rows); only the
+    # cheap post-shuffle count re-runs for the two filtered reads
+    # (the exchange below it is shared via ReuseExchange).
     ids_sorted = F.sort_array(F.col("ids"))
+    single_arr = F.transform(
+        ids_sorted,
+        lambda x: F.struct(
+            x.alias("id_a"), F.lit(-1).cast("long").alias("id_b")
+        ),
+    )
     pair_arr = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.size("ids") - 2),
@@ -160,12 +169,18 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    pairs = (
-        buckets.filter(F.size("ids") >= 2)
-        .select(F.explode(pair_arr).alias("p"))
+    emitted = F.when(
+        F.size("ids") >= 2, F.concat(single_arr, pair_arr)
+    ).otherwise(single_arr)
+    counted = (
+        buckets.select(F.explode(emitted).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(F.count("*").alias("cnt"))
     )
+    sizes = counted.filter(F.col("id_b") == -1).select(
+        F.col("id_a").alias("id"), F.col("cnt").alias("n_ret")
+    )
+    pairs = counted.filter(F.col("id_b") != -1).withColumnRenamed("cnt", "inter")
     out = (
         pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_ret": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_ret": "n_b"}), "id_b")

@@ -1,20 +1,30 @@
 """pgvector sink (reference R10-R12,
 /root/reference/index_documents.py:198-249).
 
-Spark's JDBC writer has no VECTOR type, so the embedding column is
-serialized to pgvector's text literal ``[x,y,...]`` and the column
-type is forced with ``createTableColumnTypes`` — pgvector casts the
-text on insert. DDL (extension + table) runs once from the driver.
+Three transports, fastest-available first:
 
-Untestable in this container (no PostgreSQL, no JDBC driver jar) —
-connector code is complete but every entry point degrades to a clear
-RuntimeError when the driver jar or server is missing. The primary
-sink of this engine is the parquet chunk table
-(plans/pipeline.write_chunk_table); pgvector export is the optional
-compatibility path for consumers of the reference's schema.
+1. ``write_chunks_copy`` — per-partition ``COPY FROM STDIN`` streamed
+   through a ``psql`` subprocess. COPY is PostgreSQL's bulk-load fast
+   path (one WAL-optimized stream per partition vs per-row INSERT
+   round-trips) and needs no client library or JDBC jar. This is the
+   path integration-tested against a real PostgreSQL server
+   (tests/test_pg_integration.py).
+2. ``write_chunks_jdbc`` — Spark's native JDBC writer when a driver
+   jar is on the classpath (has no VECTOR type, so the embedding is
+   serialized to pgvector's text literal and the column type forced
+   with ``createTableColumnTypes``).
+3. ``write_chunks_psycopg`` — ``foreachPartition`` + psycopg when the
+   library is installed.
+
+DDL (extension + table) runs once from the driver. When the server
+lacks the pgvector extension, ``ensure_schema_psql`` degrades the
+embedding column to ``DOUBLE PRECISION[]`` (same values, array literal
+instead of vector literal) so the rest of the schema still round-trips.
 """
 
 from __future__ import annotations
+
+import subprocess
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -31,6 +41,19 @@ CREATE TABLE IF NOT EXISTS {table} (
 );
 """
 
+# Fallback for servers without the pgvector extension: float8[] keeps
+# the values exactly; only the ANN operator classes (<=>) are lost.
+DDL_TEMPLATE_ARRAY = """
+CREATE TABLE IF NOT EXISTS {table} (
+    id BIGINT PRIMARY KEY,
+    chunk_text TEXT NOT NULL,
+    embedding DOUBLE PRECISION[] NOT NULL,
+    filename TEXT NOT NULL,
+    split_strategy TEXT NOT NULL,
+    created_at TIMESTAMPTZ NOT NULL
+);
+"""
+
 
 def vector_literal(col: str = "embedding") -> Column:
     """array<float> -> pgvector text literal '[x,y,...]'."""
@@ -39,6 +62,138 @@ def vector_literal(col: str = "embedding") -> Column:
         F.concat_ws(",", F.transform(F.col(col), lambda x: x.cast("string"))),
         F.lit("]"),
     )
+
+
+def array_literal(col: str = "embedding") -> Column:
+    """array<float> -> PostgreSQL array literal '{x,y,...}' (the
+    float8[] fallback when the vector extension is unavailable)."""
+    return F.concat(
+        F.lit("{"),
+        F.concat_ws(",", F.transform(F.col(col), lambda x: x.cast("string"))),
+        F.lit("}"),
+    )
+
+
+def _psql(dsn: str, sql: str, psql_bin: str = "psql") -> str:
+    """Run one SQL command through psql, return trimmed stdout.
+    ``-X`` skips psqlrc, ``-A -t`` yields machine-readable rows."""
+    out = subprocess.run(
+        [psql_bin, dsn, "-X", "-A", "-t", "-v", "ON_ERROR_STOP=1", "-c", sql],
+        capture_output=True,
+        text=True,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"psql failed ({out.returncode}): {out.stderr.strip()[:500]}"
+        )
+    return out.stdout.strip()
+
+
+def ensure_schema_psql(
+    dsn: str, table: str = "document_chunks", dim: int = 64, psql_bin: str = "psql"
+) -> str:
+    """Create the chunk table via psql, preferring pgvector. Returns the
+    embedding storage form actually used: 'vector' or 'array'.
+
+    Mirrors the reference's create_table (index_documents.py:198-217)
+    including CREATE EXTENSION, but degrades to DOUBLE PRECISION[] when
+    the server has no vector extension so the sink still works
+    everywhere PostgreSQL does.
+    """
+    has_vector = _psql(
+        dsn,
+        "SELECT count(*) FROM pg_available_extensions WHERE name = 'vector'",
+        psql_bin,
+    )
+    if has_vector == "1":
+        _psql(dsn, DDL_TEMPLATE.format(table=table, dim=dim), psql_bin)
+        return "vector"
+    _psql(dsn, DDL_TEMPLATE_ARRAY.format(table=table), psql_bin)
+    return "array"
+
+
+_COPY_COLUMNS = (
+    "id",
+    "chunk_text",
+    "embedding",
+    "filename",
+    "split_strategy",
+    "created_at",
+)
+
+
+def _copy_line(embedding_format: str) -> Column:
+    """One COPY-text-format line per row, serialized JVM-side so the
+    Python partition function only streams bytes. COPY text escaping:
+    backslash first, then tab/newline/CR; NULLs cannot occur (schema is
+    NOT NULL throughout)."""
+
+    def esc(c: Column) -> Column:
+        c = F.regexp_replace(c, r"\\", r"\\\\")
+        c = F.regexp_replace(c, "\t", r"\\t")
+        c = F.regexp_replace(c, "\n", r"\\n")
+        return F.regexp_replace(c, "\r", r"\\r")
+
+    emb = (
+        vector_literal("embedding")
+        if embedding_format == "vector"
+        else array_literal("embedding")
+    )
+    return F.concat_ws(
+        "\t",
+        F.col("id").cast("string"),
+        esc(F.col("chunk_text")),
+        emb,
+        esc(F.col("filename")),
+        esc(F.col("split_strategy")),
+        F.date_format("created_at", "yyyy-MM-dd HH:mm:ss.SSSSSSxxx"),
+    )
+
+
+def write_chunks_copy(
+    chunks: DataFrame,
+    dsn: str,
+    table: str = "document_chunks",
+    embedding_format: str = "vector",
+    psql_bin: str = "psql",
+) -> None:
+    """Bulk-load the chunk table via ``COPY FROM STDIN``, one psql
+    subprocess per partition.
+
+    This is the transport you want at scale: COPY is PostgreSQL's
+    fastest ingest (single parsed stream, minimal per-row overhead —
+    the reference's 32-row INSERT batches at index_documents.py:248-249
+    are its slow approximation), and each Spark partition streams its
+    own COPY in parallel, bounded only by the server. No JDBC jar or
+    Python driver needed — just the psql binary on executors.
+    """
+    lines = chunks.select(_copy_line(embedding_format).alias("line"))
+    cols = ", ".join(_COPY_COLUMNS)
+    sql = f"COPY {table} ({cols}) FROM STDIN"
+
+    def load_partition(rows) -> None:
+        import subprocess as sp
+
+        proc = sp.Popen(
+            [psql_bin, dsn, "-X", "-q", "-v", "ON_ERROR_STOP=1", "-c", sql],
+            stdin=sp.PIPE,
+            stderr=sp.PIPE,
+            text=True,
+        )
+        try:
+            for r in rows:
+                proc.stdin.write(r.line)
+                proc.stdin.write("\n")
+            _, err = proc.communicate()
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"COPY failed ({proc.returncode}): {err.strip()[:500]}"
+                )
+        finally:
+            if proc.poll() is None:  # pragma: no cover - error paths
+                proc.kill()
+
+    lines.foreachPartition(load_partition)
 
 
 def write_chunks_jdbc(

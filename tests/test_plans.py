@@ -9,6 +9,8 @@ join, and nothing degenerates into a cartesian product.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 SF = "/root/testdata/sf0.01"
@@ -130,3 +132,130 @@ def test_whole_stage_codegen_active(spark):
             assert "codegen id" in line, f"operator not codegen'd: {line}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+# --- global-window guard (round-2 VERDICT #7) ------------------------------
+
+
+def _tree_child(plan: str) -> dict:
+    """Parse the formatted-explain tree header into {node_id: name of
+    its first child}. The first child of a node is the next tree line
+    with strictly deeper indentation."""
+    header = plan.split("\n\n", 1)[0].splitlines()
+    nodes = []
+    for ln in header:
+        m = re.match(r"^([\s:+|-]*)(\S.*?)\s*\((\d+)\)\s*$", ln)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2).strip(), int(m.group(3))))
+    child: dict = {}
+    for i, (ind, _name, nid) in enumerate(nodes):
+        if i + 1 < len(nodes) and nodes[i + 1][0] > ind:
+            child[nid] = nodes[i + 1][1]
+    return child
+
+
+# Operators that bound their output row count to a constant: a window
+# fed directly by one of these is limit-bounded no matter the input
+# scale (Catalyst's rank-limit pushdown produces exactly this shape —
+# TakeOrderedAndProject(k) under a <=k row_number window).
+_BOUNDED_CHILD_NODES = {"TakeOrderedAndProject", "GlobalLimit", "LocalLimit"}
+
+
+def _global_window_nodes(plan: str) -> list[tuple[str, str]]:
+    """Return (input_line, args_line) for every Window node with an
+    EMPTY partition spec over an UNbounded child — the single-task plan
+    shape that is fatal at scale. In formatted-explain details a
+    Window's Arguments holds 3 top-level bracket groups [funcs],
+    [partition], [order]; the empty partition spec is printed as only 2
+    groups. Exact node-name match: ``WindowGroupLimit`` (rank-limit
+    pushdown) also starts with "Window" but carries a partition spec in
+    a 2-bracket Arguments shape, so a substring match would
+    false-positive on it."""
+    child = _tree_child(plan)
+    out = []
+    blocks = plan.split("\n\n")
+    for blk in blocks:
+        lines = blk.splitlines()
+        m = lines and re.match(r"^\((\d+)\) Window$", lines[0].strip())
+        if not m:
+            continue
+        if child.get(int(m.group(1))) in _BOUNDED_CHILD_NODES:
+            continue
+        input_line = next((l for l in lines if l.startswith("Input")), "")
+        args = next((l for l in lines if l.startswith("Arguments")), "")
+        body = args[len("Arguments: "):]
+        # count top-level bracket groups
+        depth, groups = 0, 0
+        for ch in body:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups == 2:
+            out.append((input_line, args))
+    return out
+
+
+# Declared exceptions: queries whose empty-partitionBy window runs over
+# a frame whose cardinality is bounded by something other than data
+# volume. Every entry needs a written justification — the guard exists
+# to catch UNdeclared global windows.
+_GLOBAL_WINDOW_ALLOWED = {
+    "q_win_frame": (
+        "rolling 7-day frame over a per-day aggregate: #rows == "
+        "#distinct order dates (calendar-bounded, ~2.4k over the TPC-H "
+        "7-year span) at ANY raw data scale"
+    ),
+}
+
+
+def _assert_no_global_window(plan: str, name: str) -> None:
+    if name in _GLOBAL_WINDOW_ALLOWED:
+        return
+    for input_line, args in _global_window_nodes(plan):
+        # structural allow: ranking.py's cumulative-offsets window runs
+        # over the per-partition counts frame (#rows == #partitions by
+        # construction — driver-sized, provably bounded)
+        if "_pid#" in input_line and "_cnt#" in input_line:
+            continue
+        raise AssertionError(
+            f"{name}: empty-partitionBy Window over non-bounded input "
+            f"(single-task at scale):\n{input_line}\n{args}"
+        )
+
+
+def test_no_registered_query_uses_global_window(spark):
+    """Every registered query must avoid empty-partitionBy windows over
+    unbounded inputs — the ranking counts frame is the one allowed
+    exception. Catches regressions like the round-1 ntile plan."""
+    from document_vector_indexer_spark.queries.registry import all_queries
+
+    for name, spec in all_queries().items():
+        try:
+            df = spec.fn(spark, SF)
+        except Exception:
+            continue  # env-gated queries (no backend) are not plans
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        _assert_no_global_window(plan, name)
+
+
+def test_global_window_guard_catches_violation(spark):
+    """The guard must actually fire on a deliberately-bad plan."""
+    from pyspark.sql import Window
+
+    from document_vector_indexer_spark.io import load_table
+
+    bad = load_table(spark, SF, "lineitem").withColumn(
+        "rn", __import__("pyspark").sql.functions.row_number().over(
+            Window.orderBy("l_orderkey", "l_linenumber")
+        )
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = bad._jdf.queryExecution().explainString(mode)
+    with pytest.raises(AssertionError, match="global|single-task"):
+        _assert_no_global_window(plan, "deliberate_violation")

@@ -1,0 +1,98 @@
+"""Direct tests for operators/ranking.py (round-2 VERDICT #4 / ADVICE):
+the two-pass global_rank and the closed-form ntile/percent_rank/
+cume_dist must equal Spark's own global-window functions on
+multi-partition frames, including total < k and total % k != 0."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from document_vector_indexer_spark.operators.ranking import (
+    cume_dist_from_rank,
+    global_rank,
+    ntile_from_rank,
+    percent_rank_from_rank,
+)
+
+
+def _frame(spark, total: int, n_part: int = 7):
+    """A deterministic multi-partition frame with a unique sort key
+    deliberately uncorrelated with insertion order."""
+    return (
+        spark.range(total)
+        .repartition(n_part)
+        .select(((F.col("id") * 48271) % 2147483647).alias("key"))
+    )
+
+
+@pytest.mark.parametrize("total", [1, 2, 7, 32, 100, 257])
+def test_global_rank_equals_window_row_number(spark, total):
+    df = _frame(spark, total)
+    got = global_rank(df, ["key"], num_partitions=5)
+    want = df.withColumn("_grank", F.row_number().over(Window.orderBy("key")))
+    got_rows = {(r.key, r._grank) for r in got.select("key", "_grank").collect()}
+    want_rows = {(r.key, r._grank) for r in want.collect()}
+    assert got_rows == want_rows
+    totals = {r._gtotal for r in got.select("_gtotal").collect()}
+    assert totals == {total}
+
+
+@pytest.mark.parametrize(
+    "total,k",
+    [
+        (1, 4),  # total < k, single row
+        (3, 5),  # total < k
+        (32, 5),  # total % k != 0
+        (100, 4),  # total % k == 0
+        (257, 7),  # prime total
+        (10, 10),  # total == k
+    ],
+)
+def test_ntile_matches_spark_window(spark, total, k):
+    df = _frame(spark, total)
+    ranked = global_rank(df, ["key"])
+    got = ranked.select(
+        "key", ntile_from_rank(F.col("_grank"), F.col("_gtotal"), k).alias("t")
+    )
+    want = df.select(
+        "key", F.ntile(k).over(Window.orderBy("key")).alias("t")
+    )
+    assert {(r.key, r.t) for r in got.collect()} == {
+        (r.key, r.t) for r in want.collect()
+    }
+
+
+@pytest.mark.parametrize("total", [1, 2, 32, 100])
+def test_percent_rank_and_cume_dist_match_spark_window(spark, total):
+    df = _frame(spark, total)
+    ranked = global_rank(df, ["key"], num_partitions=3)
+    got = {
+        (r.key, r.pr, r.cd)
+        for r in ranked.select(
+            "key",
+            percent_rank_from_rank(F.col("_grank"), F.col("_gtotal")).alias("pr"),
+            cume_dist_from_rank(F.col("_grank"), F.col("_gtotal")).alias("cd"),
+        ).collect()
+    }
+    w = Window.orderBy("key")
+    want = {
+        (r.key, r.pr, r.cd)
+        for r in df.select(
+            "key",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    # floats computed by identical formulas on exact integers: bit-equal
+    assert got == want
+
+
+def test_global_rank_explicit_num_partitions_more_than_rows(spark):
+    # more range partitions than rows -> empty partitions must not
+    # perturb offsets
+    df = _frame(spark, 5)
+    got = global_rank(df, ["key"], num_partitions=16)
+    ranks = sorted(r._grank for r in got.collect())
+    assert ranks == [1, 2, 3, 4, 5]

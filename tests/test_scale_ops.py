@@ -246,3 +246,61 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     plan = q._jdf.queryExecution().explainString(mode)
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "lang" in pf, f"partition filter not pushed: {pf}"
+
+
+# --- embedding sign-LSH dedup (round-2 VERDICT #4) -------------------------
+
+
+def _planted_corpus(spark, n_base=200, n_dup=40, dim=16, seed=11):
+    """Deterministic random vectors plus planted near-dups: dup i is
+    base vector i plus tiny noise -> cosine > 0.99 against its source,
+    while independent random vectors in dim=16 stay far below 0.9."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n_base, dim)
+    dups = base[:n_dup] + 0.02 * rng.randn(n_dup, dim)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n_base)] + [
+        (10_000 + i, [float(x) for x in dups[i]]) for i in range(n_dup)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    all_vecs = np.vstack([base, dups])
+    ids = [r[0] for r in rows]
+    normed = all_vecs / np.linalg.norm(all_vecs, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    true_pairs = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.9
+    }
+    return df, true_pairs
+
+
+def test_embedding_lsh_recall_and_precision_vs_brute(spark):
+    """embedding_near_dup_pairs(block_col=None) is approximate only in
+    CANDIDATE GENERATION (sign-LSH bucket blocking); the exact cosine
+    filter then makes precision 1.0 by construction. Recall for
+    near-identical vectors is ~1 - (1 - (1 - theta/pi)^bits)^bands —
+    >= 0.99 at the default bands=6/bits=4 for cosine >= 0.99 pairs."""
+    from document_vector_indexer_spark.operators.dedup import embedding_near_dup_pairs
+
+    df, true_pairs = _planted_corpus(spark)
+    assert len(true_pairs) >= 30, "fixture must actually contain near-dups"
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.9, block_col=None, dim=16
+        ).collect()
+    }
+    assert got <= true_pairs, f"false positives: {sorted(got - true_pairs)[:5]}"
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"sign-LSH recall too low: {recall}"
+
+
+def test_embedding_near_dup_requires_dim_without_block_col(spark):
+    from document_vector_indexer_spark.operators.dedup import embedding_near_dup_pairs
+
+    df, _ = _planted_corpus(spark, n_base=5, n_dup=0)
+    with pytest.raises(ValueError, match="dim"):
+        embedding_near_dup_pairs(df, threshold=0.9, block_col=None)
