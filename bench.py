@@ -101,8 +101,22 @@ def main() -> None:
     # Bench-scale tuning (measured, see BASELINE.md): 8 shuffle
     # partitions suit megabyte shuffles (32 is pure task overhead at
     # this size; production sizes this ~2-3x executor cores or lets AQE
-    # coalesce). AQE off per the module docstring.
-    spark = get_spark(app_name="dvi-bench", shuffle_partitions=8)
+    # coalesce). AQE off per the module docstring. Small-shuffle-regime
+    # confs (measured -20% total at sf0.1): zero locality wait (single
+    # host — every task is process-local; the scheduler otherwise idles
+    # waiting for a "better" slot) and uncompressed shuffles (kilobyte
+    # blocks: codec latency dominates I/O saved; at 100 TB compression
+    # is essential and production get_spark keeps the defaults).
+    spark = get_spark(
+        app_name="dvi-bench",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.locality.wait": "0ms",
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+            "spark.rdd.compress": "false",
+        },
+    )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("ERROR")
