@@ -1,0 +1,162 @@
+"""Live PostgreSQL integration for the sink (reference R10-R12,
+index_documents.py:198-249): a scratch single-node cluster (initdb +
+pg_ctl under the container's postgres user, unix socket only), real DDL
+through ``ensure_schema_psql``, a real distributed ``COPY FROM STDIN``
+write from Spark executors, and a round-trip read-back.
+
+The container has the PostgreSQL 15 server but NOT the pgvector
+extension, so this exercises the documented float8[] degradation path;
+the VECTOR branch stays covered by its DDL unit test. Skips cleanly
+where no server binaries / postgres user exist.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_vector_indexer_spark.sources.pgvector import (
+    ensure_schema_psql,
+    write_chunks_copy,
+)
+
+
+def _have_pg() -> bool:
+    if not (shutil.which("psql") and shutil.which("pg_ctl") or shutil.which("initdb")):
+        return False
+    probe = subprocess.run(
+        ["runuser", "-u", "postgres", "--", "true"], capture_output=True
+    )
+    return probe.returncode == 0
+
+
+pytestmark = pytest.mark.skipif(
+    not _have_pg(), reason="no PostgreSQL server binaries / postgres user"
+)
+
+
+def _pg_user(args: list[str]) -> subprocess.CompletedProcess:
+    out = subprocess.run(
+        ["runuser", "-u", "postgres", "--", *args], capture_output=True, text=True
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"{args[0]} failed: {out.stderr[-800:]}")
+    return out
+
+
+@pytest.fixture(scope="module")
+def pg_dsn():
+    root = tempfile.mkdtemp(prefix="dvi_pg_")
+    subprocess.run(["chown", "postgres", root], check=True)
+    data = f"{root}/data"
+    initdb = shutil.which("initdb") or "/usr/local/bin/initdb"
+    pg_ctl = shutil.which("pg_ctl") or "/usr/local/bin/pg_ctl"
+    _pg_user([initdb, "-D", data, "-U", "postgres", "-A", "trust", "--no-sync"])
+    _pg_user(
+        [
+            pg_ctl, "-D", data, "-w", "-t", "60",
+            "-l", f"{root}/pg.log",
+            "-o", f"-c listen_addresses='' -k {root} -c fsync=off",
+            "start",
+        ]
+    )
+    try:
+        yield f"host={root} dbname=postgres user=postgres"
+    finally:
+        subprocess.run(
+            ["runuser", "-u", "postgres", "--", pg_ctl, "-D", data, "-m",
+             "immediate", "stop"],
+            capture_output=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _psql_rows(dsn: str, sql: str) -> list[str]:
+    # \x1f/\x1e field/record separators: data may contain real tabs and
+    # newlines (that's what the escaping round-trip asserts), so
+    # line-based splitting would mangle it.
+    # binary capture: text=True's universal-newline mode would rewrite
+    # a data \r (which the escaping round-trip asserts) into \n.
+    out = subprocess.run(
+        ["psql", dsn, "-X", "-A", "-t", "-F", "\x1f", "-R", "\x1e",
+         "-v", "ON_ERROR_STOP=1", "-c", sql],
+        capture_output=True,
+    )
+    assert out.returncode == 0, out.stderr.decode()
+    # psql prints one trailing newline after the final record; none of
+    # the fixture values end in a newline, so removing it is safe here.
+    text = out.stdout.decode("utf-8").removesuffix("\n")
+    return [l for l in text.split("\x1e") if l]
+
+
+def test_schema_falls_back_to_float8_array_without_pgvector(pg_dsn):
+    form = ensure_schema_psql(pg_dsn, table="chunks_ddl", dim=4)
+    assert form == "array"  # this container has no pgvector extension
+    cols = _psql_rows(
+        pg_dsn,
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name = 'chunks_ddl' ORDER BY ordinal_position",
+    )
+    got = dict(c.split("\x1f") for c in cols)
+    assert got["embedding"] == "ARRAY"
+    assert got["id"] == "bigint"
+    assert got["created_at"] == "timestamp with time zone"
+
+
+def test_copy_write_round_trip(spark, pg_dsn):
+    """Distributed COPY write from executor partitions, then value-exact
+    read-back — including COPY text-format escaping of tabs, newlines,
+    CRs, and backslashes inside chunk_text."""
+    ensure_schema_psql(pg_dsn, table="document_chunks", dim=3)
+    nasty = "tab\there\nnewline\rcr \\backslash\\ end"
+    rows = [
+        (1, "plain text", [0.5, -1.25, 3.0], "a.txt", "fixed"),
+        (2, nasty, [1.0, 2.0, 3.5], "b\tweird\nname.txt", "sentence"),
+        (3, "third", [-0.125, 0.0, 9.75], "c.txt", "paragraph"),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "id long, chunk_text string, embedding array<double>, "
+                  "filename string, split_strategy string"
+        )
+        .withColumn("created_at", F.to_timestamp(F.lit("2026-08-13 12:00:00")))
+        .repartition(2)  # >1 partition -> >1 concurrent COPY stream
+    )
+    write_chunks_copy(df, pg_dsn, embedding_format="array")
+
+    back = _psql_rows(
+        pg_dsn,
+        "SELECT id, chunk_text, array_to_string(embedding, ','), filename, "
+        "split_strategy FROM document_chunks ORDER BY id",
+    )
+    assert len(back) == 3
+    got = [r.split("\x1f") for r in back]
+    assert got[0] == ["1", "plain text", "0.5,-1.25,3", "a.txt", "fixed"]
+    assert got[1][1] == nasty
+    assert got[1][3] == "b\tweird\nname.txt"
+    assert got[2][2] == "-0.125,0,9.75"
+
+    ts = _psql_rows(
+        pg_dsn,
+        "SELECT count(DISTINCT created_at), "
+        "to_char(min(created_at AT TIME ZONE 'UTC'), 'YYYY-MM-DD HH24:MI:SS') "
+        "FROM document_chunks",
+    )[0].split("\x1f")
+    assert ts == ["1", "2026-08-13 12:00:00"]
+
+
+def test_copy_write_appends_and_rejects_pk_conflicts(pg_dsn, spark):
+    df = spark.createDataFrame(
+        [(10, "x", [1.0], "f", "fixed")],
+        "id long, chunk_text string, embedding array<double>, "
+        "filename string, split_strategy string",
+    ).withColumn("created_at", F.current_timestamp())
+    write_chunks_copy(df, pg_dsn, embedding_format="array")
+    with pytest.raises(Exception, match="COPY failed|duplicate key"):
+        write_chunks_copy(df, pg_dsn, embedding_format="array")
+    n = _psql_rows(pg_dsn, "SELECT count(*) FROM document_chunks WHERE id = 10")
+    assert n == ["1"]
