@@ -312,6 +312,174 @@ def minhash_near_dup_pairs(
     )
 
 
+MINHASH_PRIME = _CHAR_MOD  # M31; char-fold hashes already live in [0, M31)
+
+
+def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients, derivable from the
+    index alone: a_i = (2i+1)*104729 mod M31 (odd, nonzero), b_i =
+    7919*i + 13 mod M31. Pure-integer formulas any engine reproduces —
+    the DuckDB oracle computes the SAME coefficients from
+    generate_series, so signatures are bit-identical across engines."""
+    return [
+        ((2 * i + 1) * 104729 % MINHASH_PRIME, (7919 * i + 13) % MINHASH_PRIME)
+        for i in range(k)
+    ]
+
+
+def minhash_signature_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    n: int = 2,
+) -> DataFrame:
+    """Portable MinHash signatures: sig_i = min over the doc's word
+    n-gram shingles of (a_i * charfold(shingle) + b_i) mod M31.
+
+    Contrast with ``minhash_near_dup_pairs`` (MLlib): same banding
+    math, but every ingredient is deterministic pure-integer arithmetic
+    (char-fold hash + affine permutations with literal coefficients),
+    so the whole pipeline is verifiable value-for-value against a SQL
+    oracle — the property MLlib's JVM murmur hashing can't offer.
+
+    Scale shape: tokenize behind the CSE exchange barrier (same
+    load-bearing reason as ngram_jaccard_pairs), shingle-hash once per
+    exploded row (never inside a per-permutation lambda — k=16 would
+    re-derive every char-fold 16x), then ONE shuffle on id with k
+    min-aggregations. min() absorbs duplicate shingles, so no distinct
+    pass is needed. Docs with < n words have no shingles and drop out
+    (the MLlib variant's size>0 filter, same semantics).
+
+    Returns (id, sig: array<long> of length k).
+    """
+    words_df = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        TX.word_tokens(F.col(text_col)).alias("words"),
+    )
+    grams = F.when(
+        F.size("words") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("words"), (i + j + 1).cast("int"))
+                    for j in range(n)
+                ],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = words_df.select(
+        "id", F.explode(grams).alias("shingle")
+    ).select("id", _word_hash(F.col("shingle")).alias("h"))
+    P = F.lit(MINHASH_PRIME).cast("long")
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"_s{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(k))
+    ]
+    sigs = hashed.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[f"_s{i}" for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 2,
+    max_band_df: int = 50,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded portable MinHash.
+
+    Band key = band index + that band's r = k/bands signature
+    components; docs sharing any band key become candidates (standard
+    LSH banding, P(candidate) = 1 - (1 - j^r)^bands for true Jaccard
+    j), then the signature estimate (fraction of equal components)
+    filters at ``threshold``. Everything is deterministic, so the
+    result — unlike MLlib's — is oracle-checkable end to end.
+
+    Scale: candidates are generated per band bucket with the same
+    anti-quadratic guard as ngram_jaccard_pairs (``max_band_df`` caps
+    members per bucket, bounding pair fan-out; a hotter bucket means
+    the band carries no dedup signal). Pair dedup across bands is one
+    aggregation; the signature re-attach is two equi-joins against the
+    (id, sig) frame — at 100 TB all shuffles are keyed by id or
+    band_key, never all-pairs.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide k={k}")
+    r = k // bands
+    sigs = minhash_signature_df(df, text_col=text_col, id_col=id_col, k=k, n=n)
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.concat_ws(
+                    ",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("id", F.explode(band_arr).alias("band_key"))
+    buckets = (
+        banded.groupBy("band_key")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_band_df))
+    )
+    ids_sorted = F.sort_array(F.col("ids"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ids") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ids") - 1),
+                lambda j: F.struct(
+                    F.element_at(ids_sorted, (i + 1).cast("int")).alias("id_a"),
+                    F.element_at(ids_sorted, (j + 1).cast("int")).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "sig_a",
+                "sig_b",
+                lambda x, y: F.when(x == y, 1).otherwise(0).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(float(k))
+    )
+    return (
+        pairs.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def lsh_hyperplanes(dim: int, bands: int, bits: int, seed: int = 7):
     """Seeded ±1 random-hyperplane matrix, shape (bands, bits, dim).
     ±1 components keep the projection dot product an exact sequence of

@@ -64,6 +64,8 @@ _CHANGED_SINCE_VERIFIED = [
     "q_dedup_ngram",     # r3: operator persist removed (ReuseExchange)
     "q_tpch_q18",        # r3: exact-integer quantity sum (both sides)
     "q_source_binary",   # r3: injectable stage root + tmp cleanup
+    "q_dedup_minhash",   # r3: portable (oracled) pipeline replaces MLlib here
+    "q_dedup_near",      # alias of q_dedup_minhash
 ]
 
 # Keys with a green (or, for rows-only keys, clean-run) driver row in

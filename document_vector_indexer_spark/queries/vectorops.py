@@ -390,6 +390,85 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash near-dup pairs through the PORTABLE pipeline
+    (operators/dedup.minhash_portable_pairs): char-fold shingle hashes
+    + affine permutations mod M31 + band blocking + signature-estimate
+    filter — every stage deterministic pure-integer arithmetic, so the
+    DuckDB oracle reproduces it value-for-value (the MLlib variant,
+    kept as q_dedup_minhash_mllib, can only ever be rows-only)."""
+    from document_vector_indexer_spark.operators.dedup import minhash_portable_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_portable_pairs(docs, threshold=0.25)
+    return pairs.select(
+        "id_a", "id_b", (F.round("est_jaccard", 6) + 0.0).alias("est_jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+# Mirrors minhash_portable_pairs exactly: same char-fold hash (see
+# SQL_DEDUP_SIMHASH), same a_i/b_i coefficient formulas derived from the
+# permutation index, same band keys, same bucket cap, same estimate.
+SQL_DEDUP_MINHASH = """
+WITH w AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                        '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+sh AS (
+  SELECT id,
+         list_transform(generate_series(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i+1]) AS shingles
+  FROM w WHERE len(words) >= 2
+),
+h AS (
+  SELECT id,
+         list_transform(shingles, wd ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(generate_series(1, length(wd)),
+                                        i -> CAST(ascii(substr(wd, i, 1)) AS BIGINT))),
+                       (a, c) -> (a * 131 + c) % 2147483647)) AS hashes
+  FROM sh
+),
+sig AS (
+  SELECT id,
+         list_transform(generate_series(0, 15), i ->
+           list_min(list_transform(hashes, x ->
+             (((2*i + 1) * 104729 % 2147483647) * x
+              + (7919*i + 13) % 2147483647) % 2147483647))) AS sig
+  FROM h
+),
+bands AS (
+  SELECT id,
+         CAST(b AS VARCHAR) || ':' ||
+         array_to_string(sig[b*4 + 1 : b*4 + 4], ',') AS band_key
+  FROM sig, unnest(generate_series(0, 3)) AS t(b)
+),
+buckets AS (
+  SELECT band_key FROM bands GROUP BY 1 HAVING count(*) BETWEEN 2 AND 50
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a
+  JOIN buckets k ON k.band_key = a.band_key
+  JOIN bands b ON b.band_key = a.band_key AND a.id < b.id
+),
+est AS (
+  SELECT id_a, id_b,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, 16), i ->
+                  CASE WHEN sa.sig[i] = sb.sig[i] THEN CAST(1 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END)),
+              (a, x) -> a + x) AS DOUBLE) / 16 AS est_jaccard
+  FROM cand JOIN sig sa ON sa.id = cand.id_a JOIN sig sb ON sb.id = cand.id_b
+)
+SELECT id_a, id_b, round(est_jaccard, 6) + 0.0 AS est_jaccard
+FROM est WHERE est_jaccard >= 0.25
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_vector_indexer_spark.operators.dedup import minhash_near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -445,7 +524,10 @@ QUERIES: dict[str, QuerySpec] = {
     # approximate / model-backed: rows-only driver check
     "q_knn_lsh": QuerySpec(q_knn_lsh, None, "BucketedRandomProjectionLSH approx kNN"),
     "q_knn_ivf": QuerySpec(q_knn_ivf, None, "IVF (KMeans cells) approx kNN"),
-    "q_dedup_minhash": QuerySpec(q_dedup_minhash, None, "MinHashLSH near-dup pairs"),
+    "q_dedup_minhash": QuerySpec(q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "q_dedup_minhash_mllib": QuerySpec(
+        q_dedup_minhash_mllib, None, "MLlib MinHashLSH near-dup pairs"
+    ),
     "q_embed_local": QuerySpec(q_embed_local, None, "MLlib TF-IDF embeddings"),
     "q_embed_pipeline": QuerySpec(
         q_embed_pipeline, None, "clean->chunk->batched embed->validate pipeline"

@@ -304,3 +304,63 @@ def test_embedding_near_dup_requires_dim_without_block_col(spark):
     df, _ = _planted_corpus(spark, n_base=5, n_dup=0)
     with pytest.raises(ValueError, match="dim"):
         embedding_near_dup_pairs(df, threshold=0.9, block_col=None)
+
+
+# --- portable MinHash (round-3) --------------------------------------------
+
+
+def _py_minhash_sig(text: str, k: int = 16, n: int = 2) -> list[int]:
+    """Independent pure-Python oracle for minhash_signature_df."""
+    M = 2147483647
+    words = [w for w in text.strip().split() if w]
+    shingles = {
+        " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+    } if len(words) >= n else set()
+    hashes = []
+    for s in shingles:
+        h = 0
+        for ch in s:
+            h = (h * 131 + ord(ch)) % M
+        hashes.append(h)
+    return [
+        min((((2 * i + 1) * 104729 % M) * x + (7919 * i + 13) % M) % M for x in hashes)
+        for i in range(k)
+    ]
+
+
+def test_minhash_signature_matches_python_oracle(spark):
+    from document_vector_indexer_spark.operators.dedup import minhash_signature_df
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: list(r.sig) for r in minhash_signature_df(df).collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == _py_minhash_sig(text), f"doc {doc_id}"
+
+
+def test_minhash_portable_recall_on_planted_dups(spark):
+    """Docs sharing most shingles must collide in >=1 band and pass the
+    estimate filter; unrelated docs must not pair at a high threshold."""
+    from document_vector_indexer_spark.operators.dedup import minhash_portable_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base + "one extra tail phrase"
+    rows = [(1, base), (2, near), (3, "совершенно другой текст без общих слов вообще"),
+            (4, "yet another fully disjoint document about spark engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.est_jaccard
+           for r in minhash_portable_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 0.5
+    assert all(p == (1, 2) for p in got), f"false pairs: {got}"
+
+
+def test_minhash_portable_rejects_bad_band_split(spark):
+    from document_vector_indexer_spark.operators.dedup import minhash_portable_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_portable_pairs(df, bands=5)  # 5 does not divide k=16
