@@ -597,3 +597,71 @@ def embedding_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by min-label
+    propagation — the step that turns pairwise dedup output into
+    clusters with a canonical survivor (component = min doc id).
+
+    Each round: every vertex takes the min of its own label and its
+    neighbors' labels (one shuffle: labels joined to the edge list,
+    one aggregation). Converges in O(component diameter) rounds;
+    near-dup components are cliques or short chains (a dup group
+    collides in the same buckets), so a handful of rounds suffice at
+    any corpus scale. ``localCheckpoint`` truncates lineage per round
+    so the plan does not grow with iterations. For adversarial
+    long-chain graphs the large-star/small-star variant halves
+    diameters per round; near-dup graphs do not need it.
+
+    Deterministic (min is order-insensitive), hence oracle-checkable
+    against a recursive-CTE transitive closure on small inputs.
+
+    Returns (id, component) for every vertex in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - defensive
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    return labels

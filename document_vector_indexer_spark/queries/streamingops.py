@@ -114,10 +114,52 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch analog: purchases attributed
+    to the same user's clicks within 30 minutes, rolled up per user.
+    The same attribution_join runs as a true watermarked stream-stream
+    join in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from document_vector_indexer_spark.streaming.windows import attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_attr"),
+            F.countDistinct("click_ts").alias("n_clicks_attr"),
+            (F.sum(F.rint(F.col("purchase_value") * 100).cast("long")).cast("double") / 100.0
+             ).alias("attr_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_STREAM_JOIN = """
+SELECT c.user_id, count(*) AS n_attr,
+       count(DISTINCT c.ts) AS n_clicks_attr,
+       CAST(sum(CAST(round(p.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS attr_value
+FROM events c
+JOIN events p ON p.user_id = c.user_id
+  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '30 minutes'
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY c.user_id ORDER BY c.user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_stream_tumbling": QuerySpec(q_stream_tumbling, SQL_STREAM_TUMBLING),
     "q_stream_sliding": QuerySpec(q_stream_sliding, SQL_STREAM_SLIDING),
     "q_stream_session": QuerySpec(q_stream_session, SQL_STREAM_SESSION),
+    "q_stream_join": QuerySpec(
+        q_stream_join, SQL_STREAM_JOIN, "interval attribution join (batch analog)"
+    ),
     "q_stream_stateful": QuerySpec(
         q_stream_stateful,
         SQL_STREAM_STATEFUL,

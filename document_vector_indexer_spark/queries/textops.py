@@ -357,6 +357,148 @@ FROM documents
 """
 
 
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold train/val/test assignment
+    (operators/trainprep.hash_split): per-(split, lang) doc counts and
+    token totals — the auditable split manifest. Map-side assignment;
+    the only shuffle is the final small aggregation."""
+    from document_vector_indexer_spark.operators.trainprep import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = hash_split(docs, id_col="doc_id", salt="split")
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(TX.word_tokens(F.col("text")))).alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# Mirrors trainprep.portable_hash_fraction: char-fold of 'split:doc_id'
+# mod M31, three Lehmer rounds (x48271 mod M31), over M31; thresholds at
+# the cumulative weights 0.8 / 0.9.
+SQL_SAMPLE_SPLIT = """
+WITH f AS (
+  SELECT lang, text,
+         CAST((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, length(s)),
+                               i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+              (a, c) -> (a * 131 + c) % 2147483647)
+              * 48271 % 2147483647)
+              * 48271 % 2147483647)
+              * 48271 % 2147483647) AS DOUBLE)
+           / 2147483647 AS frac
+  FROM (SELECT lang, text, 'split:' || CAST(doc_id AS VARCHAR) AS s
+        FROM documents)
+),
+assigned AS (
+  SELECT lang, text,
+         CASE WHEN frac < 0.8 THEN 'train'
+              WHEN frac < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM f
+)
+SELECT split, lang, count(*) AS n_docs,
+       sum(len(list_filter(string_split_regex(regexp_replace(text,
+             '^\\s+|\\s+$', '', 'g'), '\\s+'), x -> x <> ''))) AS n_tokens
+FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/trainprep.pack_sequences): per-pack
+    manifest — docs, tokens, straddle count — for 512-token packs over
+    per-source streams ordered by doc_id."""
+    from document_vector_indexer_spark.operators.trainprep import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs,
+        context_len=512,
+        token_col=F.size(TX.word_tokens(F.col("text"))),
+        order_col="doc_id",
+        part_col="source",
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("n_tokens"),
+            F.sum(F.col("straddles").cast("long")).alias("n_straddle"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split_regex(regexp_replace(text,
+               '^\\s+|\\s+$', '', 'g'), '\\s+'), x -> x <> '')) AS BIGINT)
+           AS tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, tokens,
+         COALESCE(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_before
+  FROM toks
+)
+SELECT source || ':' || CAST(cum_before // 512 AS VARCHAR) AS pack_id,
+       count(*) AS n_docs, sum(tokens) AS n_tokens,
+       sum(CASE WHEN cum_before % 512 + tokens > 512 THEN 1 ELSE 0 END)
+         AS n_straddle
+FROM packed GROUP BY 1 ORDER BY 1
+"""
+
+
+def repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram repetition ratio per doc
+    (operators/trainprep.repetition_ratio): the boilerplate/degenerate-
+    repetition quality signal. Tokenize behind the exchange barrier
+    (lambda-boundary CSE), ratio map-side."""
+    from document_vector_indexer_spark.operators.trainprep import (
+        repetition_ratio_from_words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words_df = docs.repartition(F.col("doc_id")).select(
+        "doc_id", TX.word_tokens(F.col("text")).alias("words")
+    )
+    return words_df.select(
+        "doc_id",
+        (F.round(repetition_ratio_from_words(F.col("words"), n=2), 6) + 0.0).alias(
+            "rep_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(text,
+           '^\\s+|\\s+$', '', 'g'), '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 2 THEN
+           list_transform(generate_series(1, len(words) - 1),
+                          i -> words[i] || ' ' || words[i+1])
+         ELSE [] END AS grams
+  FROM w
+)
+SELECT doc_id,
+       round(CASE WHEN len(grams) > 0 THEN
+         1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+       END, 6) + 0.0 AS rep_ratio
+FROM g ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_chunk_topk": QuerySpec(
         flagship_chunk_topk,
@@ -386,5 +528,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q_token_count": QuerySpec(
         token_counts, SQL_TOKEN_COUNTS, "whitespace + BPE-ish token counts"
+    ),
+    "q_sample_split": QuerySpec(
+        sample_split, SQL_SAMPLE_SPLIT, "deterministic hash train/val/test split"
+    ),
+    "q_pack_sequences": QuerySpec(
+        pack_sequences_q, SQL_PACK_SEQUENCES, "512-token sequence packing manifest"
+    ),
+    "q_repetition": QuerySpec(
+        repetition_q, SQL_REPETITION, "duplicate-bigram repetition quality signal"
     ),
 }

@@ -475,6 +475,55 @@ def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(docs, threshold=0.3)
 
 
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: portable-MinHash candidate pairs -> connected
+    components (operators/dedup.connected_components, min-label
+    propagation) -> per-doc cluster assignment with the canonical
+    survivor (component = min doc id) and cluster size. This is the
+    step that turns pairwise dedup output into the keep/drop decision a
+    training pipeline actually executes."""
+    from document_vector_indexer_spark.operators.dedup import (
+        connected_components,
+        minhash_portable_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_portable_pairs(docs, threshold=0.25)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select("id", "component", "cluster_size",
+                (F.col("id") == F.col("component")).alias("survivor"))
+        .orderBy("id")
+    )
+
+
+# Transitive closure of the minhash pair graph by recursive CTE
+# (min-reachable-label == component id). The pair set is exactly
+# SQL_DEDUP_MINHASH's result.
+SQL_DEDUP_CLUSTER = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT c.id, c.component, s.cluster_size,
+       c.id = c.component AS survivor
+FROM comp c JOIN sizes s USING (component)
+ORDER BY c.id
+"""
+
+
 def q_embed_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_vector_indexer_spark.operators.embedding import embed_local
 
@@ -525,6 +574,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_knn_lsh": QuerySpec(q_knn_lsh, None, "BucketedRandomProjectionLSH approx kNN"),
     "q_knn_ivf": QuerySpec(q_knn_ivf, None, "IVF (KMeans cells) approx kNN"),
     "q_dedup_minhash": QuerySpec(q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "q_dedup_cluster": QuerySpec(q_dedup_cluster, SQL_DEDUP_CLUSTER),
     "q_dedup_minhash_mllib": QuerySpec(
         q_dedup_minhash_mllib, None, "MLlib MinHashLSH near-dup pairs"
     ),

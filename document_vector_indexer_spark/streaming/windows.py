@@ -86,6 +86,40 @@ def session_aggregates(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 # ---------------------------------------------------------------------------
 # Structured Streaming harness
 
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Interval (attribution) join: every purchase by the same user
+    with click.ts <= purchase.ts < click.ts + horizon, credited to the
+    click. Works identically on batch frames and on watermarked streams
+    — this is Structured Streaming's stream-stream inner join with a
+    time-range condition, where the watermark + horizon jointly bound
+    the join state the engine must retain (state eviction is exactly
+    why the horizon must be finite at 100 TB/day event volumes).
+
+    Returns one row per (click, purchase) pair; aggregate downstream.
+    """
+    c = clicks.select(
+        F.col("user_id"), F.col("ts").alias("click_ts")
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        [
+            c.user_id == p.p_user,
+            p.purchase_ts >= c.click_ts,
+            p.purchase_ts < c.click_ts + F.expr(f"INTERVAL {horizon}"),
+        ],
+        "inner",
+    ).drop("p_user")
+
+
 # events.parquet stores ts as INT64 TIMESTAMP(NANOS); streams need an
 # explicit schema, so we read nanos as long and convert (same
 # truncation as io._load_events).

@@ -65,3 +65,37 @@ def test_dedup_within_watermark(spark):
     n_batch = load_table(spark, SF_DIR, "events").count()
     # event_id is unique in the corpus -> dedup must be lossless
     assert int(got["count"].iloc[0]) == n_batch
+
+
+def test_interval_join_batch_stream_parity(spark):
+    """attribution_join as a TRUE stream-stream inner join: both sides
+    watermarked readStreams, time-range condition bounds the state,
+    append output — must equal the batch frame pair-for-pair."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = W.attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).select(
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("c"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("p"),
+    ).toPandas()
+
+    s1 = W.read_events_stream(spark, SF_DIR).withWatermark("ts", "2 hours")
+    s2 = W.read_events_stream(spark, SF_DIR).withWatermark("ts", "2 hours")
+    joined = W.attribution_join(
+        s1.filter(F.col("event_type") == "click"),
+        s2.filter(F.col("event_type") == "purchase"),
+    ).select(
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("c"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("p"),
+    )
+    W.run_stream_to_memory(joined, "t_interval_join", output_mode="append")
+    got = spark.sql("SELECT * FROM t_interval_join").toPandas()
+    assert len(got) > 0, "stream-stream join emitted nothing"
+    pd.testing.assert_frame_equal(
+        _normalize(got), _normalize(batch), check_dtype=False
+    )

@@ -1,0 +1,125 @@
+"""Direct tests for operators/trainprep.py and
+operators/dedup.connected_components (round-3 additions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_vector_indexer_spark.operators.dedup import connected_components
+from document_vector_indexer_spark.operators.trainprep import (
+    hash_split,
+    pack_sequences,
+    portable_hash_fraction,
+    repetition_ratio,
+)
+
+
+# --- connected components --------------------------------------------------
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_cc_chain_converges_to_min_label(spark):
+    # 1-2-3-4-5 chain: diameter 4, needs several propagation rounds
+    comp = connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    got = {r.id: r.component for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_cc_multiple_components_and_cliques(spark):
+    edges = [(10, 11), (11, 12), (10, 12),  # clique
+             (20, 25),                       # pair
+             (30, 31), (31, 32)]             # chain
+    got = {r.id: r.component for r in connected_components(_pairs(spark, edges)).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 25: 20, 30: 30, 31: 30, 32: 30}
+
+
+def test_cc_is_order_insensitive(spark):
+    edges = [(5, 1), (4, 5), (2, 4)]
+    reversed_edges = [(b, a) if a > b else (a, b) for a, b in edges[::-1]]
+    a = {(r.id, r.component) for r in connected_components(_pairs(spark, edges)).collect()}
+    b = {(r.id, r.component)
+         for r in connected_components(_pairs(spark, reversed_edges)).collect()}
+    assert a == b
+
+
+# --- hash split ------------------------------------------------------------
+
+
+def test_hash_split_is_stable_and_partition_independent(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    one = {r.doc_id: r.split for r in hash_split(df).collect()}
+    again = {r.doc_id: r.split
+             for r in hash_split(df.repartition(13, "doc_id")).collect()}
+    assert one == again  # pure function of id, not of layout
+
+
+def test_hash_split_proportions_and_salt_decorrelation(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    counts = {r.split: r.n for r in
+              hash_split(df).groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+    assert 0.06 <= counts["val"] / 2000 <= 0.14
+    assert 0.06 <= counts["test"] / 2000 <= 0.14
+    # a different salt must reassign a nontrivial fraction
+    a = {r.doc_id: r.split for r in hash_split(df, salt="a").collect()}
+    b = {r.doc_id: r.split for r in hash_split(df, salt="b").collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > 100
+
+
+def test_hash_fraction_range(spark):
+    df = spark.range(500).select(
+        portable_hash_fraction(F.col("id"), salt="t").alias("f")
+    )
+    mn, mx = df.agg(F.min("f"), F.max("f")).first()
+    assert 0.0 <= mn and mx < 1.0
+
+
+# --- sequence packing ------------------------------------------------------
+
+
+def test_pack_sequences_offsets_and_straddles(spark):
+    rows = [("s", 1, 100), ("s", 2, 300), ("s", 3, 200), ("s", 4, 600), ("s", 5, 50)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, tok long")
+    out = {r.doc_id: (r.pack_id, r.pack_offset, r.straddles)
+           for r in pack_sequences(df, 512, "tok").collect()}
+    # cum_before: 0, 100, 400, 600, 1200
+    assert out[1] == ("s:0", 0, False)
+    assert out[2] == ("s:0", 100, False)
+    assert out[3] == ("s:0", 400, True)     # 400+200 crosses 512
+    assert out[4] == ("s:1", 88, True)      # 600%512=88, +600 crosses
+    assert out[5] == ("s:2", 176, False)    # 1200%512=176
+    # conservation: total tokens unchanged by assignment
+    assert sum(r[-1] for r in rows) == 1250
+
+
+def test_pack_sequences_streams_are_independent(spark):
+    rows = [("a", 1, 500), ("b", 1, 500), ("a", 2, 500), ("b", 2, 500)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, tok long")
+    out = {(r.source, r.doc_id): r.pack_id
+           for r in pack_sequences(df, 512, "tok").collect()}
+    assert out[("a", 1)] == "a:0" and out[("b", 1)] == "b:0"
+    assert out[("a", 2)] == "a:0" and out[("b", 2)] == "b:0"  # 500 < 512
+
+
+# --- repetition ratio ------------------------------------------------------
+
+
+def test_repetition_ratio_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),   # bigrams: ab ba ab ba ab -> 2 distinct / 5
+         (2, "all words totally different here"),
+         (3, "one"),          # no bigrams -> NULL
+         (4, "x x x x")],     # bigrams: xx xx xx -> 1/3
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.r for r in df.select(
+        "doc_id", F.round(repetition_ratio("text"), 6).alias("r")).collect()}
+    assert got[1] == pytest.approx(1 - 2 / 5)
+    assert got[2] == 0.0
+    assert got[3] is None
+    assert got[4] == pytest.approx(1 - 1 / 3)
