@@ -137,3 +137,38 @@ def fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % F.lit(FP_MOD).cast("long"),
     )
+
+
+def vocab_topk(
+    df,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus vocabulary: top-``k`` words by document frequency (ties
+    broken by total occurrences, then the word itself — a total order,
+    so the cut at ``k`` is deterministic). The tokenizer-vocabulary /
+    stopword-discovery pass of a corpus build.
+
+    Scale shape: tokenize behind the Exchange barrier (lambda-boundary
+    CSE), explode, then ONE word-keyed aggregation computing both
+    counts — ``count_distinct(id)`` runs as a partial-agg expand, never
+    a second pass over the corpus — and a TakeOrdered for the top-k
+    (no global sort). Word keys are zipf-skewed; the partial (map-side)
+    aggregation absorbs the hot keys before the shuffle.
+
+    Returns (word, n_docs, n_occur) with exactly ``k`` rows (fewer only
+    if the vocabulary itself is smaller)."""
+    from pyspark.sql import functions as F
+
+    words = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("_id"), TX.word_tokens(F.col(text_col)).alias("words")
+    )
+    exploded = words.select("_id", F.explode("words").alias("word"))
+    agg = exploded.groupBy("word").agg(
+        F.countDistinct("_id").alias("n_docs"),
+        F.count("*").alias("n_occur"),
+    )
+    return agg.orderBy(
+        F.col("n_docs").desc(), F.col("n_occur").desc(), F.col("word")
+    ).limit(k)

@@ -120,6 +120,124 @@ def pack_sequences(
     )
 
 
+def word_ngrams(words: Column, n: int) -> Column:
+    """Ordered word n-grams (array<string>) from a MATERIALIZED words
+    array; empty array when the doc has fewer than ``n`` words. Same
+    lambda-CSE contract as ``repetition_ratio_from_words``: bulk
+    callers must put an Exchange (or a multi-referenced alias) between
+    tokenization and this expression or the tokenizer re-evaluates per
+    element."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_hits(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for each training doc sharing at
+    least one word ``n``-gram with the benchmark corpus, report how
+    many of its distinct n-grams are contaminated — the standard
+    test-set-leakage sweep run before pretraining (13-grams on web
+    documents; proportionally shorter for short docs).
+
+    Scale shape: the benchmark side is tiny compared to the corpus
+    (thousands of eval rows vs billions of train docs), so its distinct
+    n-gram set is BROADCAST and the probe is a map-side hash join over
+    the exploded train n-grams — no shuffle of train data at all except
+    the final per-doc count keyed by ``id_col``. The train tokenizer
+    sits behind the usual Exchange barrier (lambda-boundary CSE).
+
+    Returns (``id_col``, n_contaminated, n_grams) for flagged docs only.
+    """
+    btext = bench_text_col or text_col
+    bench_words = bench_df.select(TX.word_tokens(F.col(btext)).alias("words"))
+    bench_grams = (
+        bench_words.select(
+            F.explode(F.array_distinct(word_ngrams(F.col("words"), n))).alias("gram")
+        )
+        .distinct()
+    )
+    words_df = df.repartition(F.col(id_col)).select(
+        F.col(id_col), TX.word_tokens(F.col(text_col)).alias("words")
+    )
+    dg = words_df.select(
+        id_col, F.array_distinct(word_ngrams(F.col("words"), n)).alias("dg")
+    )
+    exploded = dg.select(
+        id_col, F.size("dg").alias("_ng"), F.explode("dg").alias("gram")
+    )
+    return (
+        exploded.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.max("_ng").cast("long").alias("n_grams"),
+        )
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    weight_expr: Column,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic down-sampling to a target source mixture — the
+    data-mixing step that turns raw per-source volumes into the
+    proportions a training run wants (e.g. up-weight books, down-weight
+    boilerplate web).
+
+    Given per-source target weights (``weight_expr``, any expression
+    over ``source_col``), the largest achievable mixture keeps
+    T = min_s(n_s / p_s) total docs (p_s = normalized weight): every
+    source s keeps rate_s = p_s * T / n_s of its docs, chosen per doc
+    by the portable hash fraction — so membership is a pure function of
+    (salt, id): stable across runs, partitionings, and corpus growth,
+    and the whole selection is auditable after the fact.
+
+    Scale shape: one tiny per-source count aggregation, two scalar
+    aggregates over that #sources-row frame joined back via broadcast
+    (never a window over an unpartitioned big frame), then a map-side
+    filter on the corpus — the only full shuffle is the count.
+
+    Returns ``df``'s kept rows plus (_n_source, _rate) bookkeeping
+    columns (callers aggregate their own manifest).
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n_source"))
+    wdf = counts.withColumn("_wt", weight_expr)
+    tot = wdf.agg(F.sum("_wt").alias("_sw"))
+    caps = (
+        wdf.crossJoin(F.broadcast(tot))
+        .withColumn("_p", F.col("_wt") / F.col("_sw"))
+        .withColumn("_cap", F.col("_n_source") / F.col("_p"))
+    )
+    t = caps.agg(F.min("_cap").alias("_T"))
+    rates = (
+        caps.crossJoin(F.broadcast(t))
+        .withColumn(
+            "_rate",
+            F.least(F.lit(1.0), F.col("_p") * F.col("_T") / F.col("_n_source")),
+        )
+        .select(source_col, "_n_source", "_rate")
+    )
+    frac = portable_hash_fraction(F.col(id_col), salt=salt)
+    return df.join(F.broadcast(rates), source_col).filter(frac < F.col("_rate"))
+
+
 def repetition_ratio_from_words(words: Column, n: int = 2) -> Column:
     """Within-document repetition: 1 - distinct/total word n-grams —
     the duplicate-n-gram-fraction quality signal (high values flag

@@ -499,6 +499,160 @@ FROM g ORDER BY doc_id
 """
 
 
+# DuckDB fragments shared by the trainprep-derived queries below.
+# Portable hash fraction (mirrors trainprep.portable_hash_fraction):
+# char-fold of the salted key mod M31, three Lehmer rounds, over M31.
+def _duck_frac(s_expr: str) -> str:
+    return f"""CAST((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, length({s_expr})),
+                               i -> CAST(ascii(substr({s_expr}, i, 1)) AS BIGINT))),
+              (a, c) -> (a * 131 + c) % 2147483647)
+              * 48271 % 2147483647)
+              * 48271 % 2147483647)
+              * 48271 % 2147483647) AS DOUBLE) / 2147483647"""
+
+
+# Word tokenization identical to the oracled queries above.
+_DUCK_WORDS = (
+    "list_filter(string_split_regex(regexp_replace({col}, "
+    "'^\\s+|\\s+$', '', 'g'), '\\s+'), x -> x <> '')"
+)
+
+
+def _duck_ngrams(n: int, words: str = "w") -> str:
+    """DuckDB ordered word n-grams over a list column (1-based)."""
+    parts = " || ' ' || ".join(
+        f"{words}[i]" if j == 0 else f"{words}[i+{j}]" for j in range(n)
+    )
+    return f"list_transform(generate_series(1, len({words}) - {n - 1}), i -> {parts})"
+
+
+DECON_N = 5  # docs here are 15-100 words; web-scale sweeps use 13-grams
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/trainprep.contamination_hits):
+    split the corpus deterministically, then flag train docs sharing any
+    word 5-gram with the held-out test split — test-set leakage found
+    via a broadcast of the benchmark n-gram set, map-side probe, one
+    doc-keyed count shuffle."""
+    from document_vector_indexer_spark.operators.trainprep import (
+        contamination_hits,
+        hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = hash_split(docs, id_col="doc_id", salt="split")
+    train = assigned.filter(F.col("split") == "train")
+    test = assigned.filter(F.col("split") == "test")
+    return contamination_hits(train, test, n=DECON_N).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = f"""
+WITH f AS (
+  SELECT doc_id, text, {_duck_frac("s")} AS frac
+  FROM (SELECT doc_id, text, 'split:' || CAST(doc_id AS VARCHAR) AS s
+        FROM documents)
+),
+assigned AS (
+  SELECT doc_id, text,
+         CASE WHEN frac < 0.8 THEN 'train'
+              WHEN frac < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM f
+),
+tw AS (
+  SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w
+  FROM assigned WHERE split = 'train'
+),
+bw AS (
+  SELECT {_DUCK_WORDS.format(col="text")} AS w
+  FROM assigned WHERE split = 'test'
+),
+bg AS (SELECT DISTINCT unnest({_duck_ngrams(DECON_N)}) AS gram FROM bw),
+tg AS (SELECT doc_id, list_distinct({_duck_ngrams(DECON_N)}) AS dg FROM tw),
+te AS (SELECT doc_id, len(dg) AS n_grams, unnest(dg) AS gram FROM tg)
+SELECT te.doc_id, count(*) AS n_contaminated,
+       CAST(max(n_grams) AS BIGINT) AS n_grams
+FROM te JOIN bg USING (gram)
+GROUP BY te.doc_id ORDER BY te.doc_id
+"""
+
+
+def mix_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source mixing (operators/trainprep.mix_sources):
+    down-sample to the largest achievable corpus matching target
+    weights 1 + (source_index mod 3) — per-source manifest of kept
+    docs/tokens and the applied rate. Weights are integer-valued so the
+    normalizing double sum is exact (order-insensitive) in any engine."""
+    from document_vector_indexer_spark.operators.trainprep import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = 1.0 + (F.substring(F.col("source"), 4, 8).cast("long") % 3).cast("double")
+    kept = mix_sources(docs, wt, source_col="source", id_col="doc_id", salt="mix")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.max("_n_source").alias("n_total"),
+            F.count("*").alias("n_kept"),
+            F.sum(F.size(TX.word_tokens(F.col("text")))).alias("n_tokens"),
+            F.max(F.floor(F.col("_rate") * 1e6)).cast("long").alias("rate_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_MIX_SOURCES = f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n,
+         1.0 + CAST(CAST(substr(source, 4) AS BIGINT) % 3 AS DOUBLE) AS wt
+  FROM counts
+),
+caps AS (
+  SELECT source, n, wt / (SELECT sum(wt) FROM w) AS p,
+         n / (wt / (SELECT sum(wt) FROM w)) AS cap
+  FROM w
+),
+rates AS (
+  SELECT source, n,
+         least(1.0, p * (SELECT min(cap) FROM caps) / n) AS rate
+  FROM caps
+),
+kept AS (
+  SELECT d.source, d.text, r.n, r.rate
+  FROM documents d JOIN rates r USING (source)
+  WHERE {_duck_frac("'mix:' || CAST(d.doc_id AS VARCHAR)")} < r.rate
+)
+SELECT source, max(n) AS n_total, count(*) AS n_kept,
+       sum(len({_DUCK_WORDS.format(col="text")})) AS n_tokens,
+       CAST(max(floor(rate * 1000000)) AS BIGINT) AS rate_ppm
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
+def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (operators/textanalysis.vocab_topk): top-100
+    words by document frequency — one word-keyed aggregation + a
+    TakeOrdered, no global sort."""
+    from document_vector_indexer_spark.operators.textanalysis import vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=100)
+
+
+SQL_VOCAB_TOPK = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_DUCK_WORDS.format(col="text")}) AS word
+  FROM documents
+)
+SELECT word, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occur
+FROM w GROUP BY word
+ORDER BY n_docs DESC, n_occur DESC, word
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_chunk_topk": QuerySpec(
         flagship_chunk_topk,
@@ -537,5 +691,18 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q_repetition": QuerySpec(
         repetition_q, SQL_REPETITION, "duplicate-bigram repetition quality signal"
+    ),
+    "q_decontaminate": QuerySpec(
+        decontaminate,
+        SQL_DECONTAMINATE,
+        "train/test 5-gram overlap sweep (benchmark decontamination)",
+    ),
+    "q_mix_sources": QuerySpec(
+        mix_sources_q,
+        SQL_MIX_SOURCES,
+        "deterministic weighted source-mixture down-sampling manifest",
+    ),
+    "q_vocab_topk": QuerySpec(
+        vocab_topk_q, SQL_VOCAB_TOPK, "top-100 vocabulary by document frequency"
     ),
 }

@@ -559,8 +559,70 @@ def q_embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (functions/vector.py):
+    per-vector scale = max|v|/127, half-away rounding via exact floor
+    arithmetic, manifest of integer-only invariants (code sum, L1,
+    saturation count) plus floor(scale*1e9) — every output column is
+    either an exact integer or an exact floor, so the driver hash is
+    stable across engines. The scale sits in its own projection so the
+    max-abs aggregate is not re-derived per element inside the
+    quantize lambda (lambda-boundary CSE)."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(F.col("vec_id"))
+    vs = emb.select("vec_id", V.to_double("embedding").alias("v")).select(
+        "vec_id", "v", V.quant_scale_int8(F.col("v")).alias("scale")
+    )
+    q = vs.select(
+        "vec_id",
+        "scale",
+        V.quantize_int8(F.col("v"), F.col("scale")).alias("qv"),
+    )
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        F.floor(F.col("scale") * F.lit(1e9)).cast("long").alias("scale_ppb"),
+        F.aggregate(F.col("qv"), zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: F.abs(x)), zero, lambda a, x: a + x
+        ).alias("q_l1"),
+        F.size(F.filter(F.col("qv"), lambda x: F.abs(x) == 127))
+        .cast("long")
+        .alias("n_sat"),
+    ).orderBy("vec_id")
+
+
+SQL_VEC_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CASE
+           WHEN scale = 0 THEN CAST(0 AS BIGINT)
+           WHEN x >= 0 THEN CAST(floor(x / scale + 0.5) AS BIGINT)
+           ELSE -CAST(floor(-x / scale + 0.5) AS BIGINT) END) AS qv
+  FROM s
+)
+SELECT vec_id,
+       CAST(floor(scale * 1e9) AS BIGINT) AS scale_ppb,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum') AS BIGINT) AS q_l1,
+       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+FROM q ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_vec_cosine": QuerySpec(q_vec_cosine, SQL_VEC_COSINE),
+    "q_vec_quantize": QuerySpec(
+        q_vec_quantize, SQL_VEC_QUANTIZE, "int8 symmetric embedding quantization"
+    ),
     "q_vec_norm": QuerySpec(q_vec_norm, SQL_VEC_NORM),
     "q_vec_dim_check": QuerySpec(q_vec_dim_check, SQL_VEC_DIM_CHECK),
     "q_knn_brute": QuerySpec(q_knn_brute, SQL_KNN_BRUTE),

@@ -123,3 +123,152 @@ def test_repetition_ratio_known_values(spark):
     assert got[2] == 0.0
     assert got[3] is None
     assert got[4] == pytest.approx(1 - 1 / 3)
+
+
+# --- contamination ---------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_finds_planted_overlap(spark):
+    from document_vector_indexer_spark.operators.trainprep import contamination_hits
+
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains the bench 5-gram
+            (2, "totally unrelated words here only now"),
+            (3, "alpha beta gamma delta epsilon"),  # exactly the bench 5-gram
+        ],
+    )
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    got = {
+        r.doc_id: (r.n_contaminated, r.n_grams)
+        for r in contamination_hits(train, bench, n=5).collect()
+    }
+    # doc 1 has 2 distinct 5-grams, 1 contaminated; doc 3 has 1 of 1
+    assert got == {1: (1, 2), 3: (1, 1)}
+
+
+def test_contamination_short_docs_have_no_grams(spark):
+    from document_vector_indexer_spark.operators.trainprep import contamination_hits
+
+    train = _docs(spark, [(1, "too short"), (2, "a b c d")])
+    bench = _docs(spark, [(100, "too short"), (101, "a b c d")])
+    assert contamination_hits(train, bench, n=5).count() == 0
+
+
+def test_word_ngrams_edge_sizes(spark):
+    from document_vector_indexer_spark.operators.trainprep import word_ngrams
+    from document_vector_indexer_spark.functions import text as TX
+
+    df = _docs(spark, [(1, "a b c"), (2, "a b"), (3, "")]).select(
+        "doc_id", TX.word_tokens(F.col("text")).alias("w")
+    )
+    got = {r.doc_id: r.g for r in df.select("doc_id", word_ngrams(F.col("w"), 2).alias("g")).collect()}
+    assert got == {1: ["a b", "b c"], 2: ["a b"], 3: []}
+
+
+# --- source mixing ---------------------------------------------------------
+
+
+def test_mix_sources_hits_target_mixture(spark):
+    from document_vector_indexer_spark.operators.trainprep import mix_sources
+
+    rows = []
+    # 3 sources with very different volumes: 600 / 300 / 100 docs
+    for i in range(600):
+        rows.append((i, "web"))
+    for i in range(300):
+        rows.append((600 + i, "books"))
+    for i in range(100):
+        rows.append((900 + i, "code"))
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # target equal thirds: the binding source is code (100 docs) -> T=300
+    wt = F.lit(1.0)
+    kept = mix_sources(df, wt).groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in kept}
+    # each source should keep ~100 docs (hash noise ~ +/- 3 sigma ~ 30)
+    for src in ("web", "books", "code"):
+        assert 70 <= got[src] <= 130, got
+    assert got["code"] == 100  # rate 1.0: binding source keeps everything
+
+
+def test_mix_sources_membership_stable_under_growth(spark):
+    from document_vector_indexer_spark.operators.trainprep import mix_sources
+
+    small = spark.createDataFrame(
+        [(i, "a") for i in range(200)] + [(1000 + i, "b") for i in range(100)],
+        "doc_id long, source string",
+    )
+    # grow source b only; a's rate (and the hash) is unchanged -> a's kept
+    # set can only shrink-or-keep via rate, never reshuffle membership
+    grown = spark.createDataFrame(
+        [(i, "a") for i in range(200)] + [(1000 + i, "b") for i in range(200)],
+        "doc_id long, source string",
+    )
+    wt = F.lit(1.0)
+    kept_small = {r.doc_id for r in mix_sources(small, wt).select("doc_id").collect()}
+    kept_grown = {r.doc_id for r in mix_sources(grown, wt).select("doc_id").collect()}
+    # a docs kept in the grown corpus (rate rose from 0.5 to 1.0) must be a
+    # superset of those kept before: per-doc fractions never move
+    a_small = {d for d in kept_small if d < 1000}
+    a_grown = {d for d in kept_grown if d < 1000}
+    assert a_small <= a_grown
+
+
+# --- int8 quantization -----------------------------------------------------
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    from document_vector_indexer_spark.functions import vector as V
+
+    df = spark.createDataFrame(
+        [(1, [0.3, -0.1, 0.05, -0.29]), (2, [1.0, 0.5, -1.0, 0.001])],
+        "vec_id long, v array<double>",
+    )
+    vs = df.select("vec_id", "v", V.quant_scale_int8(F.col("v")).alias("scale"))
+    q = vs.select(
+        "vec_id", "v", "scale", V.quantize_int8(F.col("v"), F.col("scale")).alias("qv")
+    )
+    rows = q.collect()
+    for r in rows:
+        assert all(-127 <= x <= 127 for x in r.qv)
+        # reconstruction error bound: half a quantization step
+        for orig, code in zip(r.v, r.qv):
+            assert abs(code * r.scale - orig) <= r.scale / 2 + 1e-12
+        # the max-abs element saturates by construction
+        assert max(abs(x) for x in r.qv) == 127
+
+
+def test_quantize_int8_zero_vector(spark):
+    from document_vector_indexer_spark.functions import vector as V
+
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, v array<double>")
+    vs = df.select("vec_id", "v", V.quant_scale_int8(F.col("v")).alias("scale"))
+    r = vs.select(
+        V.quantize_int8(F.col("v"), F.col("scale")).alias("qv")
+    ).collect()[0]
+    assert r.qv == [0, 0, 0]
+
+
+# --- vocabulary ------------------------------------------------------------
+
+
+def test_vocab_topk_orders_and_counts(spark):
+    from document_vector_indexer_spark.operators.textanalysis import vocab_topk
+
+    df = _docs(
+        spark,
+        [
+            (1, "the cat sat"),
+            (2, "the cat ran ran"),
+            (3, "the dog"),
+        ],
+    )
+    got = [(r.word, r.n_docs, r.n_occur) for r in vocab_topk(df, k=3).collect()]
+    # 'the' in 3 docs; 'cat' in 2; 'ran' 1 doc but 2 occurrences beats
+    # 'dog'/'sat' (1,1) on the tiebreak
+    assert got == [("the", 3, 3), ("cat", 2, 2), ("ran", 1, 2)]
