@@ -173,18 +173,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which
-    Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long
-    via the legacy conf and truncate to microseconds — the exact
-    conversion DuckDB applies when it reads the same file (verified:
-    truncation, not rounding), so both engines see identical values.
+    """Normalize ``events.ts`` to session-TZ TIMESTAMP (UTC pinned)
+    regardless of how the fixture writer stored it. Generations seen so
+    far: INT64 TIMESTAMP(NANOS) (Spark 4 rejects it outright —
+    PARQUET_TYPE_ILLEGAL — so read nanos as long via the legacy conf
+    and truncate to micros, the same truncation DuckDB applies), and
+    naive TIMESTAMP(MICROS) (surfaces as TIMESTAMP_NTZ; cast is
+    value-preserving under the UTC session TZ). TIMESTAMP rather than
+    NTZ because Structured Streaming watermarks accept only TIMESTAMP
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and batch/stream share these
+    query shapes.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -120,13 +120,14 @@ def attribution_join(
     ).drop("p_user")
 
 
-# events.parquet stores ts as INT64 TIMESTAMP(NANOS); streams need an
-# explicit schema, so we read nanos as long and convert (same
-# truncation as io._load_events).
+# events.parquet stores ts as naive TIMESTAMP(MICROS) (= TIMESTAMP_NTZ
+# to Spark); streams need an explicit schema, and watermarks accept
+# only TIMESTAMP, so read NTZ and cast (value-preserving under the
+# pinned UTC session TZ — same normalization as io._load_events).
 _RAW_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -158,9 +159,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(_RAW_STREAM_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_stream_to_memory(
