@@ -2,27 +2,56 @@
 ``Window.orderBy(...)`` with no ``partitionBy``.
 
 A global window funnels the entire table through ONE WindowExec task;
-fine at unit scale, fatal at 100 TB. The standard two-pass shape used
-here instead:
+fine at unit scale, fatal at 100 TB. The two-pass shape used here:
 
-1. ``repartitionByRange`` on the sort key (range partitioner guarantees
-   partition i's keys all sort before partition i+1's),
-2. per-partition ``row_number`` (parallel — window is partitioned by
-   ``spark_partition_id()``),
-3. per-partition counts (one tiny row per partition) -> cumulative
-   offsets on the driver-sized counts frame -> broadcast back,
-4. global rank = offset + local row number.
+1. sample the sort key ONCE (a bounded TakeOrdered job), pick
+   ``n_part - 1`` boundary tuples, and pin them into the plan as
+   LITERALS,
+2. assign each row a logical bucket id by comparing its key against
+   the literal boundaries (map-side, order-preserving: every key in
+   bucket i sorts before every key in bucket i+1),
+3. per-bucket ``row_number`` (parallel — one hash shuffle on the
+   bucket id, inserted by the window itself),
+4. per-bucket counts (one tiny row per bucket) -> cumulative offsets
+   on the driver-sized counts frame -> broadcast back,
+5. global rank = offset + local row number.
 
-Total cost: one range shuffle + one broadcast of #partitions rows —
-same order as the sort any engine would need, with no single-task
-bottleneck. ntile/percent_rank/cume_dist are then closed-form in
-(rank, total) when the sort key is unique.
+Why literal boundaries instead of ``repartitionByRange`` +
+``spark_partition_id()`` (the round-2 form): the counts branch and the
+join branch recompute their input lineage independently, and
+``RangePartitioner``'s boundary sampling is seeded with the RDD id —
+a *different* id per recomputation — so the two branches can disagree
+about which partition a row near a boundary lands in, silently
+corrupting ranks (observed at sf0.1: 88% of ranks off by small
+amounts; exchange reuse is an optimization, never a guarantee).
+Literal boundaries make the bucket id a pure function of the row's
+key, so every recomputation — under AQE, Connect, stage retry, or
+plan-branch duplication — agrees by construction.
+
+Total cost: one bounded sample job + one hash shuffle + one broadcast
+of #buckets rows — same order as the sort any engine would need, with
+no single-task bottleneck. ntile/percent_rank/cume_dist are then
+closed-form in (rank, total) when the sort key is unique.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Sampled key tuples per requested bucket: boundary placement error is
+# ~ total_rows / (n_part * _SAMPLE_PER_BUCKET), which only affects
+# balance, never correctness.
+_SAMPLE_PER_BUCKET = 128
+
+
+def _tuple_gt(cols: list[Column], bound: tuple) -> Column:
+    """Lexicographic ``(col_1, ..., col_k) > (b_1, ..., b_k)`` as a
+    column expression (Spark has no literal-struct comparison)."""
+    expr = F.lit(False)
+    for c, b in reversed(list(zip(cols, bound))):
+        expr = (c > F.lit(b)) | ((c == F.lit(b)) & expr)
+    return expr
 
 
 def global_rank(
@@ -35,8 +64,9 @@ def global_rank(
     """Append a dense 1-based global rank over ``order_cols`` plus the
     total row count, without a global single-partition window.
 
-    ``order_cols`` must be a unique key of ``df`` (ties would make the
-    rank nondeterministic — same contract as any order-based id).
+    ``order_cols`` must be a unique, non-null key of ``df`` (ties would
+    make the rank nondeterministic — same contract as any order-based
+    id).
     """
     if num_partitions is not None:
         n_part = num_partitions
@@ -49,30 +79,59 @@ def global_rank(
             n_part = int(
                 df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
             )
-    ranged = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
-    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_lrn",
-        F.row_number().over(
-            Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-        ),
+    key_cols = [F.col(c) for c in order_cols]
+
+    # Pass 0: ONE bounded sample job -> literal boundaries. md5 of the
+    # key selects a uniform pseudo-random subset via TakeOrdered
+    # (distributed, driver receives <= cap rows); key columns break md5
+    # ties so the sample itself is deterministic.
+    cap = n_part * _SAMPLE_PER_BUCKET
+    sample = (
+        df.select(*key_cols)
+        .withColumn(
+            "_h",
+            F.md5(F.concat_ws("\x1f", *[c.cast("string") for c in key_cols])),
+        )
+        .orderBy("_h", *key_cols)
+        .limit(cap)
+        .drop("_h")
+        .orderBy(*key_cols)
+        .collect()
     )
-    # counts is one row per partition — driver-sized by construction, so
+    keys = [tuple(r) for r in sample]
+    bounds = []
+    if len(keys) > 1:
+        seen = set()
+        for j in range(1, n_part):
+            b = keys[(j * len(keys)) // n_part]
+            if b not in seen:  # duplicate boundaries would make dead buckets
+                seen.add(b)
+                bounds.append(b)
+
+    bkt = F.lit(0)
+    for b in bounds:
+        bkt = bkt + _tuple_gt(key_cols, b).cast("int")
+    local = df.withColumn("_bkt", bkt).withColumn(
+        "_lrn",
+        F.row_number().over(Window.partitionBy("_bkt").orderBy(*key_cols)),
+    )
+    # counts is one row per bucket — driver-sized by construction, so
     # the single-partition cumulative window over it is bounded (this is
-    # the one allow-listed empty-partitionBy window: #rows == n_part).
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    w_ofs = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # the one allow-listed empty-partitionBy window: #rows <= n_part).
+    counts = local.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+    w_ofs = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     w_tot = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = counts.select(
-        "_pid",
+        "_bkt",
         F.coalesce(F.sum("_cnt").over(w_ofs), F.lit(0)).alias("_ofs"),
         F.sum("_cnt").over(w_tot).alias(total_col),
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), "_bkt")
         .withColumn(rank_col, F.col("_ofs") + F.col("_lrn"))
-        .drop("_pid", "_lrn", "_ofs")
+        .drop("_bkt", "_lrn", "_ofs")
     )
 
 

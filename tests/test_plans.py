@@ -216,9 +216,9 @@ def _assert_no_global_window(plan: str, name: str) -> None:
         return
     for input_line, args in _global_window_nodes(plan):
         # structural allow: ranking.py's cumulative-offsets window runs
-        # over the per-partition counts frame (#rows == #partitions by
+        # over the per-bucket counts frame (#rows <= #buckets by
         # construction — driver-sized, provably bounded)
-        if "_pid#" in input_line and "_cnt#" in input_line:
+        if "_bkt#" in input_line and "_cnt#" in input_line:
             continue
         raise AssertionError(
             f"{name}: empty-partitionBy Window over non-bounded input "

@@ -96,3 +96,51 @@ def test_global_rank_explicit_num_partitions_more_than_rows(spark):
     got = global_rank(df, ["key"], num_partitions=16)
     ranks = sorted(r._grank for r in got.collect())
     assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_global_rank_large_frame_sampled_boundaries(spark):
+    # Regression for the round-3 rank-corruption bug: at sizes where
+    # the boundary sample is a strict subset of the keys (here 8k rows
+    # vs a 4*128 cap), the old repartitionByRange form let the counts
+    # and join branches sample DIFFERENT boundaries (RangePartitioner
+    # seeds with the per-execution RDD id) and ~88% of ranks came out
+    # wrong. Literal pinned boundaries must agree across branches.
+    total = 8000
+    df = _frame(spark, total, n_part=11)
+    got = global_rank(df, ["key"], num_partitions=4)
+    want = df.withColumn("rk", F.row_number().over(Window.orderBy("key")))
+    got_rows = {(r.key, r._grank) for r in got.select("key", "_grank").collect()}
+    want_rows = {(r.key, r.rk) for r in want.collect()}
+    assert got_rows == want_rows
+
+
+def test_global_rank_multi_column_key(spark):
+    # lexicographic boundaries: first column has heavy ties, the pair
+    # is unique (the q_win_ntile shape: acctbal + custkey tiebreak)
+    df = (
+        spark.range(3000)
+        .repartition(9)
+        .select(
+            (F.col("id") % 50).alias("a"),
+            ((F.col("id") * 48271) % 2147483647).alias("b"),
+        )
+    )
+    got = global_rank(df, ["a", "b"], num_partitions=6)
+    want = df.withColumn("rk", F.row_number().over(Window.orderBy("a", "b")))
+    got_rows = {(r.a, r.b, r._grank) for r in got.select("a", "b", "_grank").collect()}
+    want_rows = {(r.a, r.b, r.rk) for r in want.collect()}
+    assert got_rows == want_rows
+
+
+def test_global_rank_string_keys(spark):
+    # md5-style string keys (the q_corpus_shuffle shape)
+    df = (
+        spark.range(2000)
+        .repartition(7)
+        .select(F.md5(F.col("id").cast("string")).alias("key"))
+    )
+    got = global_rank(df, ["key"], num_partitions=5)
+    want = df.withColumn("rk", F.row_number().over(Window.orderBy("key")))
+    got_rows = {(r.key, r._grank) for r in got.select("key", "_grank").collect()}
+    want_rows = {(r.key, r.rk) for r in want.collect()}
+    assert got_rows == want_rows
