@@ -172,3 +172,64 @@ def vocab_topk(
     return agg.orderBy(
         F.col("n_docs").desc(), F.col("n_occur").desc(), F.col("word")
     ).limit(k)
+
+
+# Gopher-style document-quality rules (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Table A1 heuristics — public paper).
+# Bounds kept as module constants so the oracle SQL can mirror them.
+GOPHER_MIN_WORDS = 20       # paper: 50; the synthetic corpus runs short
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_AVG_WORD_LEN = 3.0
+GOPHER_MAX_AVG_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1   # '#' or '...' per word
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_rules(text: Column | str) -> dict[str, Column]:
+    """Per-document Gopher quality-rule booleans plus the composite
+    ``keep`` flag (AND of all rules). Pure column expressions; a doc
+    with zero words fails every ratio rule explicitly (no NULL/NaN
+    leakage into the AND).
+
+    Returned keys: rule_word_count, rule_avg_word_len, rule_symbol,
+    rule_alpha, rule_stopwords, keep."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = TX.word_tokens(c)
+    n_words = F.size(words)
+    has_words = n_words > 0
+    word_len_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    # try_divide, not `/`: under ANSI mode (Spark 4 default) a plain
+    # division raises DIVIDE_BY_ZERO on empty docs even behind a
+    # `has_words &` guard (both AND operands are evaluated); try_divide
+    # yields NULL, and `false & NULL = false` keeps the rules
+    # fail-closed.
+    avg_len = F.try_divide(word_len_sum.cast("double"), n_words)
+    n_symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), F.lit(0)))
+    alpha_frac = F.try_divide(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double"),
+        n_words,
+    )
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(F.transform(words, F.lower), lambda w: w.isin(*STOPWORDS))
+        )
+    )
+    rules = {
+        "rule_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "rule_avg_word_len": has_words
+        & (avg_len >= GOPHER_MIN_AVG_WORD_LEN)
+        & (avg_len <= GOPHER_MAX_AVG_WORD_LEN),
+        "rule_symbol": has_words
+        & (F.try_divide(n_symbols.cast("double"), n_words) <= GOPHER_MAX_SYMBOL_RATIO),
+        "rule_alpha": has_words & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC),
+        "rule_stopwords": n_stop >= GOPHER_MIN_DISTINCT_STOPWORDS,
+    }
+    keep = None
+    for r in rules.values():
+        keep = r if keep is None else keep & r
+    rules["keep"] = keep
+    return rules

@@ -271,3 +271,93 @@ def repetition_ratio(text: Column | str, n: int = 2) -> Column:
     an Exchange (the tokenizer re-evaluates per element here)."""
     col = F.col(text) if isinstance(text, str) else text
     return repetition_ratio_from_words(TX.word_tokens(col), n=n)
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-level boilerplate-line removal (the C4/RefinedWeb line
+    hygiene pass): a line whose trimmed text occurs in more than
+    ``max_df`` distinct documents is boilerplate (nav bars, cookie
+    banners, license headers) and is dropped from every document;
+    everything else — including blank lines — is kept verbatim, order
+    preserved.
+
+    Two passes, as the semantics force (the drop set is a *corpus*
+    property):
+
+    1. explode lines -> one (trimmed-line)-keyed aggregation counting
+       distinct docs -> filter ``df > max_df``. Heavy-hitter output by
+       construction: only lines repeated across documents survive, so
+       the result is small even when the corpus is not.
+    2. collapse the drop set to ONE row holding an array, broadcast it,
+       and rewrite each document map-side with an array ``filter`` over
+       its own split lines — no explode of the corpus on the rewrite
+       side, no reassembly shuffle (the 1-row broadcast join is the
+       same pattern as queries/extras.py's scalar-aggregate join).
+
+    Scale note: the broadcast bounds this at a drop set that fits in
+    executor memory (millions of lines — fine for boilerplate whose
+    definition is "repeated"). If a pathological corpus overflows it,
+    the fallback is explode + broadcast LEFT ANTI + windowed
+    reassembly; same first pass either way.
+    """
+    strip = lambda l: F.regexp_replace(l, r"^\s+|\s+$", "")
+    lines = df.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_l"),
+    ).select("_bid", strip(F.col("_l")).alias("_k"))
+    drop_set = (
+        lines.filter(F.col("_k") != "")
+        .groupBy("_k")
+        .agg(F.count_distinct("_bid").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .agg(F.collect_list("_k").alias("_boiler"))
+    )
+    out = (
+        df.join(F.broadcast(drop_set))
+        .withColumn(
+            out_col,
+            F.array_join(
+                F.filter(
+                    F.split(F.col(text_col), "\n"),
+                    lambda l: ~F.array_contains(F.col("_boiler"), strip(l)),
+                ),
+                "\n",
+            ),
+        )
+        .drop("_boiler")
+    )
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: tuple[str, ...],
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows inside each
+    stratum by ``md5(salt:id)`` and keep the k smallest. Unlike
+    ``sampleBy`` this is exact (every stratum yields min(k, size) rows)
+    and stable across runs/partitionings — the property that makes eval
+    subsets and human-review batches reproducible.
+
+    One shuffle on the strata key. A stratum heavier than one
+    executor's window buffer bottlenecks its task; if strata are known
+    to be huge, pre-thin with ``portable_hash_fraction(id) < p`` (the
+    hash orders are aligned, so thinning then ranking yields the same
+    top-k as ranking directly whenever p retains >= k rows).
+
+    Adds ``sample_rk`` (1-based rank within the stratum)."""
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(key)
+    return (
+        df.withColumn("sample_rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rk") <= k)
+    )

@@ -1,0 +1,283 @@
+"""Corpus-hygiene queries: boilerplate-line dedup, Gopher quality
+rules, stratified sampling, deterministic corpus shuffle, JSONL
+round-trip — the pre-training data-curation surface beyond near-dup
+(SURVEY §2B north-star; none exist in the reference, whose corpus
+hygiene is delegated to whoever prepared the input PDFs).
+
+The synthetic corpus has no naturally repeated lines (each doc is one
+line of word-soup), so ``q_dedup_lines`` PLANTS boilerplate
+deterministically inside the query — same precedent as the planted
+near-dup vectors behind ``q_dedup_embed`` — and the oracle mirrors the
+construction, so the green row checks real drop behavior, not a
+vacuous 0=0.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from document_vector_indexer_spark.io import SCHEMAS, load_table
+from document_vector_indexer_spark.operators.ranking import global_rank
+from document_vector_indexer_spark.operators.textanalysis import (
+    GOPHER_MAX_AVG_WORD_LEN,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_WORD_FRAC,
+    GOPHER_MIN_AVG_WORD_LEN,
+    GOPHER_MIN_DISTINCT_STOPWORDS,
+    GOPHER_MIN_WORDS,
+    STOPWORDS,
+    gopher_rules,
+)
+from document_vector_indexer_spark.operators.trainprep import (
+    drop_boilerplate_lines,
+    stratified_sample,
+)
+from document_vector_indexer_spark.queries.base import QuerySpec
+from document_vector_indexer_spark.sources.jsonl import read_jsonl, write_jsonl
+
+# Planted boilerplate for q_dedup_lines (see module docstring).
+BOILER_A = "Subscribe to our newsletter today."
+BOILER_B = "All rights reserved."
+LINE_MAX_DF = 2
+
+
+def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic boilerplate lines appended: every
+    doc_id % 3 == 0 gets BOILER_A, % 5 == 0 gets BOILER_B, and every
+    doc gets a unique 'ref:' line that must survive the dedup.
+    concat_ws skips NULL branches, so unplanted docs gain no blank
+    lines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(BOILER_A)),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(BOILER_B)),
+            F.concat(F.lit("ref: "), F.col("doc_id").cast("string")),
+        ),
+    )
+
+
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate-line removal over the planted corpus; per-doc
+    line counts before/after + md5 of the cleaned text."""
+    planted = _planted_docs(spark, sf_dir)
+    cleaned = drop_boilerplate_lines(
+        planted, text_col="text", id_col="doc_id", max_df=LINE_MAX_DF
+    )
+    return cleaned.select(
+        "doc_id",
+        F.size(F.split("text", "\n")).cast("long").alias("n_lines_in"),
+        F.size(F.split("clean_text", "\n")).cast("long").alias("n_lines_out"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+_SQL_PLANTED = """
+planted AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text,
+                   CASE WHEN doc_id %% 3 = 0 THEN '%(a)s' END,
+                   CASE WHEN doc_id %% 5 = 0 THEN '%(b)s' END,
+                   'ref: ' || CAST(doc_id AS VARCHAR)) AS t
+  FROM documents
+)
+""" % {"a": BOILER_A, "b": BOILER_B}
+
+SQL_DEDUP_LINES = f"""
+WITH {_SQL_PLANTED},
+lines AS (
+  SELECT doc_id, regexp_replace(l, '^\\s+|\\s+$', '', 'g') AS k
+  FROM planted, unnest(string_split(t, chr(10))) AS u(l)
+),
+boiler AS (
+  SELECT k FROM lines WHERE k <> ''
+  GROUP BY k HAVING count(DISTINCT doc_id) > {LINE_MAX_DF}
+),
+barr AS (SELECT coalesce(list(k), []) AS ks FROM boiler),
+kept AS (
+  SELECT p.doc_id, p.t,
+         list_filter(string_split(p.t, chr(10)),
+                     l -> NOT list_contains(barr.ks,
+                            regexp_replace(l, '^\\s+|\\s+$', '', 'g'))) AS ls
+  FROM planted p, barr
+)
+SELECT doc_id,
+       CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines_in,
+       CAST(len(ls) AS BIGINT) AS n_lines_out,
+       md5(array_to_string(ls, chr(10))) AS clean_md5
+FROM kept
+"""
+
+
+def gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules per document: rule booleans + composite
+    keep flag (map-side column expressions only — scan-speed at any
+    scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    r = gopher_rules(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[
+            r[k].alias(k)
+            for k in (
+                "rule_word_count",
+                "rule_avg_word_len",
+                "rule_symbol",
+                "rule_alpha",
+                "rule_stopwords",
+                "keep",
+            )
+        ],
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+SQL_GOPHER_FILTER = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                        '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         list_sum(list_transform(words, x -> length(x))) AS wl_sum,
+         len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         len(list_distinct(list_filter(list_transform(words, x -> lower(x)),
+                                       x -> x IN ({_STOP_IN})))) AS n_stop
+  FROM w
+)
+SELECT doc_id,
+  n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} AS rule_word_count,
+  n_words > 0 AND wl_sum / CAST(n_words AS DOUBLE) >= {GOPHER_MIN_AVG_WORD_LEN}
+            AND wl_sum / CAST(n_words AS DOUBLE) <= {GOPHER_MAX_AVG_WORD_LEN}
+    AS rule_avg_word_len,
+  n_words > 0 AND n_symbols / CAST(n_words AS DOUBLE) <= {GOPHER_MAX_SYMBOL_RATIO}
+    AS rule_symbol,
+  n_words > 0 AND n_alpha / CAST(n_words AS DOUBLE) >= {GOPHER_MIN_ALPHA_WORD_FRAC}
+    AS rule_alpha,
+  n_stop >= {GOPHER_MIN_DISTINCT_STOPWORDS} AS rule_stopwords,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+  AND (n_words > 0 AND wl_sum / CAST(n_words AS DOUBLE) >= {GOPHER_MIN_AVG_WORD_LEN}
+                   AND wl_sum / CAST(n_words AS DOUBLE) <= {GOPHER_MAX_AVG_WORD_LEN})
+  AND (n_words > 0 AND n_symbols / CAST(n_words AS DOUBLE) <= {GOPHER_MAX_SYMBOL_RATIO})
+  AND (n_words > 0 AND n_alpha / CAST(n_words AS DOUBLE) >= {GOPHER_MIN_ALPHA_WORD_FRAC})
+  AND (n_stop >= {GOPHER_MIN_DISTINCT_STOPWORDS}) AS keep
+FROM f
+"""
+
+SAMPLE_K = 2
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-(lang, source) sample — exact and stable
+    across runs (md5 rank), unlike sampleBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, ("lang", "source"), k=SAMPLE_K, id_col="doc_id", salt="sample"
+    ).select("doc_id", "lang", "source", "sample_rk")
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS sample_rk FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source
+             ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+) WHERE rk <= {SAMPLE_K}
+"""
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order for training-data emission:
+    rank every doc by a salted md5 of its id. Uses the two-pass
+    ``global_rank`` (operators/ranking.py) — the scale-safe form of
+    ``row_number() OVER (ORDER BY ...)`` — so no single task ever sees
+    the whole corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "skey",
+        F.md5(F.concat_ws(":", F.lit("shuffle42"), F.col("doc_id").cast("string"))),
+    )
+    ranked = global_rank(
+        keyed, ["skey"], rank_col="shuffle_ord", total_col="total_docs"
+    )
+    return ranked.select(
+        "doc_id",
+        "skey",
+        F.col("shuffle_ord").cast("long").alias("shuffle_ord"),
+        F.col("total_docs").cast("long").alias("total_docs"),
+    )
+
+
+SQL_CORPUS_SHUFFLE = """
+SELECT doc_id,
+       md5('shuffle42:' || CAST(doc_id AS VARCHAR)) AS skey,
+       CAST(row_number() OVER (
+            ORDER BY md5('shuffle42:' || CAST(doc_id AS VARCHAR))) AS BIGINT)
+         AS shuffle_ord,
+       CAST(count(*) OVER () AS BIGINT) AS total_docs
+FROM documents
+"""
+
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> JSONL -> read back with explicit schema; per-row
+    value fingerprints prove the round-trip lossless (newlines and
+    unicode in ``text`` survive JSON escaping)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "dvi_jsonl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    write_jsonl(docs, dest)
+    back = read_jsonl(spark, dest, SCHEMAS["documents"])
+    return back.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q_dedup_lines": QuerySpec(
+        dedup_lines,
+        SQL_DEDUP_LINES,
+        "corpus boilerplate-line dedup (C4-style) on planted boilerplate",
+    ),
+    "q_gopher_filter": QuerySpec(
+        gopher_filter,
+        SQL_GOPHER_FILTER,
+        "Gopher quality-rule booleans + keep flag per document",
+    ),
+    "q_sample_stratified": QuerySpec(
+        sample_stratified,
+        SQL_SAMPLE_STRATIFIED,
+        "deterministic exact k-per-stratum sample",
+    ),
+    "q_corpus_shuffle": QuerySpec(
+        corpus_shuffle,
+        SQL_CORPUS_SHUFFLE,
+        "deterministic global corpus shuffle via two-pass global_rank",
+    ),
+    "q_jsonl_roundtrip": QuerySpec(
+        jsonl_roundtrip,
+        SQL_JSONL_ROUNDTRIP,
+        "JSONL sink + explicit-schema source round-trip, md5-verified",
+    ),
+}

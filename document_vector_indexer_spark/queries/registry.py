@@ -9,6 +9,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports are local so a broken module surfaces per-import and new
     # modules bolt on with one line.
     from document_vector_indexer_spark.queries import (
+        corpusops,
         extras,
         relational,
         scalarfuncs,
@@ -18,7 +19,15 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (textops, relational, scalarfuncs, vectorops, streamingops, extras):
+    for mod in (
+        textops,
+        relational,
+        scalarfuncs,
+        vectorops,
+        streamingops,
+        extras,
+        corpusops,
+    ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {sorted(overlap)}")
