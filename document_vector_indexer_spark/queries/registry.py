@@ -15,6 +15,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scalarfuncs,
         streamingops,
         textops,
+        tpch_full,
         vectorops,
     )
 
@@ -26,6 +27,7 @@ def all_queries() -> dict[str, QuerySpec]:
         vectorops,
         streamingops,
         extras,
+        tpch_full,
         corpusops,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()

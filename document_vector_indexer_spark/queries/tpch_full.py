@@ -1,0 +1,777 @@
+"""Remaining TPC-H query shapes (Q2/Q7/Q8/Q9/Q11/Q13/Q15/Q16/Q17/Q20/
+Q21/Q22), adapted to the driver's reduced star schema.
+
+The testdata has no ``partsupp`` table and lineitem carries no
+commit/receipt dates, so each query keeps the *plan shape* that makes
+the original interesting — correlated aggregate subqueries joined back
+on the group extremum (Q2/Q15/Q17), scalar-subquery thresholds (Q11/
+Q22), two-level aggregation over an outer join (Q13), non-equi EXISTS /
+NOT EXISTS (Q21), NOT-IN anti-joins with count-distinct (Q16), and
+multi-nation volume pivots (Q7/Q8/Q9) — while substituting available
+columns for the missing ones (the substitution is noted per query).
+
+Money math follows the repo-wide fixed-point rule (ROUND_NOTES.md
+"durable lessons"): sums are taken over exact cent-scaled longs
+(``rint(x*100)``) and converted to double once, at the end, so the
+driver's bit-exact value hash cannot be broken by accumulation order.
+Threshold comparisons against averages/fractions are cross-multiplied
+into pure integer predicates (e.g. ``qty*5*cnt < sum`` instead of
+``qty < 0.2*avg``) for the same reason.
+
+Scale notes (100 TB): every dimension join is broadcast; the fact-fact
+self-joins in Q21 are equi-keyed on l_orderkey (the non-equi parts ride
+as join residuals, never a cartesian); the aggregate-subquery-join-back
+pattern (Q2/Q15/Q17) reuses the grouped side's shuffle via
+ReuseExchange instead of recomputing; scalar thresholds (Q11/Q15/Q22)
+are one-row broadcasts, not driver round-trips baked into literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from document_vector_indexer_spark.io import load_table
+from document_vector_indexer_spark.queries.base import QuerySpec
+
+
+def _cents(col: F.Column) -> F.Column:
+    """Exact cent-scaled long of a 2-decimal double (repo fixed-point rule)."""
+    return F.rint(col * 100).cast("long")
+
+
+def _rev_u(prefix: str = "l_") -> F.Column:
+    """Revenue in 1e-4 fixed-point units: cents(price) * cents(1-disc)."""
+    return _cents(F.col(f"{prefix}extendedprice")) * _cents(
+        F.lit(1.0) - F.col(f"{prefix}discount")
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): groupwise-minimum
+    subquery equi-joined back to pick each part's best supplier.
+    partsupp is absent, so the part<->supplier link is the distinct
+    (l_partkey, l_suppkey) pairs from lineitem and s_acctbal stands in
+    for ps_supplycost. Dims broadcast; the candidate set is grouped
+    once and the min joined back (ReuseExchange shares the scan)."""
+    link = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    parts = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & F.col("p_type").isin("STANDARD", "SMALL")
+    )
+    cand = (
+        parts.join(link, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_type", "s_name", "n_name", "s_acctbal")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            best,
+            (cand.p_partkey == best.bp) & (cand.s_acctbal == best.min_bal),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(50)
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eursup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p_partkey, p_type, s_name, n_name, s_acctbal
+  FROM part
+  JOIN link ON p_partkey = l_partkey
+  JOIN eursup ON l_suppkey = s_suppkey
+  WHERE p_size <= 10 AND p_type IN ('STANDARD', 'SMALL')
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+FROM cand
+JOIN (SELECT p_partkey AS bp, min(s_acctbal) AS min_bal
+      FROM cand GROUP BY 1) best
+  ON p_partkey = bp AND s_acctbal = min_bal
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 50
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two markets, both
+    directions): the two nation lookups are one broadcast dim joined
+    twice under different aliases; the OR-of-direction predicate is a
+    join residual, not a union of two plans."""
+    nr = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name", "r_name")
+    )
+    supp_n = F.broadcast(
+        nr.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+            F.col("r_name").alias("supp_region"),
+        )
+    )
+    cust_n = F.broadcast(
+        nr.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+            F.col("r_name").alias("cust_region"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(supp_n, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cust_n, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+            | ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg((F.sum(_rev_u()).cast("double") / 1e4).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q7 = """
+WITH nr AS (
+  SELECT n_nationkey, n_name, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+)
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 1e4 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nr sn ON s_nationkey = sn.n_nationkey
+JOIN nr cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.r_name = 'EUROPE' AND cn.r_name = 'ASIA')
+       OR (sn.r_name = 'ASIA' AND cn.r_name = 'EUROPE'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): share of one supplier
+    nation inside a consumer region's volume, by order year. The share
+    is a ratio of two fixed-point longs, divided once (deterministic
+    double). Consumer region AMERICA, product line ECONOMY, focal
+    supplier nation NATION_5."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    cust_n = F.broadcast(
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            F.col("n_nationkey").alias("cn_key")
+        )
+    )
+    supp_n = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(cust_n, F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(supp_n, F.col("s_nationkey") == F.col("sn_key"))
+    )
+    focal = F.when(F.col("supp_nation") == "NATION_5", _rev_u()).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(focal).cast("double") / F.sum(_rev_u()).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_TPCH_Q8 = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
+                 THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                      * CAST(round((1.0 - l_discount) * 100, 0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       / CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * CAST(round((1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year).
+    ps_supplycost is absent; cost is p_retailprice * l_quantity, kept
+    in the same 1e-4 fixed-point scale as revenue so profit stays an
+    exact long until the final division."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    )
+    supp_n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+        )
+    )
+    cost_u = _cents(F.col("p_retailprice")) * _cents(F.col("l_quantity"))
+    j = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(supp_n, F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        j.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(_rev_u() - cost_u).cast("double") / 1e4).alias("sum_profit"))
+    )
+
+
+SQL_TPCH_Q9 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1.0 - l_discount) * 100, 0) AS BIGINT)
+                     - CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                       * CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 1e4 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value restricted to
+    one region's suppliers, kept if above a scalar-subquery threshold.
+    partsupp is absent; value is extendedprice * quantity from
+    lineitem. The original's fixed fraction of the total is not
+    scale-free (it matched 0 rows at sf0.1 and nearly all at sf0.001),
+    so the threshold is 1.5x the average part value — cross-multiplied
+    into exact integer space (value * n_parts * 10 > 15 * total,
+    widened to decimal/hugeint so it cannot overflow at any scale) —
+    and the scalar aggregate rides a 1-row broadcast join, sharing the
+    grouped side's shuffle via ReuseExchange."""
+    afr_sup = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "AFRICA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    value_u = _cents(F.col("l_extendedprice")) * _cents(F.col("l_quantity"))
+    grouped = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(afr_sup, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(value_u).alias("value_u"))
+    )
+    total = grouped.agg(
+        F.sum("value_u").alias("total_u"), F.count("*").alias("n_parts")
+    )
+    return (
+        grouped.join(F.broadcast(total))
+        .filter(
+            F.col("value_u").cast("decimal(38,0)") * F.col("n_parts") * 10
+            > F.col("total_u").cast("decimal(38,0)") * 15
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_u").cast("double") / 1e4).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH grouped AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS value_u
+  FROM lineitem
+  WHERE EXISTS (
+    SELECT 1 FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AFRICA' AND s_suppkey = l_suppkey)
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(value_u AS DOUBLE) / 1e4 AS part_value
+FROM grouped
+WHERE CAST(value_u AS HUGEINT) * (SELECT count(*) FROM grouped) * 10
+      > 15 * (SELECT CAST(sum(value_u) AS HUGEINT) FROM grouped)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): outer join
+    preserved for zero-order customers, then a second aggregation over
+    the first's result. The o_comment NOT LIKE filter becomes an
+    o_orderpriority exclusion."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    then equality against the scalar max — exact on fixed-point longs,
+    so the top-supplier tie semantics match the oracle bit-for-bit."""
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_u()).alias("total_u"))
+    )
+    best = rev.agg(F.max("total_u").alias("max_u"))
+    return (
+        rev.join(F.broadcast(best), F.col("total_u") == F.col("max_u"))
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_u").cast("double") / 1e4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_u AS DOUBLE) / 1e4 AS total_revenue
+FROM rev
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_u = (SELECT max(total_u) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count by part attributes): NOT-IN
+    subquery as a broadcast anti-join, count-distinct suppliers per
+    (brand, type, size). The complaints predicate becomes s_acctbal < 0;
+    the part<->supplier link is distinct lineitem pairs."""
+    link = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    parts = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        link.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) link
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-part average rides a join back onto the same grouped frame, and
+    the ``quantity < 0.2 * avg`` predicate is cross-multiplied into
+    integers (qty*5*cnt < sum) so no float average is ever compared.
+    p_container is absent; the filter is p_type SMALL + Brand#1x."""
+    parts = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == "SMALL") & F.col("p_brand").like("Brand#1%")
+        )
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("sum_q_u"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        .filter(_cents(F.col("l_quantity")) * 5 * F.col("cnt") < F.col("sum_q_u"))
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100.0 / 7.0)
+            .alias("avg_yearly")
+        )
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE EXISTS (SELECT 1 FROM part
+                WHERE p_partkey = l_partkey
+                  AND p_type = 'SMALL' AND p_brand LIKE 'Brand#1%')
+),
+per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_q_u,
+         count(*) AS cnt
+  FROM li GROUP BY 1
+)
+SELECT CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+FROM li
+JOIN per_part ON l_partkey = pk
+WHERE CAST(round(l_quantity * 100, 0) AS BIGINT) * 5 * cnt < sum_q_u
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock): nested IN
+    subqueries become a chain of semi-joins — parts by name prefix,
+    per-(supplier, part) shipped quantity over a year, threshold, then
+    the surviving supplier keys semi-join the region-filtered supplier
+    table. availqty is absent; the threshold is on shipped quantity."""
+    parts = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_u"))
+        .filter(F.col("qty_u") > 50 * 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        sup.join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH_Q20 = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) > 5000)
+ORDER BY s_name
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): correlated
+    EXISTS (another supplier on the order) + NOT EXISTS (another
+    supplier shipped later) as semi/anti joins whose equi key is
+    l_orderkey and whose inequality conditions ride as join residuals —
+    no cartesian anywhere. The commit/receipt-lag predicate becomes
+    "this supplier's lineitem is the order's latest shipment"."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fo = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.join(fo, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waiting = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("d3") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return (
+        waiting.join(
+            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar-subquery
+    average threshold (cross-multiplied into integers: bal*cnt > sum)
+    plus an anti-join for dormancy. The phone country code becomes
+    c_nationkey % 5; "no orders ever" would be empty on this data
+    (every customer orders ~10x), so dormancy is "no orders since
+    2001-01-01" — same NOT EXISTS shape, non-vacuous result."""
+    code = (F.col("c_nationkey") % 5).cast("int")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("cntrycode", code)
+        .filter(F.col("cntrycode").isin(0, 2, 3))
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_cents(F.col("c_acctbal"))).alias("sum_u"),
+        F.count("*").alias("cnt"),
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(F.broadcast(pos))
+        .filter(_cents(F.col("c_acctbal")) * F.col("cnt") > F.col("sum_u"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(_cents(F.col("c_acctbal"))).cast("double") / 100.0).alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH cust AS (
+  SELECT c_custkey, c_acctbal, CAST(c_nationkey % 5 AS INTEGER) AS cntrycode
+  FROM customer
+  WHERE CAST(c_nationkey % 5 AS INTEGER) IN (0, 2, 3)
+),
+pos AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sum_u,
+         count(*) AS cnt
+  FROM cust WHERE c_acctbal > 0.0
+)
+SELECT cntrycode, count(*) AS numcust,
+       CAST(CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 100.0 AS totacctbal
+FROM cust, pos
+WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * cnt > sum_u
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q_tpch_q2": QuerySpec(q_tpch_q2, SQL_TPCH_Q2),
+    "q_tpch_q7": QuerySpec(q_tpch_q7, SQL_TPCH_Q7),
+    "q_tpch_q8": QuerySpec(q_tpch_q8, SQL_TPCH_Q8),
+    "q_tpch_q9": QuerySpec(q_tpch_q9, SQL_TPCH_Q9),
+    "q_tpch_q11": QuerySpec(q_tpch_q11, SQL_TPCH_Q11),
+    "q_tpch_q13": QuerySpec(q_tpch_q13, SQL_TPCH_Q13),
+    "q_tpch_q15": QuerySpec(q_tpch_q15, SQL_TPCH_Q15),
+    "q_tpch_q16": QuerySpec(q_tpch_q16, SQL_TPCH_Q16),
+    "q_tpch_q17": QuerySpec(q_tpch_q17, SQL_TPCH_Q17),
+    "q_tpch_q20": QuerySpec(q_tpch_q20, SQL_TPCH_Q20),
+    "q_tpch_q21": QuerySpec(q_tpch_q21, SQL_TPCH_Q21),
+    "q_tpch_q22": QuerySpec(q_tpch_q22, SQL_TPCH_Q22),
+}
