@@ -534,6 +534,49 @@ def embedding_lsh_blocks(
     )
 
 
+def semantic_dedup_survivors(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    paper), deterministic variant: the paper clusters embeddings with
+    k-means and keeps one representative per tight cluster; here the
+    cluster id is a single wide sign-LSH band (``bits`` hyperplanes →
+    2^bits cells — the deterministic, oracle-checkable stand-in for a
+    trained codebook), and the survivor is the lowest id per cell.
+
+    Scale shape: the bucket id is pure map-side column arithmetic
+    (exact ±1-hyperplane dot products, see ``lsh_hyperplanes``), then
+    ONE narrow shuffle on the int bucket key with partial min/count
+    aggregation — the same cost profile as exact dedup, independent of
+    embedding dimension after the projection. ``bits`` must grow
+    ~log2(n_rows) at scale (16-24 at web scale) to keep cells tight.
+
+    Returns (bucket, survivor_id, n_members), one row per occupied
+    cell; n_members > 1 cells are the semantic-duplicate groups.
+    """
+    H = lsh_hyperplanes(dim, 1, bits, seed)
+    bucket: Column | None = None
+    for j in range(bits):
+        plane = F.array(*[F.lit(float(v)) for v in H[0][j]])
+        bit = F.when(V.dot(F.col(vec_col), plane) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -174,6 +174,69 @@ def vocab_topk(
     ).limit(k)
 
 
+def unigram_logprob_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document average negative log-likelihood under the corpus's
+    own unigram model — the CCNet/KenLM-style perplexity-proxy quality
+    filter (Wenzek et al. 2020, public paper), reduced to its unigram
+    core so it is exact, self-contained, and oracle-checkable: low
+    score = built from common words, high score = rare-word soup.
+
+    Determinism: per-word weights are computed once at the vocabulary
+    level — ``floor(ln(cnt/total) * 1e6)`` as a fixed-point long (floor
+    has no round-half mode to disagree on, and ln of the identical
+    exactly-rounded quotient is the only cross-engine 1-ulp surface,
+    sub-1e-9-per-word boundary risk) — then per-doc aggregation is an
+    exact integer sum; the single division to double happens once per
+    output row. No float accumulates across rows anywhere.
+
+    Scale shape: tokenize behind the Exchange barrier (lambda-boundary
+    CSE rule, SCALE.md); ONE word-keyed aggregation builds the
+    vocabulary (zipf-hot keys absorbed by the partial agg); the
+    1-row total rides a broadcast; the token->weight lookup is a
+    shuffle join on the word key — deliberately NOT a broadcast: a web
+    corpus's vocabulary (hundreds of millions of subword types) need
+    not fit in one executor, and the weights side arrives already
+    partitioned by word from its own aggregation, so only the token
+    side shuffles.
+
+    Returns (doc_id, n_words, avg_nll) for docs with >= 1 token.
+    """
+    from pyspark.sql import functions as F
+
+    words = df.repartition(F.col(id_col)).select(
+        F.col(id_col), TX.word_tokens(F.col(text_col)).alias("words")
+    )
+    toks = words.select(id_col, F.explode("words").alias("word"))
+    vocab = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    weights = vocab.join(F.broadcast(total)).select(
+        "word",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("w_u"),
+    )
+    return (
+        toks.join(weights, "word")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_words"), F.sum("w_u").alias("s_u"))
+        .select(
+            id_col,
+            "n_words",
+            (
+                -F.col("s_u").cast("double")
+                / (F.col("n_words").cast("double") * F.lit(1e6))
+            ).alias("avg_nll"),
+        )
+    )
+
+
 # Gopher-style document-quality rules (Rae et al. 2021, "Scaling
 # Language Models: ... Gopher", Table A1 heuristics — public paper).
 # Bounds kept as module constants so the oracle SQL can mirror them.

@@ -254,7 +254,46 @@ SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 FROM documents
 """
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram perplexity-proxy quality score per document
+    (see operators/textanalysis.unigram_logprob_scores for the
+    determinism and scale analysis)."""
+    from document_vector_indexer_spark.operators.textanalysis import (
+        unigram_logprob_scores,
+    )
+
+    return unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                               '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+weights AS (
+  SELECT word,
+         CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6) AS BIGINT)
+           AS w_u
+  FROM vocab, tot
+)
+SELECT doc_id, count(*) AS n_words,
+       -CAST(CAST(sum(w_u) AS BIGINT) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * 1e6) AS avg_nll
+FROM toks JOIN weights USING (word)
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_unigram_logprob": QuerySpec(
+        unigram_logprob,
+        SQL_UNIGRAM_LOGPROB,
+        "CCNet-style unigram NLL quality score per document",
+    ),
     "q_dedup_lines": QuerySpec(
         dedup_lines,
         SQL_DEDUP_LINES,

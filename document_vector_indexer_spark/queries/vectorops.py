@@ -369,6 +369,64 @@ def _sql_lsh_buckets() -> str:
 SQL_LSH_BUCKETS = _sql_lsh_buckets()
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: one wide sign-LSH cell per
+    vector, lowest id per cell survives. Planted duplicates (every 5th
+    vector re-inserted under vec_id + 10000, same precedent as
+    q_dedup_embed) guarantee identical vectors share a cell, so the
+    n_members > 1 groups provably contain every planted pair — the
+    green row checks real merge behavior, not a bucketing of
+    singletons."""
+    from document_vector_indexer_spark.operators.dedup import (
+        semantic_dedup_survivors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return (
+        semantic_dedup_survivors(emb.unionByName(planted), dim=64)
+        .orderBy("bucket")
+    )
+
+
+def _sql_dedup_semantic() -> str:
+    """Mirrored oracle: the identical seeded ±1 hyperplanes (bands=1,
+    bits=12, seed=7) as exact add/subtract chains, then the same
+    min/count per cell over the same planted corpus."""
+    from document_vector_indexer_spark.operators.dedup import lsh_hyperplanes
+
+    H = lsh_hyperplanes(64, 1, 12, 7)
+
+    def dot_sql(plane) -> str:
+        terms = "".join(
+            f" {'+' if v > 0 else '-'} CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i, v in enumerate(plane)
+        )
+        return "0.0" + terms
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({dot_sql(H[0][j])}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(12)
+    )
+    return f"""
+WITH allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+)
+SELECT CAST({bucket} AS INTEGER) AS bucket,
+       min(vec_id) AS survivor_id, count(*) AS n_members
+FROM allv
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+SQL_DEDUP_SEMANTIC = _sql_dedup_semantic()
+
+
 # --- approximate / model-backed (rows-only checks) -------------------------
 
 
@@ -632,6 +690,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q_dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "q_dedup_embed": QuerySpec(q_dedup_embed, SQL_DEDUP_EMBED),
     "q_lsh_buckets": QuerySpec(q_lsh_buckets, SQL_LSH_BUCKETS),
+    "q_dedup_semantic": QuerySpec(
+        q_dedup_semantic,
+        SQL_DEDUP_SEMANTIC,
+        "SemDeDup-style survivor-per-LSH-cell semantic dedup",
+    ),
     # approximate / model-backed: rows-only driver check
     "q_knn_lsh": QuerySpec(q_knn_lsh, None, "BucketedRandomProjectionLSH approx kNN"),
     "q_knn_ivf": QuerySpec(q_knn_ivf, None, "IVF (KMeans cells) approx kNN"),

@@ -143,3 +143,43 @@ def test_jsonl_roundtrip_hostile_strings(spark):
     # Spark's JSON writer omits null fields; explicit schema reads them
     # back as null — the round-trip is still value-faithful.
     assert got == want
+
+
+def test_semantic_dedup_merges_identical_vectors(spark):
+    """Identical vectors must share an LSH cell (survivor = lowest id,
+    member count right); a far-away vector must not join their cell."""
+    from document_vector_indexer_spark.operators.dedup import (
+        semantic_dedup_survivors,
+    )
+
+    base = [float((i * 37) % 19 - 9) for i in range(64)]
+    anti = [-v for v in base]
+    rows = [(1, base), (2, base), (7, base), (9, anti)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_survivors(df, dim=64).collect()
+    by_survivor = {r["survivor_id"]: r["n_members"] for r in out}
+    assert by_survivor[1] == 3  # 1, 2, 7 merged; 1 survives
+    assert by_survivor[9] == 1  # antipode lands alone (all bits flip)
+    assert len(out) == 2
+
+
+def test_unigram_logprob_ranks_rare_words_higher(spark):
+    """A doc of corpus-common words must score a lower NLL than a doc
+    of corpus-unique words; n_words must count tokens, not types."""
+    from document_vector_indexer_spark.operators.textanalysis import (
+        unigram_logprob_scores,
+    )
+
+    rows = [
+        (1, "the the the cat cat"),
+        (2, "xylophone quixotic zephyr"),
+        (3, "the cat the cat the cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob_scores(df).collect()}
+    assert out[1]["n_words"] == 5 and out[2]["n_words"] == 3
+    assert out[1]["avg_nll"] < out[2]["avg_nll"]
+    assert out[3]["avg_nll"] < out[2]["avg_nll"]
+    # empty-text doc contributes no row
+    df2 = spark.createDataFrame([(4, "   ")], "doc_id long, text string")
+    assert unigram_logprob_scores(df2).count() == 0
