@@ -222,8 +222,14 @@ def unigram_logprob_scores(
         .cast("long")
         .alias("w_u"),
     )
+    # shuffle_hash hint, build = weights: without it Catalyst's size
+    # estimate at test scale broadcasts the EXPLODED TOKEN STREAM
+    # (corpus-sized — the one frame that must never be broadcast;
+    # caught by tests/test_plans.py). With the hint both sides hash-
+    # partition on word and the per-partition vocab chunk is the build
+    # side — the declared plan that holds at any scale.
     return (
-        toks.join(weights, "word")
+        toks.join(weights.hint("shuffle_hash"), "word")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_words"), F.sum("w_u").alias("s_u"))
         .select(

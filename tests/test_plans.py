@@ -259,3 +259,47 @@ def test_global_window_guard_catches_violation(spark):
     plan = bad._jdf.queryExecution().explainString(mode)
     with pytest.raises(AssertionError, match="global|single-task"):
         _assert_no_global_window(plan, "deliberate_violation")
+
+
+def _tree(p: str) -> str:
+    """The operator-tree portion of a formatted plan — node names appear
+    a second time in the per-node detail blocks, so counting must stop
+    where the details (lines like ``(1) Scan parquet``) begin."""
+    body = p.split("== Physical Plan ==")[1]
+    lines = []
+    for line in body.splitlines():
+        if re.match(r"^\(\d+\) ", line.strip()):
+            break
+        lines.append(line)
+    return "\n".join(lines)
+
+
+def test_semantic_dedup_single_narrow_shuffle(spark):
+    """The SemDeDup cell id must be map-side column math feeding ONE
+    partial+final aggregation — if the projection stops folding into
+    the scan stage or a join sneaks in, the exact-dedup cost profile
+    is gone."""
+    p = _plan(spark, "q_dedup_semantic")
+    tree = _tree(p)
+    n_exchanges = sum("Exchange" in l for l in tree.splitlines())
+    # one for the min/count agg, one for the final orderBy presentation
+    assert n_exchanges <= 2, f"semantic dedup grew extra shuffles:\n{tree}"
+    assert "Join" not in tree
+    assert tree.count("HashAggregate") >= 2, "map-side partial agg missing"
+
+
+def test_unigram_logprob_weight_join_not_broadcast(spark):
+    """The token->weight lookup must stay a shuffle join on the word
+    key: a broadcast build would (a) assume the vocabulary fits one
+    executor — false at web scale — and (b) re-execute the vocab
+    aggregation subplan inside each broadcast build."""
+    p = _plan(spark, "q_unigram_logprob")
+    tree = _tree(p)
+    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree, (
+        f"weights join is not a shuffle join:\n{tree}"
+    )
+    # the only broadcast is the 1-row total; the word-keyed weights
+    # frame must never ride a BroadcastExchange
+    assert tree.count("BroadcastExchange") <= 1, (
+        f"vocabulary weights were broadcast:\n{tree}"
+    )
