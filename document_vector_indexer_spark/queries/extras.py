@@ -959,7 +959,44 @@ SELECT * FROM (
 """
 
 
+# One SQL text, two engines: the passthrough surface restricts itself
+# to the ANSI intersection both dialects execute identically — exact
+# integer money math (round() on the cent grid is mode-proof), no
+# engine-specific date/string functions. This is the reference's user
+# journey (raw SQL against the store) carried over: spark.sql() over
+# registered views IS the engine's SQL interface.
+SQL_PASSTHROUGH = """
+SELECT n_name, c_mktsegment, n_customers, total_bal
+FROM (
+  SELECT n_name, c_mktsegment, count(*) AS n_customers,
+         CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+           AS total_bal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY count(*) DESC, c_mktsegment) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_mktsegment
+) AS t
+WHERE rk = 1
+"""
+
+
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-SQL passthrough: the oracle string itself is executed by
+    ``spark.sql`` over registered views — proving users can bring raw
+    SQL (the way they query the reference's Postgres store) and get
+    the same Catalyst plans the DataFrame API produces."""
+    from document_vector_indexer_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_PASSTHROUGH)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_sql_passthrough": QuerySpec(
+        q_sql_passthrough,
+        SQL_PASSTHROUGH,
+        "identical SQL text executed by spark.sql and the oracle",
+    ),
     "q_redact_pii": QuerySpec(q_redact_pii, SQL_REDACT_PII),
     "q_profile": QuerySpec(q_profile, SQL_PROFILE),
     "q_null_funcs": QuerySpec(q_null_funcs, SQL_NULL_FUNCS),

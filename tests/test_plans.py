@@ -105,7 +105,7 @@ def test_queries_rerun_safely(spark):
 
     specs = all_queries()
     for name in ("q_agg_gsets", "q_sink_roundtrip", "q_source_binary",
-                 "q_stream_stateful"):
+                 "q_stream_stateful", "q_sql_passthrough"):
         a = specs[name].fn(spark, SF).count()
         b = specs[name].fn(spark, SF).count()
         assert a == b > 0, name
