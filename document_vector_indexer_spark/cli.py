@@ -13,6 +13,11 @@ query side the reference delegated to pgvector.
     python -m document_vector_indexer_spark.cli query \
         --chunks /path/chunks --text "what is a sort merge join" --k 5
 
+    # training-corpus curation: Gopher quality rules -> exact dedup ->
+    # deterministic train/val/test hash split, one lazy plan
+    python -m document_vector_indexer_spark.cli curate INPUT \
+        --output /path/curated
+
 Flag names and defaults mirror the reference
 (index_documents.py:256-264): --strategy fixed|sentence|paragraph,
 --chunk-size 1200, --overlap 200, --embedding-dim (768 there, 64 here
@@ -151,6 +156,48 @@ def cmd_query(args: argparse.Namespace) -> None:
         print(f"[{r.rk}] sim={r.sim:.4f} {r.filename}: {r.chunk_text[:100]}")
 
 
+def cmd_curate(args: argparse.Namespace) -> None:
+    """Training-corpus curation pipeline: Gopher quality rules ->
+    exact dedup (keep lowest id) -> deterministic hash split, written
+    as parquet partitioned by split. Every stage is one of the
+    engine's verified operators; the composition is one lazy plan —
+    nothing materializes until the final write."""
+    from document_vector_indexer_spark.operators.dedup import exact_dedup_keep_first
+    from document_vector_indexer_spark.operators.textanalysis import gopher_rules
+    from document_vector_indexer_spark.operators.trainprep import hash_split
+    from document_vector_indexer_spark.session import get_spark
+
+    if not os.path.exists(args.input):
+        sys.exit(f"error: input not found: {args.input}")
+    spark = get_spark(app_name="dvi-curate")
+    docs = _load_input(spark, args.input)
+    if "doc_id" not in docs.columns:
+        from pyspark.sql import Window
+
+        docs = docs.withColumn(
+            "doc_id",
+            F.row_number().over(Window.orderBy("filename")).cast("long"),
+        )
+    n_in = docs.count()
+    kept = docs.filter(gopher_rules(F.col("text"))["keep"])
+    n_quality = kept.count()
+    deduped = exact_dedup_keep_first(kept, text_col="text", id_col="doc_id")
+    n_dedup = deduped.count()
+    split = hash_split(deduped, id_col="doc_id")
+    split.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    per_split = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(args.output)
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    print(
+        f"Curated {args.input}: {n_in} docs -> {n_quality} pass quality "
+        f"({n_in - n_quality} dropped) -> {n_dedup} after exact dedup "
+        f"({n_quality - n_dedup} duplicates) -> splits {per_split} "
+        f"at {args.output}"
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="document_vector_indexer_spark",
@@ -176,6 +223,14 @@ def main(argv: list[str] | None = None) -> None:
     qp.add_argument("--text", required=True)
     qp.add_argument("--k", type=int, default=5)
     qp.set_defaults(fn=cmd_query)
+
+    cu = sub.add_parser(
+        "curate",
+        help="documents -> quality filter -> dedup -> train/val/test split",
+    )
+    cu.add_argument("input")
+    cu.add_argument("--output", required=True)
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -128,3 +128,43 @@ def test_cli_index_parquet_input(tmp_path, capsys):
         ]
     )
     assert "Done. Indexed" in capsys.readouterr().out
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    """curate: quality filter drops junk, dedup drops the copy, splits
+    partition the survivors — all visible in the summary line."""
+    import pyspark.sql.functions as F
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "because it is chased by a hunter in the deep green forest today "
+    ) * 3
+    rows = [(i, f"doc_{i}", good + f"unique tail {i}") for i in range(8)]
+    rows.append((100, "doc_100", rows[0][2]))  # exact duplicate of doc 0
+    rows.append((101, "doc_101", "### ### ###"))  # fails gopher rules
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, filename string, text string"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "curated")
+    main(["curate", src, "--output", out])
+    msg = capsys.readouterr().out
+    assert "10 pass quality" not in msg  # junk doc dropped
+    assert "1 duplicates" in msg
+
+    curated = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert 101 not in ids, "gopher-failing doc survived"
+    assert 100 not in ids and 0 in ids, "dedup must keep the lowest id"
+    assert set(curated.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"
+    }
+    # rerun is idempotent (overwrite) and split assignment is stable
+    # (materialize before the overwrite deletes the files under the
+    # lazy first read)
+    a = {(r["doc_id"], r["split"]) for r in curated.select("doc_id", "split").collect()}
+    main(["curate", src, "--output", out])
+    again = spark.read.parquet(out)
+    b = {(r["doc_id"], r["split"]) for r in again.select("doc_id", "split").collect()}
+    assert a == b
