@@ -245,3 +245,29 @@ def ingest_engine_layout(
             os.path.join(dest, f"{t}.parquet")
         )
     return dest
+
+
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    location: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed+sorted catalog table — the layout
+    that makes repeated fact-fact joins and aggregations on
+    ``bucket_col`` shuffle-FREE: both sides of a join bucketed on the
+    same key with the same bucket count scan co-located, and Spark
+    plans SortMergeJoin with no Exchange under either side.
+
+    At 100 TB this is the single biggest repeated-query win available:
+    the shuffle is paid ONCE at ingest instead of per query (the
+    standard warehouse layout decision — cf. Hive/Iceberg bucketing).
+    Requires saveAsTable (bucket metadata lives in the catalog; a bare
+    parquet path cannot carry it).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+    if location is not None:
+        w = w.option("path", location)
+    w.saveAsTable(table)
