@@ -38,17 +38,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _ensure_doc_id(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Deterministic dense ``doc_id`` without a single-task global
+    window: two-pass ``operators.ranking.global_id`` over
+    ``order_cols`` plus an ``xxhash64`` of every column as the
+    tiebreaker (ties in the natural order would otherwise make the
+    assignment nondeterministic — round-3 ADVICE)."""
+    from document_vector_indexer_spark.operators.ranking import global_id
+
+    tie = F.xxhash64(*[F.col(c) for c in df.columns])
+    out = global_id(
+        df.withColumn("_tie", tie), [*order_cols, "_tie"], "doc_id"
+    )
+    return out.drop("_tie").withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
 def _load_input(spark: SparkSession, path: str) -> DataFrame:
     """Parquet documents table, or a directory of raw documents."""
     if path.endswith(".parquet") or os.path.isfile(os.path.join(path, "_SUCCESS")):
         df = spark.read.parquet(path)
         if "doc_id" not in df.columns:
-            from pyspark.sql import Window
-            from pyspark.sql.functions import row_number
-
-            df = df.withColumn(
-                "doc_id", row_number().over(Window.orderBy(df.columns[0])).cast("long")
-            )
+            df = _ensure_doc_id(df, [df.columns[0]])
         return df.withColumn("filename", F.concat(F.lit("doc_"), F.col("doc_id")))
     from document_vector_indexer_spark.sources.binary_docs import read_documents
 
@@ -70,9 +80,9 @@ def cmd_index(args: argparse.Namespace) -> None:
         fit_local_embedder,
     )
     from document_vector_indexer_spark.functions import text as TX
+    from document_vector_indexer_spark.operators.ranking import global_id
     from document_vector_indexer_spark.plans.pipeline import write_chunk_table
     from document_vector_indexer_spark.session import get_spark
-    from pyspark.sql import Window
 
     if not os.path.exists(args.input):
         sys.exit(f"error: input not found: {args.input}")
@@ -89,6 +99,12 @@ def cmd_index(args: argparse.Namespace) -> None:
         text_col="text",
         id_cols=("filename",),
     )
+    # id BEFORE embedding: global_id's boundary-sampling job executes
+    # the chunk lineage once, and must never pay for the embedder
+    # (mapInPandas is not column-prunable)
+    chunks = global_id(
+        chunks, ["filename", "split_strategy", "chunk_pos"], "id"
+    ).withColumn("id", F.col("id").cast("long"))
     if args.embedder in ("local", "word2vec"):
         from document_vector_indexer_spark.operators.embedding import (
             fit_word2vec_embedder,
@@ -102,10 +118,8 @@ def cmd_index(args: argparse.Namespace) -> None:
         embedded = embed_api_map_in_pandas(
             chunks, dim=args.embedding_dim, batch_size=args.batch_size
         )
-    w = Window.orderBy("filename", "split_strategy", "chunk_pos")
     out = (
-        embedded.withColumn("id", F.row_number().over(w).cast("long"))
-        .withColumn("created_at", F.current_timestamp())
+        embedded.withColumn("created_at", F.current_timestamp())
         .select(
             "id", "chunk_text", "embedding", "filename", "split_strategy",
             "chunk_pos", "created_at",
@@ -160,8 +174,12 @@ def cmd_curate(args: argparse.Namespace) -> None:
     """Training-corpus curation pipeline: Gopher quality rules ->
     exact dedup (keep lowest id) -> deterministic hash split, written
     as parquet partitioned by split. Every stage is one of the
-    engine's verified operators; the composition is one lazy plan —
-    nothing materializes until the final write."""
+    engine's verified operators. The corpus is scanned exactly twice:
+    once by a single aggregate for the (n_in, n_quality) summary, once
+    by the write; the dedup/split counts come from the written output,
+    never from extra ``.count()`` passes over the pipeline (round-3
+    ADVICE: the old per-stage counts re-executed the plan four
+    times)."""
     from document_vector_indexer_spark.operators.dedup import exact_dedup_keep_first
     from document_vector_indexer_spark.operators.textanalysis import gopher_rules
     from document_vector_indexer_spark.operators.trainprep import hash_split
@@ -172,17 +190,15 @@ def cmd_curate(args: argparse.Namespace) -> None:
     spark = get_spark(app_name="dvi-curate")
     docs = _load_input(spark, args.input)
     if "doc_id" not in docs.columns:
-        from pyspark.sql import Window
-
-        docs = docs.withColumn(
-            "doc_id",
-            F.row_number().over(Window.orderBy("filename")).cast("long"),
-        )
-    n_in = docs.count()
-    kept = docs.filter(gopher_rules(F.col("text"))["keep"])
-    n_quality = kept.count()
+        docs = _ensure_doc_id(docs, ["filename"])
+    docs = docs.withColumn("_keep", gopher_rules(F.col("text"))["keep"])
+    stats = docs.agg(
+        F.count("*").alias("n_in"),
+        F.sum(F.col("_keep").cast("long")).alias("n_quality"),
+    ).first()
+    n_in, n_quality = stats["n_in"], stats["n_quality"] or 0
+    kept = docs.filter(F.col("_keep")).drop("_keep")
     deduped = exact_dedup_keep_first(kept, text_col="text", id_col="doc_id")
-    n_dedup = deduped.count()
     split = hash_split(deduped, id_col="doc_id")
     split.write.mode("overwrite").partitionBy("split").parquet(args.output)
     per_split = {
@@ -190,6 +206,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
         for r in spark.read.parquet(args.output)
         .groupBy("split").agg(F.count("*").alias("n")).collect()
     }
+    n_dedup = sum(per_split.values())
     print(
         f"Curated {args.input}: {n_in} docs -> {n_quality} pass quality "
         f"({n_in - n_quality} dropped) -> {n_dedup} after exact dedup "

@@ -12,15 +12,16 @@ Scale design:
 - Chunk ordinal (``chunk_pos``) comes from ``posexplode`` — free and
   deterministic. A *global* dense id (the reference's SERIAL column,
   index_documents.py:217) requires a total order; we derive it with
-  ``row_number()`` over ``(doc order, chunk_pos)`` — an explicit,
-  documented full-sort shuffle, only applied when the caller asks
+  ``operators.ranking.global_id`` over ``(doc order, chunk_pos)`` —
+  the sample-boundaries two-pass form, never an empty-partitionBy
+  window (single-task at scale), only applied when the caller asks
   (``with_global_id=True``). Never ``monotonically_increasing_id`` in
   checked output (unstable across retries/partitionings).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from document_vector_indexer_spark.functions import text as TX
@@ -68,6 +69,8 @@ def chunk_documents(
         .withColumn("split_strategy", F.lit(strategy))
     )
     if with_global_id:
-        w = Window.orderBy(*[F.col(c) for c in id_cols], F.col("chunk_pos"))
-        out = out.withColumn("id", F.row_number().over(w).cast("long"))
+        from document_vector_indexer_spark.operators.ranking import global_id
+
+        out = global_id(out, [*id_cols, "chunk_pos"], "id")
+        out = out.withColumn("id", F.col("id").cast("long"))
     return out

@@ -135,6 +135,32 @@ def global_rank(
     )
 
 
+def global_id(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 1-based id over a global order — the scale-safe stand-in
+    for the reference's SERIAL column (index_documents.py:217) and for
+    every ``row_number().over(Window.orderBy(...))`` id-assignment
+    site. Same contract as :func:`global_rank` (``order_cols`` unique
+    and non-null); the total-count column is dropped.
+
+    Note the boundary-sampling pass (pass 0) executes ``df``'s lineage
+    once for the key columns only — assign ids BEFORE expensive
+    non-prunable stages (mapInPandas embedding) so the sample job
+    never pays for them.
+    """
+    return global_rank(
+        df,
+        order_cols,
+        rank_col=id_col,
+        total_col="_gid_total",
+        num_partitions=num_partitions,
+    ).drop("_gid_total")
+
+
 def ntile_from_rank(rank: Column, total: Column, k: int) -> Column:
     """SQL ``ntile(k)`` as a closed form of (global rank, total rows):
     the first ``total % k`` tiles hold ``total/k + 1`` rows, the rest

@@ -13,11 +13,14 @@ Differences from the reference, by design:
   re-run (no global txn, SURVEY.md §3.1); we overwrite per
   (filename, split_strategy) partition via dynamic partition
   overwrite, so a re-run converges instead of duplicating.
-- `id` is a deterministic row_number over (filename, strategy,
-  chunk_pos) — an explicit global-sort shuffle, only materialized at
-  the sink (the reference's SERIAL, index_documents.py:217). At 100 TB
-  scale prefer the composite natural key and skip the global id; the
-  flag keeps both contracts available.
+- `id` is a deterministic dense rank over (filename, strategy,
+  chunk_pos) via ``operators.ranking.global_id`` — the two-pass
+  sample-boundaries form, never a single-task empty-partitionBy
+  window (the reference's SERIAL, index_documents.py:217). Assigned on
+  the CHUNK frame, before embedding, so the boundary-sampling job
+  never executes the mapInPandas embedder. At 100 TB scale prefer the
+  composite natural key and skip the global id; the flag keeps both
+  contracts available.
 - `created_at` is stamped once per run (the reference stamps per
   insert-batch, index_documents.py:235) — excluded from any oracle
   output (wall clock).
@@ -25,7 +28,7 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from document_vector_indexer_spark.functions import text as TX
@@ -62,6 +65,12 @@ def index_documents(
         text_col=text_col,
         id_cols=(filename_col,),
     )
+    if with_global_id:
+        from document_vector_indexer_spark.operators.ranking import global_id
+
+        chunks = global_id(
+            chunks, [filename_col, "split_strategy", "chunk_pos"], "id"
+        ).withColumn("id", F.col("id").cast("long"))
     if embedder == "local":
         embedded = embed_local(chunks, text_col="chunk_text", dim=embedding_dim)
     elif embedder == "api":
@@ -70,9 +79,6 @@ def index_documents(
         raise ValueError(f"unknown embedder: {embedder}")
 
     out = embedded.withColumn("created_at", F.current_timestamp())
-    if with_global_id:
-        w = Window.orderBy(filename_col, "split_strategy", "chunk_pos")
-        out = out.withColumn("id", F.row_number().over(w).cast("long"))
     return out.select(
         *(["id"] if with_global_id else []),
         F.col("chunk_text"),

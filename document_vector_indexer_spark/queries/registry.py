@@ -67,16 +67,13 @@ def all_queries() -> dict[str, QuerySpec]:
 # back, which let the rewritten q_win_ntile evade re-checking behind its
 # stale round-1 row — exactly what rule 1 now prevents.
 
-# Changed in round 3 (or round 2, stale green row): see rule 1 above.
+# Changed in round 4 (stale or red prior row): see rule 1 above.
 _CHANGED_SINCE_VERIFIED = [
-    "q_win_ntile",       # r2: rewritten onto operators/ranking.py two-pass
-    "q_dedup_embed",     # r3: non-vacuous sign-LSH-blocked rewrite
-    "q_cross_cosine",    # alias of q_dedup_embed
-    "q_dedup_ngram",     # r3: operator persist removed (ReuseExchange)
-    "q_tpch_q18",        # r3: exact-integer quantity sum (both sides)
-    "q_source_binary",   # r3: injectable stage root + tmp cleanup
-    "q_dedup_minhash",   # r3: portable (oracled) pipeline replaces MLlib here
-    "q_dedup_near",      # alias of q_dedup_minhash
+    "q_sample_split",    # r4: oracle sum() cast to BIGINT (r3 red hash row)
+    "q_pack_sequences",  # r4: same HUGEINT cast fix
+    "q_mix_sources",     # r4: same HUGEINT cast fix
+    "q_sink_roundtrip",  # r4: pipeline id now ranking.global_id (pre-embed)
+    "q_tpch_q17",        # r4: join-back shuffle-pinned, broadcast dropped
 ]
 
 # Keys with a green (or, for rows-only keys, clean-run) driver row in
@@ -170,6 +167,42 @@ _VERIFIED = [
     "q_embed_local",
     "q_embed_pipeline",
     "q_multimodal",
+    # r3 block (green oracle rows in CORRECTNESS_r03.json):
+    "q_win_ntile",
+    "q_dedup_embed",
+    "q_cross_cosine",
+    "q_dedup_ngram",
+    "q_tpch_q18",
+    "q_source_binary",
+    "q_repetition",
+    "q_decontaminate",
+    "q_vocab_topk",
+    "q_vec_quantize",
+    "q_lsh_buckets",
+    "q_dedup_semantic",
+    "q_dedup_cluster",
+    "q_stream_join",
+    "q_sql_passthrough",
+    "q_tpch_q2",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_unigram_logprob",
+    "q_dedup_lines",
+    "q_gopher_filter",
+    "q_sample_stratified",
+    "q_corpus_shuffle",
+    "q_jsonl_roundtrip",
+    # r3 rows-only, ran clean:
+    "q_dedup_minhash_mllib",
 ]
 
 

@@ -401,8 +401,9 @@ assigned AS (
   FROM f
 )
 SELECT split, lang, count(*) AS n_docs,
-       sum(len(list_filter(string_split_regex(regexp_replace(text,
-             '^\\s+|\\s+$', '', 'g'), '\\s+'), x -> x <> ''))) AS n_tokens
+       CAST(sum(len(list_filter(string_split_regex(regexp_replace(text,
+             '^\\s+|\\s+$', '', 'g'), '\\s+'), x -> x <> ''))) AS BIGINT)
+         AS n_tokens
 FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -448,9 +449,9 @@ packed AS (
   FROM toks
 )
 SELECT source || ':' || CAST(cum_before // 512 AS VARCHAR) AS pack_id,
-       count(*) AS n_docs, sum(tokens) AS n_tokens,
-       sum(CASE WHEN cum_before % 512 + tokens > 512 THEN 1 ELSE 0 END)
-         AS n_straddle
+       count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN cum_before % 512 + tokens > 512 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_straddle
 FROM packed GROUP BY 1 ORDER BY 1
 """
 
@@ -625,7 +626,7 @@ kept AS (
   WHERE {_duck_frac("'mix:' || CAST(d.doc_id AS VARCHAR)")} < r.rate
 )
 SELECT source, max(n) AS n_total, count(*) AS n_kept,
-       sum(len({_DUCK_WORDS.format(col="text")})) AS n_tokens,
+       CAST(sum(len({_DUCK_WORDS.format(col="text")})) AS BIGINT) AS n_tokens,
        CAST(max(floor(rate * 1000000)) AS BIGINT) AS rate_ppm
 FROM kept GROUP BY source ORDER BY source
 """

@@ -531,7 +531,19 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part average rides a join back onto the same grouped frame, and
     the ``quantity < 0.2 * avg`` predicate is cross-multiplied into
     integers (qty*5*cnt < sum) so no float average is ever compared.
-    p_container is absent; the filter is p_type SMALL + Brand#1x."""
+    p_container is absent; the filter is p_type SMALL + Brand#1x.
+
+    The join-back is shuffle-pinned, NOT broadcast (round-3 ADVICE):
+    per_part is one row per qualifying part — unbounded at scale — so
+    a broadcast build would both ship an unbounded frame to every
+    executor and recompute its lineitem subplan inside the broadcast
+    build. The shuffle-hash join partitions both sides by l_partkey and
+    builds the (per-partition, scale-out) hash table from per_part.
+    ReuseExchange deliberately does NOT fire here: the aggregate
+    branch's exchange carries partially-aggregated rows (map-side
+    combine), not raw lineitem, so the honest cost is two pruned
+    lineitem scans + two l_partkey shuffles — no driver funnel, no
+    unbounded broadcast (plan-pinned in tests/test_plans.py)."""
     parts = F.broadcast(
         load_table(spark, sf_dir, "part")
         .filter(
@@ -547,7 +559,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
     )
     return (
-        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        li.join(per_part.hint("shuffle_hash"), F.col("l_partkey") == F.col("pk"))
         .filter(_cents(F.col("l_quantity")) * 5 * F.col("cnt") < F.col("sum_q_u"))
         .agg(
             (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100.0 / 7.0)

@@ -48,6 +48,19 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str) -> No
         f"{name}: column mismatch spark={list(got.columns)} duckdb={list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: row count spark={len(got)} duckdb={len(want)}"
+    # The driver's value hash is TYPE-sensitive: a DuckDB HUGEINT (un-cast
+    # sum(BIGINT), surfaces as float64 in fetchdf) against a Spark BIGINT
+    # hash-mismatches even when every value is identical — the round-3
+    # red rows. Catch the integer-vs-float kind split here; exact dtype
+    # equality stays relaxed (int32 vs int64 hashes the same driver-side).
+    for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        assert not (gk in "iu" and wk == "f") and not (
+            gk == "f" and wk in "iu"
+        ), (
+            f"{name}.{c}: integer/float kind mismatch spark={got[c].dtype} "
+            f"duckdb={want[c].dtype} — un-cast sum()? (DuckDB HUGEINT rule)"
+        )
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=True, obj=name
     )

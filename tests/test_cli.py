@@ -150,8 +150,10 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     out = str(tmp_path / "curated")
     main(["curate", src, "--output", out])
     msg = capsys.readouterr().out
-    assert "10 pass quality" not in msg  # junk doc dropped
-    assert "1 duplicates" in msg
+    assert "10 docs -> 9 pass quality" in msg, msg  # junk doc dropped
+    assert "(1 dropped)" in msg, msg
+    assert "8 after exact dedup" in msg, msg
+    assert "1 duplicates" in msg, msg
 
     curated = spark.read.parquet(out)
     ids = {r["doc_id"] for r in curated.select("doc_id").collect()}

@@ -244,6 +244,50 @@ def test_no_registered_query_uses_global_window(spark):
         _assert_no_global_window(plan, name)
 
 
+def _fmt_plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_cli_and_pipeline_builders_use_no_global_window(spark):
+    """The registered-query sweep above misses the CLI/pipeline code
+    paths (round-3 VERDICT: four empty-partitionBy id windows escaped
+    it). Build each id-assigning frame the CLI/pipeline constructs and
+    run the same guard over its plan."""
+    from document_vector_indexer_spark.cli import _ensure_doc_id
+    from document_vector_indexer_spark.io import load_table
+    from document_vector_indexer_spark.operators.chunking import chunk_documents
+    from document_vector_indexer_spark.plans.pipeline import index_documents
+
+    docs = load_table(spark, SF, "documents").limit(50)
+
+    # cli._load_input / cmd_curate doc_id fallback
+    no_id = docs.drop("doc_id")
+    _assert_no_global_window(
+        _fmt_plan(spark, _ensure_doc_id(no_id, [no_id.columns[0]])),
+        "cli._ensure_doc_id",
+    )
+    # chunk_documents(with_global_id=True) — also the cmd_index id path
+    chunks = chunk_documents(
+        docs, strategy="fixed", chunk_size=300, overlap=50,
+        id_cols=("doc_id",), with_global_id=True,
+    )
+    _assert_no_global_window(
+        _fmt_plan(spark, chunks), "chunk_documents(with_global_id)"
+    )
+    # plans.pipeline.index_documents full chain (local embedder)
+    out = index_documents(
+        docs, strategy="fixed", chunk_size=300, overlap=50,
+        embedding_dim=8, embedder="local", with_global_id=True,
+    )
+    _assert_no_global_window(
+        _fmt_plan(spark, out), "pipeline.index_documents"
+    )
+    assert "id" in out.columns
+
+
 def test_global_window_guard_catches_violation(spark):
     """The guard must actually fire on a deliberately-bad plan."""
     from pyspark.sql import Window
@@ -272,6 +316,20 @@ def _tree(p: str) -> str:
             break
         lines.append(line)
     return "\n".join(lines)
+
+
+def test_tpch_q17_join_back_never_broadcasts_per_part(spark):
+    """Q17's per-part aggregate is one row per qualifying part —
+    unbounded at scale — so the join-back must be a shuffle join
+    building from per_part, never a BroadcastHashJoin (round-3 ADVICE:
+    a broadcast build ships an unbounded frame AND recomputes its
+    lineitem subplan inside the build). The two LeftSemi dim joins on
+    the filtered part table stay broadcast — those are bounded."""
+    tree = _tree(_plan(spark, "q_tpch_q17"))
+    assert "ShuffledHashJoin Inner" in tree, f"join-back not shuffle-pinned:\n{tree}"
+    assert "BroadcastHashJoin Inner" not in tree, (
+        f"per_part aggregate broadcast into the join-back:\n{tree}"
+    )
 
 
 def test_semantic_dedup_single_narrow_shuffle(spark):
