@@ -115,6 +115,92 @@ def train_ivf_centroids(
     return KMeans(k=nlist, seed=seed, featuresCol="features").fit(feat)
 
 
+def _centroid_literals(centroids: list[tuple[int, list[float]]]) -> "F.Column":
+    """``array<struct<cell:int, centroid:array<double>>>`` literal column
+    from (cell, vector) pairs — nlist x dim scalars pinned into the
+    plan, same trick as dedup.lsh_hyperplanes literal mirroring."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cell)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in vec])
+                .cast("array<double>")
+                .alias("centroid"),
+            )
+            for cell, vec in centroids
+        ]
+    )
+
+
+def ivf_cell_distances(vec: "F.Column", cent_arr: "F.Column") -> "F.Column":
+    """Per-centroid ``struct(d, cell)`` distances — pure column math, so
+    argmin/top-n over it is map-side (struct ordering = (d, cell),
+    which both deduplicates exact ties deterministically and mirrors a
+    SQL ``ORDER BY d, cell``)."""
+    return F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            V.l2_distance(vec, c["centroid"]).alias("d"),
+            c["cell"].alias("cell"),
+        ),
+    )
+
+
+def knn_ivf_pinned(
+    vectors: DataFrame,
+    query: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """IVF kNN with caller-pinned centroid literals — fully
+    deterministic and exactly SQL-expressible (the oracle mirrors the
+    same literals), unlike the KMeans-trained :func:`knn_ivf`.
+
+    Scale shape, better than the trained variant's windowed argmin:
+    - cell assignment is MAP-SIDE ``array_min`` over the nlist
+      centroid literals — zero shuffle, no centroid join, no
+      per-vector window (at 100 TB this is write-time partitioning:
+      the assigned frame would persist clustered by cell);
+    - query probing sorts the same per-centroid distance array and
+      explodes the first ``nprobe`` cells (queries are small);
+    - candidate scan is one equi-join on cell against the broadcast
+      probe list, then a per-query top-k window — the scan touches
+      ~nprobe/nlist of the corpus, the FAISS-IVF contract.
+    """
+    cent_arr = _centroid_literals(centroids)
+    assigned = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col),
+        F.array_min(ivf_cell_distances(F.col(vec_col), cent_arr))["cell"].alias(
+            "cell"
+        ),
+    )
+    probes = query.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.slice(
+                F.array_sort(ivf_cell_distances(F.col(vec_col), cent_arr)),
+                1,
+                nprobe,
+            )["cell"]
+        ).alias("cell"),
+    )
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "id",
+        V.cosine(F.col(vec_col), F.col("q_vec")).alias("sim"),
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id"))
+    return scored.withColumn("rk", F.row_number().over(w_top).cast("long")).filter(
+        F.col("rk") <= k
+    )
+
+
 def knn_ivf(
     vectors: DataFrame,
     query: DataFrame,

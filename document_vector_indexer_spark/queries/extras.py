@@ -1011,7 +1011,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_source_binary, SQL_SOURCE_BINARY, "binaryFile source round-trip"
     ),
     "q_multimodal": QuerySpec(
-        q_multimodal, None, "media decode/frame-sample plumbing (fake kernels)"
+        q_multimodal, None,
+        "media decode/frame-sample plumbing — ROWS-ONLY BY DESIGN: the "
+        "real decode kernels are env-gated (libs absent here); the "
+        "deterministic fake path's schema/batching is pinned by "
+        "tests/test_multimodal.py",
     ),
     "q_agg_stats": QuerySpec(q_agg_stats, SQL_AGG_STATS),
     "q_agg_percentile": QuerySpec(q_agg_percentile, SQL_AGG_PERCENTILE),

@@ -74,6 +74,7 @@ _CHANGED_SINCE_VERIFIED = [
     "q_mix_sources",     # r4: same HUGEINT cast fix
     "q_sink_roundtrip",  # r4: pipeline id now ranking.global_id (pre-embed)
     "q_tpch_q17",        # r4: join-back shuffle-pinned, broadcast dropped
+    "q_knn_ivf",         # r4: pinned-centroid variant, now oracled
 ]
 
 # Keys with a green (or, for rows-only keys, clean-run) driver row in

@@ -151,6 +151,39 @@ def test_minhash_finds_exact_near_dups(spark):
     assert recall >= 0.7, f"MinHash recall of exact near-dups: {recall}"
 
 
+def test_minhash_mllib_recall_vs_portable(spark):
+    """q_dedup_minhash_mllib is rows-only by design (MLlib's hash
+    coefficients are not SQL-mirrorable), so its quality contract lives
+    here: it must recover most of the high-estimate pairs the ORACLED
+    portable pipeline (q_dedup_minhash) finds on the same slice
+    (round-3 VERDICT item 3)."""
+    from document_vector_indexer_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        minhash_portable_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    portable = {
+        (r.id_a, r.id_b)
+        for r in minhash_portable_pairs(docs, threshold=0.25)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .collect()
+    }
+    if not portable:
+        pytest.skip("no high-estimate portable pairs at this sf slice")
+    mllib = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(docs, threshold=0.3).collect()
+    }
+    recall = len(portable & mllib) / len(portable)
+    assert recall >= 0.7, (
+        f"MLlib MinHash recall vs portable high-estimate pairs: {recall} "
+        f"({len(portable)} portable pairs)"
+    )
+
+
 # --- embedding retry contract ---------------------------------------------
 
 
