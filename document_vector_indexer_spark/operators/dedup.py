@@ -708,3 +708,74 @@ def connected_components(
             f"connected_components did not converge in {max_iterations} rounds"
         )
     return labels
+
+
+def dup_substring_stats(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-level duplicated-substring detection (the exact-substring
+    dedup signal of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", done at word-k-gram granularity): for
+    every document, how many of its k-word windows also appear in at
+    least one OTHER document.
+
+    Returns one row per input document:
+    ``(id_col, n_windows, n_dup_windows, dup_ppm)`` where ``dup_ppm``
+    is the duplicated-window fraction in parts-per-million (exact
+    integer division — no float accumulation anywhere).
+
+    Scale shape (100 TB): every window becomes ONE (hash, id) row —
+    stride-1 k-grams are ~n_tokens rows per document, the same fan-out
+    class as MinHash shingling, and unlike pair-generating dedup there
+    is no quadratic term: the per-hash aggregate carries counts, never
+    pairs. Three narrow shuffles total — (hash) for the distinct-doc
+    count, (hash) again for the join back (shuffle-hash pinned so
+    Catalyst never broadcasts a corpus-sized vocabulary; same rule as
+    unigram_logprob), (id) for the per-document rollup. The hash is
+    the portable char-fold (pure integer arithmetic), so a SQL oracle
+    reproduces it value-for-value.
+    """
+    from document_vector_indexer_spark.functions import text as TX
+
+    words = df.select(
+        F.col(id_col), TX.word_tokens(F.col(text_col)).alias("_words")
+    )
+    n = F.size("_words")
+    gram_hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: _word_hash(F.concat_ws(" ", F.slice(F.col("_words"), i, k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    exploded = words.select(
+        F.col(id_col), F.explode(gram_hashes).alias("_gh")
+    )
+    by_hash = exploded.groupBy("_gh").agg(
+        F.countDistinct(id_col).alias("_nd")
+    )
+    per_doc = (
+        exploded.join(by_hash.hint("shuffle_hash"), "_gh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count_if(F.col("_nd") > 1).alias("n_dup_windows"),
+        )
+    )
+    # per_doc is one row per document — corpus-sized, so the fill-in
+    # left join is shuffle-pinned like every other corpus-derived frame
+    return (
+        df.select(id_col)
+        .join(per_doc.hint("shuffle_hash"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce(
+                F.expr("(n_dup_windows * 1000000) div n_windows"), F.lit(0)
+            ).alias("dup_ppm"),
+        )
+    )

@@ -302,3 +302,97 @@ def gopher_rules(text: Column | str) -> dict[str, Column]:
         keep = r if keep is None else keep & r
     rules["keep"] = keep
     return rules
+
+
+def collocations_pmi(
+    df,
+    min_count: int = 5,
+    topk: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Top-k bigram collocations by pointwise mutual information — the
+    classic corpus-analysis signal for multiword expressions (Church &
+    Hanks 1990). PMI = ln( P(w1,w2) / (P(w1) P(w2)) ) with bigram
+    probability over total bigram count and unigram probabilities over
+    total token count.
+
+    Determinism (same fixed-point discipline as unigram_logprob_scores):
+    every probability stays an exact integer count until one double
+    expression per OUTPUT row — num = c_ab * n_uni * n_uni, den =
+    n_big * c_a * c_b, both left-associated double products of exact
+    longs — and the PMI is quantized ``floor(ln(num/den) * 1e6)`` so
+    ordering and the top-k cut are integer comparisons. Tiebreak
+    (w1, w2) makes the LIMIT set unique.
+
+    Scale shape: one bigram-keyed aggregation (partial agg absorbs
+    zipf-hot pairs), one word-keyed unigram aggregation, two word-keyed
+    shuffle joins for the c_a/c_b lookups — shuffle-hash pinned, NOT
+    broadcast (a web corpus's vocabulary need not fit an executor; the
+    unigram side arrives pre-partitioned from its own agg), the two
+    1-row totals ride broadcasts, and the top-k is TakeOrdered, never
+    a global sort.
+    """
+    from pyspark.sql import functions as F
+
+    words = df.repartition(F.col(id_col)).select(
+        TX.word_tokens(F.col(text_col)).alias("words")
+    )
+    n = F.size("words")
+    bigrams = words.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("words", i).alias("w1"),
+                        F.element_at("words", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    toks = words.select(F.explode("words").alias("word"))
+
+    pair_cnt = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    uni_cnt = toks.groupBy("word").agg(F.count("*").alias("c"))
+    n_big = pair_cnt.agg(F.sum("c_ab").cast("long").alias("n_big"))
+    n_uni = uni_cnt.agg(F.sum("c").cast("long").alias("n_uni"))
+
+    cand = (
+        pair_cnt.filter(F.col("c_ab") >= min_count)
+        .join(
+            uni_cnt.hint("shuffle_hash").select(
+                F.col("word").alias("w1"), F.col("c").alias("c_a")
+            ),
+            "w1",
+        )
+        .join(
+            uni_cnt.hint("shuffle_hash").select(
+                F.col("word").alias("w2"), F.col("c").alias("c_b")
+            ),
+            "w2",
+        )
+        .join(F.broadcast(n_big))
+        .join(F.broadcast(n_uni))
+    )
+    num = (
+        F.col("c_ab").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+    )
+    den = (
+        F.col("n_big").cast("double")
+        * F.col("c_a").cast("double")
+        * F.col("c_b").cast("double")
+    )
+    scored = cand.select(
+        "w1",
+        "w2",
+        "c_ab",
+        F.floor(F.log(num / den) * F.lit(1e6)).cast("long").alias("pmi_q"),
+    )
+    return scored.orderBy(
+        F.col("pmi_q").desc(), "w1", "w2"
+    ).limit(topk)

@@ -288,7 +288,132 @@ GROUP BY doc_id
 """
 
 
+# Fixed 12-word passage appended to every 7th doc: the synthetic corpus
+# is word-soup with no naturally repeated 8-grams (31-word vocab,
+# 31^8 >> window count), so the duplicated-passage signal is PLANTED —
+# same precedent as q_dedup_lines / q_dedup_embed — and the oracle
+# mirrors the construction.
+_PLANT_PASSAGE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+)
+_SUBSTR_K = 8
+
+
+def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplicated-window stats per document
+    (operators/dedup.dup_substring_stats — Lee et al. exact-substring
+    dedup at word-8-gram granularity) over the corpus with a planted
+    shared passage on every 7th doc. Planted docs must report >= 5
+    duplicated windows (the passage's fully-internal 8-grams);
+    unplanted docs 0."""
+    from document_vector_indexer_spark.operators.dedup import dup_substring_stats
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _PLANT_PASSAGE)),
+        ).otherwise(F.col("text")),
+    )
+    return dup_substring_stats(docs, k=_SUBSTR_K).orderBy("doc_id")
+
+
+_DUCK_CHARFOLD = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(1, length({s})),
+                     j -> CAST(ascii(substr({s}, j, 1)) AS BIGINT))),
+      (a, c) -> (a * 131 + c) % 2147483647)"""
+
+SQL_DEDUP_SUBSTRINGS = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' {_PLANT_PASSAGE}'
+              ELSE text END AS text
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                        '\\s+'), x -> x <> '') AS words
+  FROM planted
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           list_transform(generate_series(1, len(words) - {_SUBSTR_K - 1}),
+                          i -> array_to_string(list_slice(words, i, i + {_SUBSTR_K - 1}), ' ')),
+           s -> {_DUCK_CHARFOLD.format(s='s')})) AS gh
+  FROM w
+),
+byh AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh),
+per AS (
+  SELECT g.doc_id, count(*) AS n_windows,
+         count(*) FILTER (nd > 1) AS n_dup_windows
+  FROM g JOIN byh USING (gh) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_windows, 0) AS n_windows,
+       COALESCE(n_dup_windows, 0) AS n_dup_windows,
+       COALESCE((n_dup_windows * 1000000) // n_windows, 0) AS dup_ppm
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by quantized PMI
+    (operators/textanalysis.collocations_pmi)."""
+    from document_vector_indexer_spark.operators.textanalysis import (
+        collocations_pmi,
+    )
+
+    return collocations_pmi(
+        load_table(spark, sf_dir, "documents"), min_count=5, topk=50
+    )
+
+
+SQL_COLLOCATIONS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                        '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+b AS (
+  SELECT unnest(list_transform(generate_series(1, len(words) - 1), i ->
+           struct_pack(w1 := words[i], w2 := words[i + 1]))) AS bg
+  FROM w
+),
+pairs AS (SELECT (bg).w1 AS w1, (bg).w2 AS w2, count(*) AS c_ab FROM b GROUP BY 1, 2),
+uni AS (SELECT unnest(words) AS word FROM w),
+uc AS (SELECT word, count(*) AS c FROM uni GROUP BY word),
+nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_big FROM pairs),
+nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc)
+SELECT p.w1, p.w2, p.c_ab,
+       CAST(floor(ln(
+           (CAST(p.c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE))
+         / (CAST(n_big AS DOUBLE) * CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))
+       ) * 1e6) AS BIGINT) AS pmi_q
+FROM pairs p
+JOIN (SELECT word AS w1, c AS c_a FROM uc) a USING (w1)
+JOIN (SELECT word AS w2, c AS c_b FROM uc) b2 USING (w2)
+CROSS JOIN nb CROSS JOIN nu
+WHERE p.c_ab >= 5
+ORDER BY pmi_q DESC, w1, w2
+LIMIT 50
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_dedup_substrings": QuerySpec(
+        dedup_substrings,
+        SQL_DEDUP_SUBSTRINGS,
+        "Lee-et-al-style duplicated-passage (word-8-gram) stats per doc",
+    ),
+    "q_collocations": QuerySpec(
+        collocations,
+        SQL_COLLOCATIONS,
+        "top-50 bigram collocations by fixed-point PMI",
+    ),
     "q_unigram_logprob": QuerySpec(
         unigram_logprob,
         SQL_UNIGRAM_LOGPROB,

@@ -332,6 +332,23 @@ def test_tpch_q17_join_back_never_broadcasts_per_part(spark):
     )
 
 
+def test_dup_substrings_and_collocations_never_broadcast_vocab(spark):
+    """Both new corpus ops join a corpus-derived frame (per-hash doc
+    counts / unigram vocabulary) back onto corpus-sized rows. At test
+    scale Catalyst would happily broadcast those (tiny size estimate);
+    at 100 TB a web corpus's hash/vocab tables need not fit an
+    executor, so the joins are shuffle-hash pinned — the same rule
+    test_unigram_logprob_weight_join_not_broadcast enforces. The only
+    broadcasts allowed are the 1-row totals (BroadcastNestedLoopJoin)."""
+    for name in ("q_dedup_substrings", "q_collocations"):
+        tree = _tree(_plan(spark, name))
+        assert "ShuffledHashJoin" in tree, f"{name}: vocab join not pinned:\n{tree}"
+        assert "BroadcastHashJoin" not in tree, (
+            f"{name}: corpus-derived frame broadcast into a join:\n{tree}"
+        )
+        assert "CartesianProduct" not in tree, f"{name}:\n{tree}"
+
+
 def test_semantic_dedup_single_narrow_shuffle(spark):
     """The SemDeDup cell id must be map-side column math feeding ONE
     partial+final aggregation — if the projection stops folding into

@@ -71,3 +71,45 @@ def test_fingerprint_order_sensitivity(spark):
     a = _one(spark, "alpha beta gamma", TA.fingerprint(F.col("text")))
     b = _one(spark, "gamma beta alpha", TA.fingerprint(F.col("text")))
     assert a != b  # rolling hash is order-sensitive, unlike a bag hash
+
+
+def test_dup_substring_stats_semantics(spark):
+    """Short docs report zero windows (not a crash, not a missing row);
+    identical long docs are 100% mutually duplicated."""
+    from document_vector_indexer_spark.operators.dedup import dup_substring_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "only three words"),
+            (2, "a b c d e f g h i j"),
+            (3, "a b c d e f g h i j"),
+            (4, "k l m n o p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_substring_stats(df, k=8).collect()}
+    assert len(out) == 4
+    assert out[1].n_windows == 0 and out[1].dup_ppm == 0
+    assert out[2].n_windows == 3  # 10 words, k=8 -> 3 windows
+    assert out[2].n_dup_windows == 3 and out[3].n_dup_windows == 3
+    assert out[2].dup_ppm == 1_000_000
+    assert out[4].n_dup_windows == 0  # unique doc untouched
+
+
+def test_collocations_pmi_finds_the_collocation(spark):
+    """A bigram that always co-occurs must outscore bigrams built from
+    independent filler words."""
+    from document_vector_indexer_spark.operators.textanalysis import (
+        collocations_pmi,
+    )
+
+    rows = [
+        (i, f"w{i % 3} new york w{(i + 1) % 5} w{(i + 2) % 7} w{i % 11}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = collocations_pmi(df, min_count=5, topk=5).collect()
+    assert top, "no collocations found"
+    assert (top[0].w1, top[0].w2) == ("new", "york"), [
+        (r.w1, r.w2, r.pmi_q) for r in top
+    ]
