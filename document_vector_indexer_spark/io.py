@@ -235,8 +235,16 @@ def ingest_engine_layout(
 
     File count per table = max(bytes / target_file_bytes, row-spread
     for per-row-CPU-heavy tables), capped at ``max_files``.
+
+    Tables rewrite CONCURRENTLY (one driver thread each — Spark's
+    scheduler interleaves the jobs): the read side of each rewrite is
+    the one-row-group single task being fixed, so a sequential loop
+    serializes ten single-task reads; overlapping them is where the
+    wall-clock goes down. Output is per-table-deterministic either way.
     """
-    for t in TABLES:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def rewrite(t: str) -> None:
         df = load_table(spark, sf_dir, t)
         nbytes = os.path.getsize(table_path(sf_dir, t))
         k = max(1, min(max_files, nbytes // target_file_bytes))
@@ -244,6 +252,10 @@ def ingest_engine_layout(
         df.repartition(int(k)).write.mode("overwrite").parquet(
             os.path.join(dest, f"{t}.parquet")
         )
+
+    with ThreadPoolExecutor(max_workers=len(TABLES)) as pool:
+        for fut in [pool.submit(rewrite, t) for t in TABLES]:
+            fut.result()  # propagate the first failure
     return dest
 
 
