@@ -254,6 +254,41 @@ SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 FROM documents
 """
 
 
+# Appended to every doc before the CSV write: an embedded newline, a
+# quote, and a delimiter — the three characters that break naive CSV.
+# The synthetic corpus is single-line word soup, so without this the
+# round-trip would never exercise quoting at all (vacuous green).
+_CSV_NASTY = '\n"quoted, piece"'
+
+
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (with a planted newline+quote+comma suffix) -> RFC-4180
+    CSV -> multiLine read with explicit schema; per-row md5 proves the
+    quoting/escaping round-trips losslessly
+    (sources/csv.write_csv / read_csv)."""
+    from document_vector_indexer_spark.sources.csv import read_csv, write_csv
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_CSV_NASTY))
+    )
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "dvi_csv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    write_csv(docs.select(*[f.name for f in SCHEMAS["documents"].fields]), dest)
+    back = read_csv(spark, dest, SCHEMAS["documents"])
+    return back.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT doc_id, lang, source, n_chars,
+       md5(text || chr(10) || '"quoted, piece"') AS text_md5
+FROM documents
+"""
+
+
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram perplexity-proxy quality score per document
     (see operators/textanalysis.unigram_logprob_scores for the
@@ -443,5 +478,11 @@ QUERIES: dict[str, QuerySpec] = {
         jsonl_roundtrip,
         SQL_JSONL_ROUNDTRIP,
         "JSONL sink + explicit-schema source round-trip, md5-verified",
+    ),
+    "q_csv_roundtrip": QuerySpec(
+        csv_roundtrip,
+        SQL_CSV_ROUNDTRIP,
+        "RFC-4180 CSV sink + multiLine source round-trip over planted "
+        "newline/quote/comma text, md5-verified",
     ),
 }

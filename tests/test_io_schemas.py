@@ -36,3 +36,32 @@ def test_events_ts_is_timestamp_after_nanos_handling(spark):
 
     n_subsec = ev.filter(F.date_trunc("second", "ts") != F.col("ts")).count()
     assert n_subsec > 0
+
+
+def test_csv_null_vs_empty_string_roundtrip(spark, tmp_path):
+    """The CSV sink's nullValue sentinel must keep NULL and '' distinct
+    through a round-trip — the classic CSV data-loss bug."""
+    from pyspark.sql import types as T
+
+    from document_vector_indexer_spark.sources.csv import read_csv, write_csv
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, 'a,"b"\nc'), (4, "\\N")], schema
+    )
+    dest = str(tmp_path / "csv_nulls")
+    write_csv(df, dest)
+    back = {r.id: r.s for r in read_csv(spark, dest, schema).collect()}
+    assert back[1] is None
+    assert back[2] == ""
+    assert back[3] == 'a,"b"\nc'
+    # documented sentinel collision (sources/csv.py): literal "\N"
+    # content is indistinguishable from NULL even when quoted — the
+    # parser applies nullValue after unquoting. Pin it so a behavior
+    # change (e.g. a Spark upgrade fixing quoted sentinels) surfaces.
+    assert back[4] is None
