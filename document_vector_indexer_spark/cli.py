@@ -174,12 +174,13 @@ def cmd_curate(args: argparse.Namespace) -> None:
     """Training-corpus curation pipeline: Gopher quality rules ->
     exact dedup (keep lowest id) -> deterministic hash split, written
     as parquet partitioned by split. Every stage is one of the
-    engine's verified operators. The corpus is scanned exactly twice:
-    once by a single aggregate for the (n_in, n_quality) summary, once
-    by the write; the dedup/split counts come from the written output,
-    never from extra ``.count()`` passes over the pipeline (round-3
-    ADVICE: the old per-stage counts re-executed the plan four
-    times)."""
+    engine's verified operators. The corpus is scanned twice — once by
+    a single aggregate for the (n_in, n_quality) summary, once by the
+    write — plus, only when the input lacks a doc_id column, the
+    bounded key-sampling pass of the id fallback (global_id pass 0).
+    The dedup/split counts come from the written output, never from
+    extra ``.count()`` passes over the pipeline (round-3 ADVICE: the
+    old per-stage counts re-executed the plan four times)."""
     from document_vector_indexer_spark.operators.dedup import exact_dedup_keep_first
     from document_vector_indexer_spark.operators.textanalysis import gopher_rules
     from document_vector_indexer_spark.operators.trainprep import hash_split

@@ -744,16 +744,22 @@ def dup_substring_stats(
         F.col(id_col), TX.word_tokens(F.col(text_col)).alias("_words")
     )
     n = F.size("_words")
-    gram_hashes = F.when(
+    # Build gram STRINGS first and hash only after the explode
+    # materializes them as a plain column: inlining the concat_ws(slice)
+    # expression into _word_hash's per-character fold lambda re-evaluates
+    # the whole slice+concat once per character (the documented
+    # lambda-boundary trap, see the module notes above) — O(len²) CPU in
+    # this operator's hot kernel.
+    grams = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: _word_hash(F.concat_ws(" ", F.slice(F.col("_words"), i, k))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_words"), i, k)),
         ),
-    ).otherwise(F.array().cast("array<long>"))
+    ).otherwise(F.array().cast("array<string>"))
     exploded = words.select(
-        F.col(id_col), F.explode(gram_hashes).alias("_gh")
-    )
+        F.col(id_col), F.explode(grams).alias("_gram")
+    ).select(F.col(id_col), _word_hash(F.col("_gram")).alias("_gh"))
     by_hash = exploded.groupBy("_gh").agg(
         F.countDistinct(id_col).alias("_nd")
     )

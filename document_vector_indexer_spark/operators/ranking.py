@@ -47,10 +47,24 @@ _SAMPLE_PER_BUCKET = 128
 
 def _tuple_gt(cols: list[Column], bound: tuple) -> Column:
     """Lexicographic ``(col_1, ..., col_k) > (b_1, ..., b_k)`` as a
-    column expression (Spark has no literal-struct comparison)."""
+    column expression (Spark has no literal-struct comparison).
+
+    NULL-safe with NULL ordered FIRST (Spark's ``orderBy`` asc
+    default, which the per-bucket ``row_number`` window also uses):
+    a NULL component is never greater than a non-null bound, and any
+    non-null component is greater than a NULL bound. The naive
+    ``c > lit(b)`` form returns NULL for NULL keys, which made the
+    bucket id NULL and the offsets join silently DROP those rows —
+    a data-loss bug caught by round-4 review."""
     expr = F.lit(False)
     for c, b in reversed(list(zip(cols, bound))):
-        expr = (c > F.lit(b)) | ((c == F.lit(b)) & expr)
+        if b is None:
+            gt = c.isNotNull()
+            eq = c.isNull()
+        else:
+            gt = F.coalesce(c > F.lit(b), F.lit(False))
+            eq = c.eqNullSafe(F.lit(b))
+        expr = gt | (eq & expr)
     return expr
 
 
@@ -64,9 +78,10 @@ def global_rank(
     """Append a dense 1-based global rank over ``order_cols`` plus the
     total row count, without a global single-partition window.
 
-    ``order_cols`` must be a unique, non-null key of ``df`` (ties would
-    make the rank nondeterministic — same contract as any order-based
-    id).
+    ``order_cols`` must be a unique key of ``df`` (ties would make the
+    rank nondeterministic — same contract as any order-based id).
+    NULL key components are allowed and rank first (Spark's asc
+    nulls-first order); rows are never dropped for NULL keys.
     """
     if num_partitions is not None:
         n_part = num_partitions

@@ -159,17 +159,19 @@ _VERIFIED = [
     "q_tpch_q12",
     "q_tpch_q14",
     "q_tpch_q19",
-    "q_sink_roundtrip",
+    # (q_sink_roundtrip, q_knn_ivf -> _CHANGED_SINCE_VERIFIED for r4)
     # r2 block, rows-only keys that ran clean (no oracle by design):
     "q_knn_lsh",
-    "q_knn_ivf",
     "q_dedup_minhash",
     "q_dedup_near",
     "q_embed_local",
     "q_embed_pipeline",
     "q_multimodal",
-    # r3 block (green oracle rows in CORRECTNESS_r03.json):
-    "q_win_ntile",
+    # r3 block (green oracle rows in CORRECTNESS_r03.json).
+    # Protocol note (round-4 review): a key lives in EXACTLY ONE place —
+    # either a _VERIFIED block or _CHANGED_SINCE_VERIFIED, never both;
+    # on a fresh green driver row move it from changed to verified.
+    # (q_win_ntile already sits in the r1 block above.)
     "q_dedup_embed",
     "q_cross_cosine",
     "q_dedup_ngram",
@@ -192,7 +194,7 @@ _VERIFIED = [
     "q_tpch_q13",
     "q_tpch_q15",
     "q_tpch_q16",
-    "q_tpch_q17",
+    # (q_tpch_q17 -> _CHANGED_SINCE_VERIFIED for r4)
     "q_tpch_q20",
     "q_tpch_q21",
     "q_tpch_q22",

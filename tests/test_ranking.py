@@ -144,3 +144,47 @@ def test_global_rank_string_keys(spark):
     got_rows = {(r.key, r._grank) for r in got.select("key", "_grank").collect()}
     want_rows = {(r.key, r.rk) for r in want.collect()}
     assert got_rows == want_rows
+
+
+def test_global_rank_null_keys_not_dropped(spark):
+    """Round-4 review regression: NULL key components made the bucket
+    expression NULL and the offsets join silently dropped those rows.
+    NULLs must rank FIRST (Spark asc nulls-first) and never vanish —
+    the frame is large enough that boundary sampling yields literal
+    bounds, which is where the old expression went wrong."""
+    df = (
+        spark.range(600)
+        .repartition(7)
+        .select(
+            F.when(F.col("id") % 100 == 0, F.lit(None))
+            .otherwise(F.md5(F.col("id").cast("string")))
+            .alias("key"),
+            F.col("id"),
+        )
+    )
+    got = global_rank(df, ["key", "id"], num_partitions=8)
+    assert got.count() == 600, "rows with NULL keys were dropped"
+    want = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy("key", "id"))
+    )
+    got_rows = {(r.id, r._grank) for r in got.select("id", "_grank").collect()}
+    want_rows = {(r.id, r.rk) for r in want.collect()}
+    assert got_rows == want_rows
+
+
+def test_ensure_doc_id_keeps_null_order_rows(spark, tmp_path):
+    """The CLI doc_id fallback over a parquet whose first column has
+    NULLs must keep every row (the reviewed scenario: 302 docs, 2 NULL,
+    300 survived)."""
+    from document_vector_indexer_spark.cli import _ensure_doc_id
+
+    src = spark.range(302).select(
+        F.when(F.col("id") < 2, F.lit(None))
+        .otherwise(F.concat(F.lit("f_"), F.col("id")))
+        .alias("filename"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+    )
+    out = _ensure_doc_id(src, ["filename"])
+    assert out.count() == 302
+    ids = [r.doc_id for r in out.select("doc_id").collect()]
+    assert sorted(ids) == list(range(1, 303)), "ids not dense 1..n"
