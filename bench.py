@@ -123,20 +123,24 @@ def main() -> None:
 
     specs = all_queries()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     try:
         for name in HEADLINE:
             fn = specs[name].fn
             fn(spark, ingest_dir).write.format("noop").mode("overwrite").save()
-            best = float("inf")
             # q_dedup_ngram sits inside the host's ±0.4 s noise band
             # (round-3 VERDICT item 7): 5 warm repeats instead of 3 so
             # one slow run can't dominate its readout.
             repeats = 5 if name == "q_dedup_ngram" else 3
+            runs = []
             for _ in range(repeats):
                 t1 = time.perf_counter()
                 fn(spark, ingest_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t1)
-            timings[name] = round(best, 3)
+                runs.append(time.perf_counter() - t1)
+            timings[name] = round(min(runs), 3)
+            # max-min across the warm repeats: the host-noise band per
+            # query, reported so a min can never hide an unstable query
+            spreads[name] = round(max(runs) - min(runs), 3)
             # drain driver-side refs (shuffles/broadcasts) between
             # queries so the context cleaner runs now, not mid-query
             spark.sparkContext._jvm.System.gc()
@@ -158,6 +162,7 @@ def main() -> None:
                 "total_with_ingest_sec": round(
                     sum(timings.values()) + ingest_sec, 3
                 ),
+                "repeat_spread_sec": spreads,
                 "layout": "multi-file engine ingest (io.ingest_engine_layout)",
             }
         )
