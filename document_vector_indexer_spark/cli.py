@@ -88,6 +88,40 @@ def cmd_index(args: argparse.Namespace) -> None:
         sys.exit(f"error: input not found: {args.input}")
     spark = get_spark(app_name="dvi-index")
     docs = _load_input(spark, args.input)
+
+    model_path = os.path.join(args.output, "_idf_model")
+    # NB: the dynamic-partition-overwrite committer writes no root
+    # _SUCCESS marker — detect an existing chunk table by its
+    # split_strategy= partition directories instead
+    incremental = bool(
+        getattr(args, "incremental", False)
+        and os.path.isdir(args.output)
+        and any(
+            e.startswith("split_strategy=") for e in os.listdir(args.output)
+        )
+    )
+    id_offset = 0
+    if incremental:
+        # converge-don't-recompute: skip documents already in the chunk
+        # table (anti join on filename — one distinct column, broadcast
+        # or shuffle as Catalyst sizes it), continue ids after the
+        # existing max, embed with the SAVED model so old and new rows
+        # share one vector space, and APPEND only the new chunks.
+        existing = spark.read.parquet(args.output)
+        seen = existing.select("filename").distinct()
+        docs = docs.join(seen, "filename", "left_anti")
+        if docs.isEmpty():
+            print(f"No new documents. Index at {args.output} is up to date.")
+            return
+        id_offset = existing.agg(F.max("id")).first()[0] or 0
+        if args.embedder in ("local", "word2vec") and not os.path.exists(
+            model_path
+        ):
+            sys.exit(
+                f"error: --incremental needs the fitted model at "
+                f"{model_path} (was the index built with --embedder api?)"
+            )
+
     cleaned = docs.withColumn("text", TX.clean_text("text")).filter(
         F.length("text") > 0
     )
@@ -104,15 +138,24 @@ def cmd_index(args: argparse.Namespace) -> None:
     # (mapInPandas is not column-prunable)
     chunks = global_id(
         chunks, ["filename", "split_strategy", "chunk_pos"], "id"
-    ).withColumn("id", F.col("id").cast("long"))
+    ).withColumn("id", (F.col("id") + F.lit(id_offset)).cast("long"))
     if args.embedder in ("local", "word2vec"):
-        from document_vector_indexer_spark.operators.embedding import (
-            fit_word2vec_embedder,
-        )
+        if incremental:
+            from pyspark.ml import PipelineModel
 
-        fit = fit_local_embedder if args.embedder == "local" else fit_word2vec_embedder
-        model = fit(chunks, text_col="chunk_text", dim=args.embedding_dim)
-        model.write().overwrite().save(os.path.join(args.output, "_idf_model"))
+            model = PipelineModel.load(model_path)
+        else:
+            from document_vector_indexer_spark.operators.embedding import (
+                fit_word2vec_embedder,
+            )
+
+            fit = (
+                fit_local_embedder
+                if args.embedder == "local"
+                else fit_word2vec_embedder
+            )
+            model = fit(chunks, text_col="chunk_text", dim=args.embedding_dim)
+            model.write().overwrite().save(model_path)
         embedded = embed_with_model(model, chunks)
     else:
         embedded = embed_api_map_in_pandas(
@@ -125,12 +168,14 @@ def cmd_index(args: argparse.Namespace) -> None:
             "chunk_pos", "created_at",
         )
     )
-    write_chunk_table(out, args.output)
+    write_chunk_table(out, args.output, mode="append" if incremental else "overwrite")
     n = spark.read.parquet(args.output).count()
     # mirrors the reference's completion message (index_documents.py:308)
     print(
         f"Done. Indexed {n} chunks to {args.output} "
-        f"(strategy={args.strategy}, embedder={args.embedder})"
+        f"(strategy={args.strategy}, embedder={args.embedder}"
+        + (", incremental" if incremental else "")
+        + ")"
     )
 
 
@@ -200,6 +245,17 @@ def cmd_curate(args: argparse.Namespace) -> None:
     n_in, n_quality = stats["n_in"], stats["n_quality"] or 0
     kept = docs.filter(F.col("_keep")).drop("_keep")
     deduped = exact_dedup_keep_first(kept, text_col="text", id_col="doc_id")
+    if args.dedup == "near":
+        # exact pass first (cheap, md5 shuffle), then MinHash + connected
+        # components for the non-identical near-dups
+        from document_vector_indexer_spark.operators.dedup import (
+            near_dedup_keep_first,
+        )
+
+        deduped = near_dedup_keep_first(
+            deduped, text_col="text", id_col="doc_id",
+            threshold=args.near_threshold,
+        )
     split = hash_split(deduped, id_col="doc_id")
     split.write.mode("overwrite").partitionBy("split").parquet(args.output)
     per_split = {
@@ -234,6 +290,12 @@ def main(argv: list[str] | None = None) -> None:
     ix.add_argument("--embedder", default="local",
                     choices=["local", "word2vec", "api"])
     ix.add_argument("--output", required=True)
+    ix.add_argument(
+        "--incremental", action="store_true",
+        help="index only documents not already in the chunk table "
+             "(anti join on filename), continue ids, embed with the "
+             "saved model, append",
+    )
     ix.set_defaults(fn=cmd_index)
 
     qp = sub.add_parser("query", help="top-k similar chunks for a text query")
@@ -248,6 +310,15 @@ def main(argv: list[str] | None = None) -> None:
     )
     cu.add_argument("input")
     cu.add_argument("--output", required=True)
+    cu.add_argument(
+        "--dedup", default="exact", choices=["exact", "near"],
+        help="exact: md5 keep-first only; near: exact + MinHash/"
+             "connected-components near-dup removal",
+    )
+    cu.add_argument(
+        "--near-threshold", type=float, default=0.25,
+        help="MinHash estimated-Jaccard threshold for --dedup near",
+    )
     cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)

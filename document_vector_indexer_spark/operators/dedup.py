@@ -785,3 +785,29 @@ def dup_substring_stats(
             ).alias("dup_ppm"),
         )
     )
+
+
+def near_dedup_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Near-duplicate removal, keep-lowest-id: portable banded MinHash
+    candidate pairs -> connected components -> drop every doc whose
+    component label is not its own id (the canonical survivor). Docs
+    with no near-dup pair never enter the component graph and survive
+    untouched.
+
+    Scale: the loser set is proportional to the duplicated fraction of
+    the corpus (30-50% on raw web crawls), so the anti join is
+    shuffle-pinned — never a broadcast.
+    """
+    pairs = minhash_portable_pairs(
+        df, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers.hint("shuffle_hash"), id_col, "left_anti")

@@ -170,3 +170,78 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     again = spark.read.parquet(out)
     b = {(r["doc_id"], r["split"]) for r in again.select("doc_id", "split").collect()}
     assert a == b
+
+
+def test_cli_incremental_index(spark, doc_dir, tmp_path, capsys):
+    """--incremental must index only the new file, keep old rows
+    byte-identical (same model, same ids), and continue ids densely."""
+    import shutil
+
+    d = tmp_path / "docs_inc"
+    shutil.copytree(doc_dir, d)
+    out = str(tmp_path / "chunks_inc")
+    args = ["index", str(d), "--strategy", "fixed", "--chunk-size", "200",
+            "--overlap", "40", "--embedding-dim", "32", "--output", out]
+    main(args)
+    capsys.readouterr()
+    before = {
+        (r.id, r.filename, r.chunk_pos)
+        for r in spark.read.parquet(out)
+        .select("id", "filename", "chunk_pos").collect()
+    }
+    max_id_before = max(i for i, _, _ in before)
+
+    # nothing new -> no-op
+    main([*args, "--incremental"])
+    assert "up to date" in capsys.readouterr().out
+
+    (d / "fresh.txt").write_text(
+        "A freshly added document about broadcast hash joins. " * 5
+    )
+    main([*args, "--incremental"])
+    msg = capsys.readouterr().out
+    assert "incremental" in msg
+    after_df = spark.read.parquet(out)
+    after = {
+        (r.id, r.filename, r.chunk_pos)
+        for r in after_df.select("id", "filename", "chunk_pos").collect()
+    }
+    assert before < after, "old rows changed or vanished"
+    new_rows = after - before
+    assert new_rows and all(f.endswith("fresh.txt") for _, f, _ in new_rows)
+    assert min(i for i, _, _ in new_rows) == max_id_before + 1
+    ids = [r.id for r in after_df.select("id").collect()]
+    assert sorted(ids) == list(range(1, len(ids) + 1)), "ids not dense"
+
+
+def test_cli_curate_near_dedup(spark, tmp_path, capsys):
+    """--dedup near must also drop NEAR duplicates (doc 100: doc 0's
+    text with one word changed — exact dedup alone keeps it)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "because it is chased by a hunter in the deep green forest today "
+    ) * 3
+    rows = [(i, f"doc_{i}", base + f"unique tail piece {i} " * 3)
+            for i in range(8)]
+    rows.append((100, "doc_100", rows[0][2].replace("hunter", "wolf")))
+    src = str(tmp_path / "near_docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, filename string, text string"
+    ).write.parquet(src)
+
+    out_exact = str(tmp_path / "cur_exact")
+    main(["curate", src, "--output", out_exact])
+    capsys.readouterr()
+    exact_ids = {
+        r.doc_id for r in spark.read.parquet(out_exact).select("doc_id").collect()
+    }
+    assert 100 in exact_ids, "near-dup should survive exact-only dedup"
+
+    out_near = str(tmp_path / "cur_near")
+    main(["curate", src, "--output", out_near, "--dedup", "near"])
+    capsys.readouterr()
+    near_ids = {
+        r.doc_id for r in spark.read.parquet(out_near).select("doc_id").collect()
+    }
+    assert 100 not in near_ids, "near-dup survived --dedup near"
+    assert 0 in near_ids, "survivor must be the lowest id"
