@@ -653,6 +653,45 @@ ORDER BY c.id
 """
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dedup KEEP/DROP decision applied end-to-end
+    (operators/dedup.near_dedup_keep_first, the `curate --dedup near`
+    path): portable-MinHash pairs -> connected components -> drop every
+    doc whose component label is not its own id. Output carries
+    md5(text) so the oracle proves surviving rows ride through intact,
+    not just that the id set matches."""
+    from document_vector_indexer_spark.operators.dedup import (
+        near_dedup_keep_first,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = near_dedup_keep_first(docs, threshold=0.25)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5")
+    ).orderBy("doc_id")
+
+
+SQL_DEDUP_APPLY = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+SELECT d.doc_id, md5(d.text) AS text_md5
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+ORDER BY d.doc_id
+"""
+
+
 def q_embed_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_vector_indexer_spark.operators.embedding import embed_local
 
@@ -776,6 +815,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q_knn_ivf": QuerySpec(q_knn_ivf, SQL_KNN_IVF),
     "q_dedup_minhash": QuerySpec(q_dedup_minhash, SQL_DEDUP_MINHASH),
     "q_dedup_cluster": QuerySpec(q_dedup_cluster, SQL_DEDUP_CLUSTER),
+    "q_dedup_apply": QuerySpec(
+        q_dedup_apply,
+        SQL_DEDUP_APPLY,
+        "near-dedup keep/drop applied end-to-end (curate --dedup near path)",
+    ),
     "q_dedup_minhash_mllib": QuerySpec(
         q_dedup_minhash_mllib, None,
         "MLlib MinHashLSH near-dup pairs — ROWS-ONLY BY DESIGN: MLlib's "
