@@ -212,45 +212,31 @@ def knn_ivf(
     query_id_col: str = "qid",
     seed: int = 42,
 ) -> DataFrame:
-    """IVF approximate kNN: assign every vector to its nearest centroid
-    cell (one broadcast-join pass, persisted in real deployments as a
-    partitioned table clustered by cell), then for each query scan only
-    the ``nprobe`` closest cells.
+    """IVF approximate kNN with KMeans-trained cells: train the
+    centroids (driver receives nlist x dim floats — tiny), then run
+    the exact same physical shape as :func:`knn_ivf_pinned` — map-side
+    ``array_min`` cell assignment over the centroid literals, probe
+    explode, one cell equi-join, per-query top-k.
+
+    (An earlier revision assigned cells with a per-vector window over
+    the nlist-exploded corpus — an extra shuffle the literal form
+    doesn't need; the two variants now share one code path and the
+    trained one differs only in where the centroids come from.)
 
     At 100 TB: cell assignment is write-time work; the per-query scan
     touches nprobe/nlist of the data — the same contract as FAISS IVF.
     """
-    spark = vectors.sparkSession
     model = train_ivf_centroids(vectors, nlist, vec_col, seed)
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
-    )
-    # cell assignment: argmin over broadcast centroids
-    w_assign = Window.partitionBy(id_col).orderBy(F.col("cdist"), F.col("cell"))
-    assigned = (
-        vectors.join(F.broadcast(centroids))
-        .withColumn("cdist", V.l2_distance(F.col(vec_col), F.col("centroid")))
-        .withColumn("crk", F.row_number().over(w_assign))
-        .filter(F.col("crk") == 1)
-        .select(id_col, vec_col, "cell")
-    )
-    # probe list per query: nprobe nearest centroids
-    w_probe = Window.partitionBy("query_id").orderBy(F.col("qdist"), F.col("cell"))
-    probes = (
-        query.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .join(F.broadcast(centroids))
-        .withColumn("qdist", V.l2_distance(F.col("q_vec"), F.col("centroid")))
-        .withColumn("prk", F.row_number().over(w_probe))
-        .filter(F.col("prk") <= nprobe)
-        .select("query_id", "q_vec", "cell")
-    )
-    scored = assigned.join(F.broadcast(probes), "cell").select(
-        "query_id",
-        F.col(id_col).alias("id"),
-        V.cosine(F.col(vec_col), F.col("q_vec")).alias("sim"),
-    )
-    w_top = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id"))
-    return scored.withColumn("rk", F.row_number().over(w_top).cast("long")).filter(
-        F.col("rk") <= k
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return knn_ivf_pinned(
+        vectors,
+        query,
+        centroids,
+        k=k,
+        nprobe=nprobe,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
     )
