@@ -991,7 +991,94 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_PASSTHROUGH)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel with a 12-hour stage window over the
+    events stream: per user, the earliest view, the earliest click
+    strictly after that view AND within 12 hours of it, the earliest
+    purchase strictly after that click and within 12 hours — the
+    classic product-analytics shape. The window is what makes the
+    check non-vacuous on the synthetic stream (sf0.01: 150 users, 150
+    view, 37 click-convert, 13 purchase-convert — real drop-off, not
+    everyone-passes). Every stage is a user-keyed aggregation or join
+    (stage frames arrive pre-partitioned by user from their own aggs),
+    timestamp comparisons only — no float, fully deterministic."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 12 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 12 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    total = ev.select("user_id").distinct()
+    return (
+        total.join(views, "user_id", "left")
+        .join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_click_after_view"),
+            F.count("t_purchase").alias("n_purchase_after_click"),
+        )
+    )
+
+
+SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL '12 hours'
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL '12 hours'
+  GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT count(*) AS n_users,
+       count(v.t_view) AS n_view,
+       count(c.t_click) AS n_click_after_view,
+       count(p.t_purchase) AS n_purchase_after_click
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_funnel": QuerySpec(
+        q_funnel,
+        SQL_FUNNEL,
+        "ordered view->click->purchase conversion funnel per user",
+    ),
     "q_sql_passthrough": QuerySpec(
         q_sql_passthrough,
         SQL_PASSTHROUGH,
