@@ -1073,11 +1073,128 @@ LEFT JOIN p USING (user_id)
 """
 
 
+def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in exact fixed point — the class-
+    centroid primitive under SemDeDup clustering / centroid classifiers.
+    Components quantize to 1e-6 longs BEFORE the sum (float addition is
+    order-dependent across engines; integer addition is not), one
+    division to double per output row. Scale: posexplode fans out
+    rows x dim, then ONE (label, pos)-keyed partial+final agg — the
+    shuffle carries nlabels x dim pre-aggregated rows, not the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label", "pos",
+        F.rint(F.col("x").cast("double") * 1e6).cast("long").alias("xq"),
+    )
+    return (
+        comp.groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (
+                (F.sum("xq").cast("double") / F.count("*")) / 1e6
+            ).alias("centroid_x"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+SQL_VEC_CENTROID = """
+WITH comp AS (
+  SELECT label, i - 1 AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS xq
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+)
+SELECT label, pos, count(*) AS n_vecs,
+       (CAST(sum(xq) AS DOUBLE) / count(*)) / 1e6 AS centroid_x
+FROM comp GROUP BY label, pos ORDER BY label, pos
+"""
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: users cohorted by the calendar day of
+    their first signup event; for offsets 0..6, how many are active
+    (any event) on cohort_day + offset. Daily, not weekly, because the
+    synthetic stream spans 30 days and every user is active every week
+    — the weekly readout saturates (vacuous); daily shows real
+    drop-off (sf0.01: 150 -> 131 on day 1). The offset is exact
+    integer epoch arithmetic; counts are integers end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    offset = (
+        (F.unix_timestamp("day") - F.unix_timestamp("cohort_day")) / 86400
+    ).cast("long")
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count("*").alias("n_cohort")
+    )
+    return (
+        activity.join(cohort, "user_id")
+        .withColumn("day_offset", offset)
+        .filter((F.col("day_offset") >= 0) & (F.col("day_offset") <= 6))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset", "n_active", "n_cohort",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+SQL_RETENTION = """
+WITH cohort AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+sizes AS (
+  SELECT cohort_day, count(*) AS n_cohort FROM cohort GROUP BY cohort_day
+),
+r AS (
+  SELECT c.cohort_day,
+         CAST((epoch(a.day) - epoch(c.cohort_day)) / 86400 AS BIGINT)
+           AS day_offset,
+         a.user_id
+  FROM activity a JOIN cohort c USING (user_id)
+)
+SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+       r.day_offset,
+       count(DISTINCT r.user_id) AS n_active,
+       s.n_cohort
+FROM r JOIN sizes s ON r.cohort_day = s.cohort_day
+WHERE r.day_offset BETWEEN 0 AND 6
+GROUP BY 1, 2, s.n_cohort
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_funnel": QuerySpec(
         q_funnel,
         SQL_FUNNEL,
         "ordered view->click->purchase conversion funnel per user",
+    ),
+    "q_vec_centroid": QuerySpec(
+        q_vec_centroid,
+        SQL_VEC_CENTROID,
+        "per-label embedding centroids, exact fixed-point accumulation",
+    ),
+    "q_retention": QuerySpec(
+        q_retention,
+        SQL_RETENTION,
+        "daily signup-cohort retention, offsets 0-6",
     ),
     "q_sql_passthrough": QuerySpec(
         q_sql_passthrough,
