@@ -102,18 +102,30 @@ def cmd_index(args: argparse.Namespace) -> None:
     )
     id_offset = 0
     if incremental:
-        # converge-don't-recompute: skip documents already in the chunk
-        # table (anti join on filename — one distinct column, broadcast
-        # or shuffle as Catalyst sizes it), continue ids after the
-        # existing max, embed with the SAVED model so old and new rows
-        # share one vector space, and APPEND only the new chunks.
-        existing = spark.read.parquet(args.output)
-        seen = existing.select("filename").distinct()
-        docs = docs.join(seen, "filename", "left_anti")
-        if docs.isEmpty():
-            print(f"No new documents. Index at {args.output} is up to date.")
-            return
-        id_offset = existing.agg(F.max("id")).first()[0] or 0
+        # Cheap local preconditions FIRST — before any Spark job runs
+        # (round-4 review: the old order spent two cluster scans to
+        # print an error that was knowable from the driver).
+        #
+        # 1. Identity stability: the anti join keys on `filename`. For
+        #    a parquet input WITHOUT a doc_id column, _load_input
+        #    synthesizes filenames from a global ORDERING of the rows —
+        #    growing the input shifts every rank, so old docs would
+        #    reappear under new names and new docs would collide with
+        #    'seen' names (confirmed: silent duplicate + silent drop).
+        #    Refuse rather than corrupt.
+        if args.input.endswith(".parquet") or os.path.isfile(
+            os.path.join(args.input, "_SUCCESS")
+        ):
+            if "doc_id" not in spark.read.parquet(args.input).columns:
+                sys.exit(
+                    "error: --incremental over a parquet input needs a "
+                    "stable doc_id column (synthesized order-based ids "
+                    "shift when the input grows, corrupting the anti "
+                    "join); add a doc_id or index a document directory"
+                )
+        # 2. Embedder/model consistency: old and new rows must share
+        #    ONE vector space. A saved model implies a local/word2vec
+        #    build; its absence implies an api build.
         if args.embedder in ("local", "word2vec") and not os.path.exists(
             model_path
         ):
@@ -121,6 +133,23 @@ def cmd_index(args: argparse.Namespace) -> None:
                 f"error: --incremental needs the fitted model at "
                 f"{model_path} (was the index built with --embedder api?)"
             )
+        if args.embedder == "api" and os.path.exists(model_path):
+            sys.exit(
+                "error: this index was built with a fitted local model; "
+                "--incremental --embedder api would append vectors from "
+                "a different embedding space"
+            )
+        # converge-don't-recompute: skip documents already in the chunk
+        # table (anti join on filename — one distinct column, broadcast
+        # or shuffle as Catalyst sizes it), continue ids after the
+        # existing max, and APPEND only the new chunks.
+        existing = spark.read.parquet(args.output)
+        seen = existing.select("filename").distinct()
+        docs = docs.join(seen, "filename", "left_anti")
+        if docs.isEmpty():
+            print(f"No new documents. Index at {args.output} is up to date.")
+            return
+        id_offset = existing.agg(F.max("id")).first()[0] or 0
 
     cleaned = docs.withColumn("text", TX.clean_text("text")).filter(
         F.length("text") > 0
@@ -264,9 +293,15 @@ def cmd_curate(args: argparse.Namespace) -> None:
         .groupBy("split").agg(F.count("*").alias("n")).collect()
     }
     n_dedup = sum(per_split.values())
+    # the dedup label must say which passes ran — "exact dedup" on a
+    # --dedup near run would hide whether near-dedup removed anything
+    # (round-4 review)
+    dedup_label = (
+        "exact dedup" if args.dedup == "exact" else "exact+near dedup"
+    )
     print(
         f"Curated {args.input}: {n_in} docs -> {n_quality} pass quality "
-        f"({n_in - n_quality} dropped) -> {n_dedup} after exact dedup "
+        f"({n_in - n_quality} dropped) -> {n_dedup} after {dedup_label} "
         f"({n_quality - n_dedup} duplicates) -> splits {per_split} "
         f"at {args.output}"
     )

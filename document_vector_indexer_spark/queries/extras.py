@@ -998,7 +998,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase strictly after that click and within 12 hours — the
     classic product-analytics shape. The window is what makes the
     check non-vacuous on the synthetic stream (sf0.01: 150 users, 150
-    view, 37 click-convert, 13 purchase-convert — real drop-off, not
+    view, 37 click-convert, 7 purchase-convert — real drop-off, not
     everyone-passes). Every stage is a user-keyed aggregation or join
     (stage frames arrive pre-partitioned by user from their own aggs),
     timestamp comparisons only — no float, fully deterministic."""
@@ -1100,12 +1100,15 @@ def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Correlated unnest over the ACTUAL array length — no hardcoded dim, so
+# the oracle tracks the data exactly like Spark's posexplode does (a
+# fixed-series cross join would emit NULL positions for any short row
+# and silently skew n_vecs — round-4 review).
 SQL_VEC_CENTROID = """
 WITH comp AS (
   SELECT label, i - 1 AS pos,
          CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS xq
-  FROM embeddings
-  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
 )
 SELECT label, pos, count(*) AS n_vecs,
        (CAST(sum(xq) AS DOUBLE) / count(*)) / 1e6 AS centroid_x

@@ -631,8 +631,12 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Transitive closure of the minhash pair graph by recursive CTE
 # (min-reachable-label == component id). The pair set is exactly
 # SQL_DEDUP_MINHASH's result.
-SQL_DEDUP_CLUSTER = f"""
-WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH}),
+# Shared recursive-closure prelude: pairs -> undirected edges ->
+# min-reachable-label components. ONE definition interpolated into both
+# SQL_DEDUP_CLUSTER and SQL_DEDUP_APPLY (round-4 review: a verbatim
+# copy would let a future closure fix silently desynchronize the two
+# oracles that pin the same operator).
+_SQL_COMPONENTS_PRELUDE = f"""WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -644,7 +648,10 @@ reach(id, label) AS (
   UNION
   SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
 ),
-comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)"""
+
+SQL_DEDUP_CLUSTER = f"""
+{_SQL_COMPONENTS_PRELUDE},
 sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
 SELECT c.id, c.component, s.cluster_size,
        c.id = c.component AS survivor
@@ -672,19 +679,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_APPLY = f"""
-WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH}),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION
-  SELECT id_b AS src, id_a AS dst FROM pairs
-),
-verts AS (SELECT DISTINCT src AS id FROM edges),
-reach(id, label) AS (
-  SELECT id, id FROM verts
-  UNION
-  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
-),
-comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+{_SQL_COMPONENTS_PRELUDE}
 SELECT d.doc_id, md5(d.text) AS text_md5
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)

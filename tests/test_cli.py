@@ -245,3 +245,35 @@ def test_cli_curate_near_dedup(spark, tmp_path, capsys):
     }
     assert 100 not in near_ids, "near-dup survived --dedup near"
     assert 0 in near_ids, "survivor must be the lowest id"
+
+
+def test_cli_incremental_refuses_unstable_identity(spark, tmp_path, capsys):
+    """--incremental over a parquet input WITHOUT doc_id must refuse:
+    synthesized order-based filenames shift when the input grows, so
+    the anti join would silently drop the new doc and re-index an old
+    one under a new name (round-4 review, reproduced)."""
+    src = str(tmp_path / "no_id.parquet")
+    spark.createDataFrame(
+        [("m " + "alpha beta gamma " * 20,), ("z " + "delta eps zeta " * 20,)],
+        "text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "chunks_noid")
+    main(["index", src, "--chunk-size", "100", "--overlap", "20",
+          "--embedding-dim", "8", "--output", out])
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="stable doc_id"):
+        main(["index", src, "--incremental", "--chunk-size", "100",
+              "--overlap", "20", "--embedding-dim", "8", "--output", out])
+
+
+def test_cli_incremental_refuses_embedder_space_mismatch(tmp_path, doc_dir, capsys):
+    """--incremental --embedder api on a local-model index must refuse
+    (two vector spaces in one table)."""
+    out = str(tmp_path / "chunks_space")
+    main(["index", str(doc_dir), "--chunk-size", "200", "--overlap", "40",
+          "--embedding-dim", "16", "--output", out])
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="different embedding space"):
+        main(["index", str(doc_dir), "--incremental", "--embedder", "api",
+              "--chunk-size", "200", "--overlap", "40",
+              "--embedding-dim", "16", "--output", out])
