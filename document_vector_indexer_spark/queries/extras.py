@@ -517,6 +517,81 @@ FROM chunks
 """
 
 
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous indexing end-to-end as a DRIVER-CHECKED key: stage
+    the first 120 documents as a JSONL drop directory, run the
+    availableNow Structured Streaming ingest (streaming/ingest.py:
+    checkpointed file discovery -> clean -> chunk -> mapInPandas embed
+    -> idempotent foreachBatch sink), read the chunk table back and
+    aggregate. The oracle replays the clean+fixed-chunk semantics in
+    SQL (the q_sink_roundtrip fragment), so this proves the STREAMING
+    path produces exactly the batch pipeline's chunks — not merely
+    that a query ran. Staging is wiped per call so re-runs reprocess
+    deterministically (the driver's rerun-safety check)."""
+    import shutil
+
+    from document_vector_indexer_spark.streaming.ingest import (
+        start_stream_ingest,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"dvi_stream_ingest_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "incoming")
+    out = os.path.join(base, "chunks")
+    ckpt = os.path.join(base, "ckpt")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select(
+            F.concat(F.lit("doc_"), F.col("doc_id")).alias("filename"), "text"
+        )
+    )
+    docs.coalesce(1).write.json(in_dir)
+    q = start_stream_ingest(
+        spark, in_dir, out, ckpt,
+        strategy="fixed", embedding_dim=16, **_SINK_GEOM,
+    )
+    q.awaitTermination(300)
+    back = spark.read.parquet(out)
+    return back.groupBy("split_strategy").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.length("chunk_text")).cast("long").alias("total_chars"),
+        F.countDistinct("filename").alias("n_files"),
+        F.count_if(F.size("embedding") == 16).alias("n_dim_ok"),
+    )
+
+
+SQL_STREAM_INGEST = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+cleaned AS (
+  SELECT doc_id, {{clean}} AS t FROM docs
+),
+wins AS (
+  SELECT doc_id, t,
+         unnest(range(0, (CASE WHEN length(t) <= 180 THEN 0
+                ELSE CAST(ceil((length(t) - 180) / 150.0) AS BIGINT)
+                END) + 1)) * 150 AS win_start
+  FROM cleaned
+),
+chunks AS (
+  SELECT * FROM (
+    SELECT doc_id,
+           regexp_replace(substr(t, win_start + 1, 180), '^\\s+|\\s+$', '', 'g') AS chunk_text
+    FROM wins
+  ) WHERE chunk_text <> ''
+)
+SELECT 'fixed' AS split_strategy,
+       count(*) AS n_chunks,
+       CAST(sum(length(chunk_text)) AS BIGINT) AS total_chars,
+       count(DISTINCT doc_id) AS n_files,
+       count(*) AS n_dim_ok
+FROM chunks
+""".format(clean=SQL_CLEAN.format(col="text"))
+
+
 def q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key join through the deterministic salting operator — result
     must equal the plain join (the oracle IS the plain join)."""
@@ -1198,6 +1273,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_retention,
         SQL_RETENTION,
         "daily signup-cohort retention, offsets 0-6",
+    ),
+    "q_stream_ingest": QuerySpec(
+        q_stream_ingest,
+        SQL_STREAM_INGEST,
+        "continuous indexing: availableNow streaming ingest vs the "
+        "batch chunking oracle",
     ),
     "q_sql_passthrough": QuerySpec(
         q_sql_passthrough,
