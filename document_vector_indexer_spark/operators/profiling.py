@@ -9,7 +9,7 @@ Portable output (strings for min/max) so it is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -34,3 +34,69 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) as "
         "(column, n_nulls, n_distinct, min_str, max_str)",
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_cents: Column,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    z: int = 3,
+) -> DataFrame:
+    """Exact distributed z-score outlier detection per group — the
+    standard telemetry/data-quality anomaly flag, done with integer
+    arithmetic so it is deterministic cross-engine.
+
+    ``value_cents`` must be an exact integer (long) column (quantize
+    the raw measure first, e.g. ``F.round(value * 100).cast("long")``).
+    With per-group n, s = Σv, q = Σv², the test |v − μ| > z·σ is
+    equivalent to the all-integer comparison
+
+        (n·v − s)²  >  z² · (n·q − s²)
+
+    Long-range bound: safe while z²·n²·max(v)² < 2⁶³ — at sf0.1
+    (n ≈ 2·10⁴, v ≤ 3.3·10⁴) both sides stay < 3·10¹⁸; at 100 TB
+    promote s/q and the products to DECIMAL(38,0) (same shape — noted
+    rather than paid here because the decimal path costs ~2× in
+    codegen and the driver hash is over the long outputs).
+    A reporting column z_milli_obs = floor(|n·v − s| / sqrt(n·q − s²)
+    · 1000) is the ONE double expression per row; IEEE division and
+    sqrt are correctly-rounded, so it is cross-engine exact.
+
+    Scale shape: one tiny per-group aggregate (|groups| rows) joined
+    back as a broadcast, then a map-side filter — the corpus never
+    shuffles.
+    """
+    stats = (
+        df.select(F.col(key_col), value_cents.alias("__v"))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum("__v").cast("long").alias("__s"),
+            F.sum(F.col("__v") * F.col("__v")).cast("long").alias("__q"),
+        )
+    )
+    flagged = (
+        df.withColumn("__v", value_cents)
+        .join(F.broadcast(stats), key_col)
+        .withColumn("__num", F.col("__n") * F.col("__v") - F.col("__s"))
+        .withColumn(
+            "__den", F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")
+        )
+        .filter(
+            F.col("__num") * F.col("__num")
+            > F.lit(int(z) * int(z)) * F.col("__den")
+        )
+    )
+    z_obs = F.floor(
+        F.abs(F.col("__num")).cast("double")
+        / F.sqrt(F.col("__den").cast("double"))
+        * F.lit(1000.0)
+    ).cast("long")
+    return flagged.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col("__v").alias("value_cents"),
+        F.col("__n").alias("group_n"),
+        z_obs.alias("z_milli_obs"),
+    )

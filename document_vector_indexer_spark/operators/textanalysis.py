@@ -396,3 +396,44 @@ def collocations_pmi(
     return scored.orderBy(
         F.col("pmi_q").desc(), "w1", "w2"
     ).limit(topk)
+
+
+# --- C4-style line-level cleaning (Raffel et al. 2020, §2.2) ---------
+# Portable subset of the C4 heuristics: a line survives iff it has >=
+# C4_MIN_LINE_WORDS words, ends in terminal punctuation, and contains
+# neither a curly brace nor the word "javascript"; a document is
+# dropped wholesale if it contains "lorem ipsum". All pure column
+# expressions (scan-speed map-side; no shuffle, no UDF).
+C4_MIN_LINE_WORDS = 3
+C4_TERMINALS = (".", "!", "?", '."', '!"', '?"')
+
+
+def _c4_line_ok(line: Column) -> Column:
+    words = F.filter(F.split(line, "[ ]+"), lambda w: w != "")
+    ends_ok = None
+    for t in C4_TERMINALS:
+        e = line.endswith(F.lit(t))
+        ends_ok = e if ends_ok is None else ends_ok | e
+    low = F.lower(line)
+    return (
+        (F.size(words) >= C4_MIN_LINE_WORDS)
+        & ends_ok
+        & ~low.contains("{")
+        & ~low.contains("}")
+        & ~low.contains("javascript")
+    )
+
+
+def c4_line_stats(text: Column | str) -> dict[str, Column]:
+    """C4 line-filter outputs for one text column: kept/dropped line
+    counts, the cleaned text (kept lines re-joined with newlines), and
+    the document-level lorem-ipsum drop flag."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.filter(F.split(c, "\n"), lambda l: TX.strip(l) != "")
+    kept = F.filter(lines, _c4_line_ok)
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept": F.size(kept).cast("long"),
+        "cleaned": F.array_join(kept, "\n"),
+        "doc_drop": F.lower(c).contains("lorem ipsum"),
+    }

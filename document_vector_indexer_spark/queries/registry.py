@@ -13,6 +13,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extras,
         relational,
         scalarfuncs,
+        searchops,
         streamingops,
         textops,
         tpch_full,
@@ -29,6 +30,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extras,
         tpch_full,
         corpusops,
+        searchops,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,216 @@
+"""Direct tests for the search/analytics operators (BM25, TF-IDF
+keywords, C4 line filter, z-score outliers) — plan pins for the scale
+contracts plus pure-Python semantic checks. Value-exactness vs DuckDB
+is covered by test_driver_parity via the registry sweep."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan_tree(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = df._jdf.queryExecution().explainString(mode)
+    body = p.split("== Physical Plan ==")[1]
+    lines = []
+    for line in body.splitlines():
+        if re.match(r"^\(\d+\) ", line.strip()):
+            break
+        lines.append(line)
+    return "\n".join(lines)
+
+
+# --- BM25 -------------------------------------------------------------
+
+
+def test_bm25_matches_pure_python(spark):
+    """Recompute Lucene-style BM25 in plain Python over the sf0.001
+    corpus and assert the Spark top-20 set + quantized scores match."""
+    from document_vector_indexer_spark.queries.searchops import BM25_TERMS, bm25_q
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    docs = {r["doc_id"]: r["text"].split() for r in rows}
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    dft = {
+        t: sum(1 for w in docs.values() if t in w) for t in BM25_TERMS
+    }
+    k1, b = 1.2, 0.75
+    expect = {}
+    for d, words in docs.items():
+        score, hits = 0, 0
+        for t in BM25_TERMS:
+            tf = words.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n - dft[t] + 0.5) / (dft[t] + 0.5))
+            s = idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (len(words) / avgdl))))
+            score += math.floor(s * 1e6)
+        if hits:
+            expect[d] = (hits, score)
+    top = sorted(expect.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    got = bm25_q(spark, SF).collect()
+    assert [(r["doc_id"], (r["n_hit_terms"], r["score_q"])) for r in got] == top
+
+
+def test_bm25_plan_is_take_ordered_no_cartesian(spark):
+    from document_vector_indexer_spark.queries.searchops import bm25_q
+
+    tree = _plan_tree(spark, bm25_q(spark, SF))
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    # df-per-term joins back as a true broadcast: bounded by |query|,
+    # never by the corpus.
+    assert "BroadcastHashJoin" in tree, tree
+
+
+# --- TF-IDF keywords --------------------------------------------------
+
+
+def test_tfidf_vocab_join_not_broadcast(spark):
+    """The word→df lookup must stay a shuffle join on the word key (a
+    web corpus's vocabulary need not fit one executor); the only
+    broadcast is the 1-row doc count."""
+    from document_vector_indexer_spark.queries.searchops import keywords_tfidf_q
+
+    tree = _plan_tree(spark, keywords_tfidf_q(spark, SF))
+    assert "ShuffledHashJoin" in tree or "SortMergeJoin" in tree, tree
+    assert tree.count("BroadcastExchange") <= 1, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_tfidf_topn_and_rank_shape(spark):
+    from document_vector_indexer_spark.queries.searchops import keywords_tfidf_q
+
+    rows = keywords_tfidf_q(spark, SF).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in per_doc.items():
+        ranks = sorted(r["kw_rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), (d, ranks)
+        assert len(rs) <= 3
+        by_rank = sorted(rs, key=lambda r: r["kw_rank"])
+        scores = [r["tfidf_q"] for r in by_rank]
+        assert scores == sorted(scores, reverse=True), (d, scores)
+
+
+# --- C4 line filter ---------------------------------------------------
+
+
+def test_c4_planted_line_counts(spark):
+    from document_vector_indexer_spark.queries.searchops import c4_lines_q
+
+    got = {r["doc_id"]: r for r in c4_lines_q(spark, SF).collect()}
+    # doc 0: 0 % 11 == 0 -> lorem ipsum -> whole doc dropped
+    assert 0 not in got and 11 not in got and 33 not in got
+    # doc 1: header line + unique ref line, both kept
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (2, 2)
+    # doc 12: % 3 (brace+javascript), % 4 (2 words), % 2 (no terminal
+    # punctuation) all planted and all dropped; header + ref kept
+    assert (got[12]["n_lines"], got[12]["n_kept"]) == (5, 2)
+    # doc 2: no-punctuation line planted, dropped
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (3, 2)
+
+
+def test_c4_plan_is_map_side(spark):
+    from document_vector_indexer_spark.queries.searchops import c4_lines_q
+
+    tree = _plan_tree(spark, c4_lines_q(spark, SF))
+    assert "Join" not in tree, tree
+    n_exchanges = sum("Exchange" in l for l in tree.splitlines())
+    assert n_exchanges <= 1, f"C4 filter grew a shuffle beyond the sort:\n{tree}"
+
+
+# --- z-score outliers -------------------------------------------------
+
+
+def test_outliers_match_pure_python(spark):
+    from document_vector_indexer_spark.queries.searchops import outliers_q
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r["event_type"], []).append(
+            (r["event_id"], round(r["value"] * 100.0))
+        )
+    expect = {}
+    for g, vs in groups.items():
+        n = len(vs)
+        s = sum(v for _, v in vs)
+        q = sum(v * v for _, v in vs)
+        for eid, v in vs:
+            num = n * v - s
+            den = n * q - s * s
+            if num * num > 9 * den:
+                expect[eid] = (g, v, n, math.floor(abs(num) / math.sqrt(den) * 1000.0))
+    got = {
+        r["event_id"]: (
+            r["event_type"],
+            r["value_cents"],
+            r["group_n"],
+            r["z_milli_obs"],
+        )
+        for r in outliers_q(spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) > 0, "outlier query went vacuous"
+
+
+def test_outliers_plan_broadcasts_stats_only(spark):
+    from document_vector_indexer_spark.queries.searchops import outliers_q
+
+    tree = _plan_tree(spark, outliers_q(spark, SF))
+    assert tree.count("BroadcastHashJoin") == 1, tree
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree, (
+        f"event stream shuffled for the stats join:\n{tree}"
+    )
+
+
+# --- hybrid RRF -------------------------------------------------------
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    """The fused top-10 must contain at least one doc contributed by
+    each retriever (rank>0 on that side), and every rrf_q must equal
+    the integer recombination of the two rank columns."""
+    from document_vector_indexer_spark.queries.searchops import hybrid_rrf_q
+
+    rows = hybrid_rrf_q(spark, SF).collect()
+    assert len(rows) == 10
+    assert any(r["rank_lex"] > 0 for r in rows)
+    assert any(r["rank_vec"] > 0 for r in rows)
+    for r in rows:
+        exp = (1_000_000_000 // (60 + r["rank_lex"]) if r["rank_lex"] else 0) + (
+            1_000_000_000 // (60 + r["rank_vec"]) if r["rank_vec"] else 0
+        )
+        assert r["rrf_q"] == exp, r
+
+
+def test_hybrid_rrf_windows_are_limit_bounded(spark):
+    """rank_a is a global window — legal ONLY because its input is the
+    BM25 top-50 limit. The registry-wide guard in test_plans enforces
+    this shape; here we just pin that no corpus-sized global window
+    appears (WindowExec inputs are Limit/TakeOrdered children)."""
+    from document_vector_indexer_spark.queries.searchops import hybrid_rrf_q
+
+    tree = _plan_tree(spark, hybrid_rrf_q(spark, SF))
+    assert "CartesianProduct" not in tree.replace(
+        "BroadcastNestedLoopJoin", ""
+    ), tree
