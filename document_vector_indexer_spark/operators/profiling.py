@@ -70,8 +70,10 @@ def zscore_outliers(
     stats = (
         df.select(F.col(key_col), value_cents.alias("__v"))
         .groupBy(key_col)
+        # count the VALUE column, not rows: NULL measures must drop out
+        # of n the same way sum() drops them from s/q, or mu/sigma skew
         .agg(
-            F.count("*").cast("long").alias("__n"),
+            F.count("__v").cast("long").alias("__n"),
             F.sum("__v").cast("long").alias("__s"),
             F.sum(F.col("__v") * F.col("__v")).cast("long").alias("__q"),
         )

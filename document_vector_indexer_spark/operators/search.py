@@ -196,8 +196,15 @@ def rrf_fuse(
     the join is trivially broadcastable and the final top-k sorts a
     ≤ 2k'-row frame.
     """
-    a = ranked_a.select(F.col(id_col), F.col(rank_a_col).alias("__ra"))
-    b = ranked_b.select(F.col(id_col), F.col(rank_b_col).alias("__rb"))
+    # Input contract: ranks are 1-based. Guarded because this operator's
+    # OWN output uses rank 0 for "not retrieved" — feeding a fused list
+    # back in unguarded would award 1e9/(c+0) credit for absent docs.
+    a = ranked_a.filter(F.col(rank_a_col) >= 1).select(
+        F.col(id_col), F.col(rank_a_col).alias("__ra")
+    )
+    b = ranked_b.filter(F.col(rank_b_col) >= 1).select(
+        F.col(id_col), F.col(rank_b_col).alias("__rb")
+    )
     fused = a.join(b, id_col, "full_outer").select(
         F.col(id_col),
         (

@@ -429,7 +429,10 @@ def c4_line_stats(text: Column | str) -> dict[str, Column]:
     counts, the cleaned text (kept lines re-joined with newlines), and
     the document-level lorem-ipsum drop flag."""
     c = F.col(text) if isinstance(text, str) else text
-    lines = F.filter(F.split(c, "\n"), lambda l: TX.strip(l) != "")
+    # Space-only trim (NOT TX.strip's full-Unicode class) — mirrored
+    # verbatim by DuckDB trim() in the oracle; a wider class here would
+    # silently diverge on tab/NBSP-only lines.
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
     kept = F.filter(lines, _c4_line_ok)
     return {
         "n_lines": F.size(lines).cast("long"),

@@ -146,7 +146,7 @@ WITH c AS (
   FROM events
 ),
 s AS (
-  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  SELECT event_type, CAST(count(v) AS BIGINT) AS n,
          CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS q
   FROM c GROUP BY 1
 ),
@@ -250,7 +250,7 @@ def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata) by reciprocal-rank fusion, top-10 out. Both inputs are
     top-k'-bounded before the fuse, so the rank windows and the
     full-outer join run on ≤50-row frames — never the corpus."""
-    from document_vector_indexer_spark.operators.search import bm25_topk, rrf_fuse
+    from document_vector_indexer_spark.operators.search import rrf_fuse
     from document_vector_indexer_spark.operators.similarity import knn_brute
     from pyspark.sql.window import Window
 

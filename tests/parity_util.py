@@ -64,3 +64,28 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str) -> No
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=True, obj=name
     )
+
+
+def formatted_plan(spark, spark_df) -> str:
+    """Formatted-explain string of a DataFrame (same output the plan
+    tests parse)."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return spark_df._jdf.queryExecution().explainString(mode)
+
+
+def tree_of(plan: str) -> str:
+    """The operator-tree portion of a formatted plan — node names
+    appear a second time in the per-node detail blocks (lines like
+    ``(1) Scan parquet``), so substring counting must stop where the
+    details begin. Shared by test_plans and test_searchops."""
+    import re as _re
+
+    body = plan.split("== Physical Plan ==")[1]
+    lines = []
+    for line in body.splitlines():
+        if _re.match(r"^\(\d+\) ", line.strip()):
+            break
+        lines.append(line)
+    return "\n".join(lines)

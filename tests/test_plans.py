@@ -306,16 +306,11 @@ def test_global_window_guard_catches_violation(spark):
 
 
 def _tree(p: str) -> str:
-    """The operator-tree portion of a formatted plan — node names appear
-    a second time in the per-node detail blocks, so counting must stop
-    where the details (lines like ``(1) Scan parquet``) begin."""
-    body = p.split("== Physical Plan ==")[1]
-    lines = []
-    for line in body.splitlines():
-        if re.match(r"^\(\d+\) ", line.strip()):
-            break
-        lines.append(line)
-    return "\n".join(lines)
+    """The operator-tree portion of a formatted plan — shared parser in
+    tests/parity_util.tree_of (also used by test_searchops)."""
+    from tests.parity_util import tree_of
+
+    return tree_of(p)
 
 
 def test_tpch_q17_join_back_never_broadcasts_per_part(spark):

@@ -6,25 +6,14 @@ is covered by test_driver_parity via the registry sweep."""
 from __future__ import annotations
 
 import math
-import re
 
-import pytest
+from tests.parity_util import formatted_plan, tree_of
 
 SF = "/root/testdata/sf0.001"
 
 
 def _plan_tree(spark, df) -> str:
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    p = df._jdf.queryExecution().explainString(mode)
-    body = p.split("== Physical Plan ==")[1]
-    lines = []
-    for line in body.splitlines():
-        if re.match(r"^\(\d+\) ", line.strip()):
-            break
-        lines.append(line)
-    return "\n".join(lines)
+    return tree_of(formatted_plan(spark, df))
 
 
 # --- BM25 -------------------------------------------------------------
@@ -147,8 +136,10 @@ def test_outliers_match_pure_python(spark):
     )
     groups: dict[str, list] = {}
     for r in rows:
+        # half-away-from-zero like Spark/DuckDB round(), NOT Python's
+        # banker's round (values are positive, so half-up == half-away)
         groups.setdefault(r["event_type"], []).append(
-            (r["event_id"], round(r["value"] * 100.0))
+            (r["event_id"], math.floor(r["value"] * 100.0 + 0.5))
         )
     expect = {}
     for g, vs in groups.items():
@@ -203,14 +194,12 @@ def test_hybrid_rrf_fuses_both_lists(spark):
         assert r["rrf_q"] == exp, r
 
 
-def test_hybrid_rrf_windows_are_limit_bounded(spark):
-    """rank_a is a global window — legal ONLY because its input is the
-    BM25 top-50 limit. The registry-wide guard in test_plans enforces
-    this shape; here we just pin that no corpus-sized global window
-    appears (WindowExec inputs are Limit/TakeOrdered children)."""
+def test_hybrid_rrf_no_cartesian(spark):
+    """The fuse join must never be a cartesian product. (That the
+    rank_a global window sits over a Limit-bounded child is enforced
+    for this key — like every registered key — by the tree-aware
+    registry-wide guard in test_plans.)"""
     from document_vector_indexer_spark.queries.searchops import hybrid_rrf_q
 
     tree = _plan_tree(spark, hybrid_rrf_q(spark, SF))
-    assert "CartesianProduct" not in tree.replace(
-        "BroadcastNestedLoopJoin", ""
-    ), tree
+    assert "CartesianProduct" not in tree, tree
