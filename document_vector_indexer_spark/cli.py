@@ -237,6 +237,43 @@ def cmd_query(args: argparse.Namespace) -> None:
         dim = chunks.select(F.size("embedding")).first()[0]
         vec = deterministic_fake_embed([args.text], dim)[0]
         q = spark.createDataFrame([(0, vec)], "qid int, embedding array<float>")
+    if getattr(args, "hybrid", False):
+        # Hybrid retrieval: BM25 over the chunk text for the query's
+        # words, fused with the vector kNN by reciprocal rank (both
+        # lists cut to a bounded pool before the fuse).
+        from pyspark.sql.window import Window
+
+        from document_vector_indexer_spark.operators.search import (
+            bm25_topk,
+            rrf_fuse,
+        )
+
+        pool = max(args.k * 5, 50)
+        terms = tuple(t for t in args.text.split() if t)
+        if not terms:
+            sys.exit("error: --hybrid needs a non-empty --text query")
+        lex = bm25_topk(
+            chunks, terms, k=pool, text_col="chunk_text", id_col="id"
+        ).withColumn(
+            "rank_a",
+            F.row_number()
+            .over(Window.orderBy(F.col("score_q").desc(), F.col("id")))
+            .cast("long"),
+        )
+        vec = knn_brute(chunks, q, k=pool, id_col="id").select(
+            "id", F.col("rk").alias("rank_b")
+        )
+        top = rrf_fuse(lex, vec, k=args.k, id_col="id").join(
+            chunks.select("id", "chunk_text", "filename"), "id"
+        )
+        for i, r in enumerate(
+            top.orderBy(F.col("rrf_q").desc(), "id").collect(), start=1
+        ):
+            print(
+                f"[{i}] rrf={r.rrf_q} (lex#{r.rank_lex} vec#{r.rank_vec}) "
+                f"{r.filename}: {r.chunk_text[:100]}"
+            )
+        return
     top = knn_brute(chunks, q, k=args.k, id_col="id").join(
         chunks.select("id", "chunk_text", "filename"), "id"
     )
@@ -337,6 +374,11 @@ def main(argv: list[str] | None = None) -> None:
     qp.add_argument("--chunks", required=True)
     qp.add_argument("--text", required=True)
     qp.add_argument("--k", type=int, default=5)
+    qp.add_argument(
+        "--hybrid", action="store_true",
+        help="fuse BM25 over the chunk text with the vector kNN by "
+             "reciprocal rank (RRF) instead of vector-only top-k",
+    )
     qp.set_defaults(fn=cmd_query)
 
     cu = sub.add_parser(

@@ -67,6 +67,8 @@ def bm25_topk(
     doc_id) so the LIMIT set is unique.
     """
     terms = tuple(dict.fromkeys(query_terms))  # dedup, keep order
+    if not terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
     words = F.filter(
         TX.word_tokens(F.col(text_col)), lambda w: w.isin(*terms)
     )

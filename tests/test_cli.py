@@ -277,3 +277,38 @@ def test_cli_incremental_refuses_embedder_space_mismatch(tmp_path, doc_dir, caps
         main(["index", str(doc_dir), "--incremental", "--embedder", "api",
               "--chunk-size", "200", "--overlap", "40",
               "--embedding-dim", "16", "--output", out])
+
+
+def test_cli_hybrid_query(spark, doc_dir, tmp_path, capsys):
+    """--hybrid fuses BM25 over chunk text with vector kNN: a query
+    whose exact words appear in the spark doc must rank it first, and
+    the output must show both per-list ranks."""
+    out = str(tmp_path / "chunks_hybrid")
+    main(
+        [
+            "index", str(doc_dir),
+            "--strategy", "fixed", "--chunk-size", "200", "--overlap", "40",
+            "--embedding-dim", "32", "--output", out,
+        ]
+    )
+    capsys.readouterr()
+    main(["query", "--chunks", out, "--text",
+          "sort merge join shuffles", "--k", "3", "--hybrid"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("[")]
+    assert len(lines) == 3
+    assert "spark.txt" in lines[0]
+    assert "rrf=" in lines[0] and "lex#" in lines[0] and "vec#" in lines[0]
+
+
+def test_cli_hybrid_query_empty_text_exits(spark, doc_dir, tmp_path, capsys):
+    out = str(tmp_path / "chunks_hybrid_e")
+    main(
+        [
+            "index", str(doc_dir),
+            "--strategy", "fixed", "--chunk-size", "200", "--overlap", "40",
+            "--embedding-dim", "32", "--output", out,
+        ]
+    )
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        main(["query", "--chunks", out, "--text", "   ", "--hybrid"])
