@@ -102,3 +102,76 @@ def zscore_outliers(
         F.col("__n").alias("group_n"),
         z_obs.alias("z_milli_obs"),
     )
+
+
+def group_trend(
+    df: DataFrame,
+    value_cents: Column,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Exact per-group least-squares trend over daily means — "is this
+    metric drifting?" — computed so the result is deterministic
+    cross-engine.
+
+    Two tiny aggregations: (group, day) -> (sum, count), then per
+    group the classic closed-form sums Σx, Σy, Σxy, Σx², Σy² with
+    x = days-since-epoch and y = floor(1000·sum/count) (milli-cents
+    daily mean; the division is double but both engines floor the same
+    correctly-rounded quotient — inputs stay < 2⁵³). The slope and fit
+    leave integer space only in the LAST expression per output row:
+    slope_micro = floor(num/den · 1e6), r2_ppm = floor(num²/(den·dy)
+    · 1e6) with num = nΣxy − ΣxΣy, den = nΣx² − (Σx)², dy = nΣy² −
+    (Σy)² — every operand an exact long, every double op correctly
+    rounded, so both engines produce identical longs.
+
+    Scale shape: partial+final agg to (groups × days) rows, then a
+    second partial+final agg to |groups| rows — the event stream is
+    touched once, map-side; nothing is ever broadcast or windowed.
+    Degenerate groups (a single day: den = 0) are reported with NULL
+    slope/fit rather than dropped.
+    """
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")).cast("long")
+    daily = (
+        df.select(F.col(key_col), day.alias("__x"), value_cents.alias("__v"))
+        .groupBy(key_col, "__x")
+        .agg(
+            F.sum("__v").cast("long").alias("__s"),
+            F.count("__v").cast("long").alias("__c"),
+        )
+        .select(
+            key_col,
+            "__x",
+            F.floor(F.col("__s").cast("double") * F.lit(1000.0) / F.col("__c"))
+            .cast("long")
+            .alias("__y"),
+        )
+    )
+    sums = daily.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("__x").cast("long").alias("sx"),
+        F.sum("__y").cast("long").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    nonflat = (den > 0) & (dy > 0)
+    return sums.select(
+        F.col(key_col),
+        F.col("n_days"),
+        F.when(den > 0, F.floor(num / den * F.lit(1e6)).cast("long")).alias(
+            "slope_micro"
+        ),
+        F.when(
+            nonflat, F.floor(num * num / (den * dy) * F.lit(1e6)).cast("long")
+        ).alias("r2_ppm"),
+    )

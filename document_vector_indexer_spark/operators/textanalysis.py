@@ -440,3 +440,91 @@ def c4_line_stats(text: Column | str) -> dict[str, Column]:
         "cleaned": F.array_join(kept, "\n"),
         "doc_drop": F.lower(c).contains("lorem ipsum"),
     }
+
+
+def bigram_logprob_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document average negative log-likelihood under the corpus's
+    own add-one-smoothed bigram model — the next rung above
+    unigram_logprob_scores on the KenLM-style quality ladder: word-soup
+    that passes the unigram filter (common words, random order) scores
+    high here, because P(w2|w1) = (c(w1 w2)+1)/(c(w1·)+V) punishes
+    never-seen transitions.
+
+    Same determinism discipline as the unigram scorer: one fixed-point
+    weight ``floor(ln((c_ab+1)/(c1+V)) * 1e6)`` per distinct bigram,
+    exact integer sums per doc, one double division per output row.
+    Bigrams ride a single space-joined string key (tokens are
+    whitespace-split, so the key is unambiguous).
+
+    Scale shape: tokenize behind the Exchange barrier; one bigram-keyed
+    aggregation + one first-word-keyed aggregation (both absorb
+    zipf-hot keys map-side); the vocabulary size V is a 1-row
+    broadcast; the context-count lookup joins on the first word and
+    the per-occurrence weight lookup joins on the bigram key — both
+    shuffle-hash pinned, never broadcast (web-scale bigram tables are
+    corpus-sized). Docs with < 2 tokens have no bigrams and drop out.
+    """
+    from pyspark.sql import functions as F
+
+    words = df.repartition(F.col(id_col)).select(
+        F.col(id_col), TX.word_tokens(F.col(text_col)).alias("words")
+    )
+    n = F.size("words")
+    stream = words.select(
+        id_col,
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("words", i).alias("w1"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at("words", i),
+                            F.element_at("words", i + 1),
+                        ).alias("bg"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
+        ).alias("b"),
+    ).select(id_col, "b.w1", "b.bg")
+    bg_cnt = stream.groupBy("w1", "bg").agg(F.count("*").alias("c_ab"))
+    ctx_cnt = stream.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab_n = (
+        words.select(F.explode("words").alias("word"))
+        .agg(F.countDistinct("word").cast("long").alias("v"))
+    )
+    weights = (
+        bg_cnt.join(ctx_cnt.hint("shuffle_hash"), "w1")
+        .join(F.broadcast(vocab_n))
+        .select(
+            "bg",
+            F.floor(
+                F.log(
+                    (F.col("c_ab") + F.lit(1)).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("w_b"),
+        )
+    )
+    return (
+        stream.join(weights.hint("shuffle_hash"), "bg")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum("w_b").alias("s_b"))
+        .select(
+            id_col,
+            "n_bigrams",
+            (
+                -F.col("s_b").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(1e6))
+            ).alias("avg_nll2"),
+        )
+    )

@@ -303,6 +303,103 @@ FROM fused ORDER BY rrf_q DESC, doc_id LIMIT 10
 )
 
 
+def trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend over daily mean value
+    (operators/profiling.group_trend): two tiny partial+final aggs,
+    all-integer closed-form sums, one double expression per output
+    row. 'Is this metric drifting, and how linear is the drift?'"""
+    from document_vector_indexer_spark.operators.profiling import group_trend
+
+    events = load_table(spark, sf_dir, "events")
+    return group_trend(
+        events, F.round(F.col("value") * F.lit(100.0)).cast("long")
+    ).orderBy("event_type")
+
+
+SQL_TREND = """
+WITH c AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(round(value * 100.0) AS BIGINT) AS v
+  FROM events
+),
+daily AS (
+  SELECT event_type, x,
+         CAST(floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) * 1000.0
+                    / count(v)) AS BIGINT) AS y
+  FROM c GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days,
+       CASE WHEN n_days * sxx - sx * sx > 0 THEN
+         CAST(floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                    / CAST(n_days * sxx - sx * sx AS DOUBLE) * 1e6)
+              AS BIGINT) END AS slope_micro,
+       CASE WHEN n_days * sxx - sx * sx > 0
+             AND n_days * syy - sy * sy > 0 THEN
+         CAST(floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                    * CAST(n_days * sxy - sx * sy AS DOUBLE)
+                    / (CAST(n_days * sxx - sx * sx AS DOUBLE)
+                       * CAST(n_days * syy - sy * sy AS DOUBLE)) * 1e6)
+              AS BIGINT) END AS r2_ppm
+FROM s ORDER BY event_type
+"""
+
+
+def bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram-LM NLL per doc
+    (operators/textanalysis.bigram_logprob_scores) — the next quality
+    rung above q_unigram_logprob: random word order scores high even
+    when the words are common."""
+    from document_vector_indexer_spark.operators.textanalysis import (
+        bigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_scores(docs)
+
+
+SQL_BIGRAM_LM = f"""
+WITH w AS (
+  SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+),
+st AS (
+  SELECT doc_id, b['w1'] AS w1, b['bg'] AS bg
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 1),
+             i -> struct_pack(w1 := w[i], bg := w[i] || ' ' || w[i + 1])))
+             AS b
+    FROM w WHERE len(w) >= 2
+  )
+),
+bgc AS (SELECT w1, bg, CAST(count(*) AS BIGINT) AS c_ab FROM st GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM st GROUP BY 1),
+vs AS (
+  SELECT CAST(count(DISTINCT word) AS BIGINT) AS v
+  FROM (SELECT unnest(w) AS word FROM w)
+),
+wt AS (
+  SELECT bg,
+         CAST(floor(ln(CAST(c_ab + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+                    * 1e6) AS BIGINT) AS w_b
+  FROM bgc JOIN ctx USING (w1) CROSS JOIN vs
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       -CAST(CAST(sum(w_b) AS BIGINT) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * 1e6) AS avg_nll2
+FROM st JOIN wt USING (bg)
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_bm25": QuerySpec(
         bm25_q,
@@ -328,5 +425,15 @@ QUERIES: dict[str, QuerySpec] = {
         hybrid_rrf_q,
         SQL_HYBRID_RRF,
         "hybrid retrieval: BM25 + cosine kNN fused by reciprocal rank",
+    ),
+    "q_trend": QuerySpec(
+        trend_q,
+        SQL_TREND,
+        "per-group daily-mean least-squares trend, all-integer sums",
+    ),
+    "q_bigram_lm": QuerySpec(
+        bigram_lm_q,
+        SQL_BIGRAM_LM,
+        "add-one bigram-LM NLL quality score per document",
     ),
 }

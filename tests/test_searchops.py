@@ -203,3 +203,94 @@ def test_hybrid_rrf_no_cartesian(spark):
 
     tree = _plan_tree(spark, hybrid_rrf_q(spark, SF))
     assert "CartesianProduct" not in tree, tree
+
+
+# --- group trend ------------------------------------------------------
+
+
+def test_trend_matches_pure_python(spark):
+    from document_vector_indexer_spark.queries.searchops import trend_q
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    import datetime
+
+    daily: dict[tuple, list] = {}
+    for r in rows:
+        x = (r["ts"].date() - datetime.date(1970, 1, 1)).days
+        v = math.floor(r["value"] * 100.0 + 0.5)
+        daily.setdefault((r["event_type"], x), []).append(v)
+    pts: dict[str, list] = {}
+    for (g, x), vs in daily.items():
+        pts.setdefault(g, []).append((x, math.floor(sum(vs) * 1000.0 / len(vs))))
+    expect = {}
+    for g, xy in pts.items():
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        syy = sum(y * y for _, y in xy)
+        num, den, dy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        slope = math.floor(num / den * 1e6) if den > 0 else None
+        r2 = (
+            math.floor(num * num / (den * dy) * 1e6)
+            if den > 0 and dy > 0
+            else None
+        )
+        expect[g] = (n, slope, r2)
+    got = {
+        r["event_type"]: (r["n_days"], r["slope_micro"], r["r2_ppm"])
+        for r in trend_q(spark, SF).collect()
+    }
+    assert got == expect
+    # non-vacuous: the 30-day synthetic stream yields real fits
+    assert all(v[1] is not None and v[2] is not None for v in got.values())
+
+
+def test_trend_plan_two_aggs_no_window_no_join(spark):
+    from document_vector_indexer_spark.queries.searchops import trend_q
+
+    tree = _plan_tree(spark, trend_q(spark, SF))
+    assert "Join" not in tree, tree
+    assert "Window" not in tree, tree
+    assert tree.count("HashAggregate") >= 4, f"partial aggs missing:\n{tree}"
+
+
+# --- bigram LM --------------------------------------------------------
+
+
+def test_bigram_lm_tables_never_broadcast(spark):
+    """Both lookup joins (context counts on w1, weights on the bigram
+    key) must stay shuffle joins — bigram tables are corpus-sized at
+    web scale. The only broadcast is the 1-row vocabulary size."""
+    from document_vector_indexer_spark.queries.searchops import bigram_lm_q
+
+    tree = _plan_tree(spark, bigram_lm_q(spark, SF))
+    assert tree.count("ShuffledHashJoin") >= 2, tree
+    assert tree.count("BroadcastExchange") <= 1, tree
+
+
+def test_bigram_lm_orders_unigram_cannot(spark):
+    """A doc of common words in a NEVER-SEEN order must score worse
+    under the bigram LM than a doc that is a verbatim frequent-pattern
+    repeat — the signal unigram NLL is blind to. Built on a planted
+    mini-corpus where both docs share the same bag of words."""
+    from document_vector_indexer_spark.operators.textanalysis import (
+        bigram_logprob_scores,
+    )
+
+    base = "the fast join " * 10  # frequent pattern: 'the fast join the ...'
+    shuffled = "the the fast join fast the join fast join the " * 3
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, base), (3, shuffled)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["avg_nll2"]
+        for r in bigram_logprob_scores(docs).collect()
+    }
+    assert got[3] > got[0], got

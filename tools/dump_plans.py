@@ -67,6 +67,11 @@ EXTRA = {
     "variance filter map-side — the event stream itself never shuffles",
     "q_hybrid_rrf": "both retriever lists top-k'-bounded before the fuse; rank "
     "windows over Limit children only; full-outer join on <=k' rows",
+    "q_trend": "(group, day) partial+final agg then |groups|-row closed-form "
+    "sums; no join, no window; one double expression per group",
+    "q_bigram_lm": "bigram + context aggs behind the exchange barrier; context "
+    "and weight lookups are shuffle-hash joins (bigram tables never "
+    "broadcast); only the 1-row vocab size rides a broadcast",
 }
 
 
