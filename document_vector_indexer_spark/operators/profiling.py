@@ -175,3 +175,168 @@ def group_trend(
             nonflat, F.floor(num * num / (den * dy) * F.lit(1e6)).cast("long")
         ).alias("r2_ppm"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts whenever a user
+    is idle longer than ``gap_s`` seconds — the standard clickstream
+    primitive (the batch complement of streaming's ``session_window``,
+    which q_stream_session already covers; this is the shape used for
+    backfills over historical data).
+
+    Adds ``ts_us`` (event time in exact epoch microseconds — integer,
+    so the gap test and durations are deterministic cross-engine) and
+    ``session_id`` (1-based running count of session starts per user;
+    (user_col, session_id) identifies a session).
+
+    Scale shape: ONE shuffle on ``user_col``; both windows (the lag
+    for the gap flag and the running sum that numbers sessions) share
+    that partitioning and an explicit unique ordering (ts, id) with a
+    ROWS frame, so the plan is Exchange -> Sort -> two WindowExecs —
+    per-user state only, no global window, no driver materialization.
+    Skew note: the window holds one user's events per task; a
+    pathological single-user firehose would need a pre-split on
+    (user, coarse time bucket) with session stitching at bucket
+    boundaries — not paid here because real user streams are bounded.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))  # NTZ-safe:
+    # raw parquet reads surface TIMESTAMP_NTZ in Spark 4; under the
+    # UTC-pinned session the cast is exact (and a no-op post-load_table)
+    prev = F.lag(us).over(w)
+    new_session = (
+        F.when(prev.isNull() | (us - prev > gap_s * 1_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.withColumn("ts_us", us)
+        .withColumn("__new_session", new_session)
+        .withColumn(
+            "session_id", F.sum("__new_session").over(run).cast("long")
+        )
+        .drop("__new_session")
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Collapse an event stream into type-2 slowly-changing-dimension
+    intervals: one row per consecutive run of the same ``attr_col``
+    value per key, with ``valid_from_us`` / ``valid_to_us`` validity
+    bounds (half-open: valid_to = the next run's first event time;
+    NULL on the current run) — the standard CDC -> dimension-table
+    build, done as gaps-and-islands.
+
+    Assumes ``attr_col`` is non-null (true for events.event_type; a
+    nullable attribute would need null-safe run comparison).
+
+    Returns (key, attr, valid_from_us, valid_to_us, n_events,
+    is_current) with is_current as int (0/1) for portable hashing.
+
+    Scale shape: the RAW stream shuffles once on ``key_col`` (lag +
+    running-sum windows, unique (ts, id) ROWS ordering — the same
+    single-key trick as :func:`sessionize`; a second row_number per
+    (key, attr) would have cost another full shuffle). The follow-up
+    aggregation to runs and the lead() that closes each interval
+    operate on run-level frames, which are |runs|-sized — already
+    reduced data, orders of magnitude below the raw stream.
+    """
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))  # NTZ-safe:
+    # raw parquet reads surface TIMESTAMP_NTZ in Spark 4; under the
+    # UTC-pinned session the cast is exact (and a no-op post-load_table)
+    # Windows order by the exact-µs projection (identical order to the
+    # raw timestamp — unix_micros is monotone) so the pre-window select
+    # can drop the timestamp column.
+    w = Window.partitionBy(key_col).orderBy("__us", id_col)
+    prev_attr = F.lag(F.col(attr_col)).over(w)
+    changed = (
+        F.when(prev_attr.isNull() | (prev_attr != F.col(attr_col)), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = (
+        df.select(F.col(key_col), F.col(attr_col), us.alias("__us"),
+                  F.col(id_col))
+        .withColumn("__chg", changed)
+        .withColumn("__run", F.sum("__chg").over(run).cast("long"))
+    )
+    runs = flagged.groupBy(key_col, "__run").agg(
+        # attr is constant within a run by construction; min() makes
+        # that algebraically explicit (and partial-aggregates).
+        F.min(attr_col).alias(attr_col),
+        F.min("__us").alias("valid_from_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w_runs = Window.partitionBy(key_col).orderBy("__run")
+    return (
+        runs.withColumn(
+            "valid_to_us", F.lead("valid_from_us").over(w_runs)
+        )
+        .select(
+            key_col,
+            attr_col,
+            "valid_from_us",
+            "valid_to_us",
+            "n_events",
+            F.col("valid_to_us").isNull().cast("int").alias("is_current"),
+        )
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    bin_cents: int = 5000,
+    value_col: str = "value",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Fixed-width histogram of a monetary measure per group — the
+    data-profiling companion to :func:`profile` (distribution shape,
+    not just min/max). Bins are exact: values quantize to integer
+    cents first (rint — the repo's fixed-point discipline), then bin
+    by INTEGER division, so bin edges can never float-drift between
+    engines. Non-negative values assumed (events.value ≥ 0; negative
+    measures would need floor-division semantics pinned explicitly).
+
+    Returns (key, bin, bin_lo_cents, n, min_cents, max_cents,
+    sum_cents), one row per occupied bin.
+
+    Scale shape: pure map-side projection + one partial/final hash
+    aggregation on (key, bin) — cardinality = groups x occupied bins,
+    tiny at any data scale. The raw stream is touched once and never
+    shuffled (only the partial aggregates move).
+    """
+    cents = F.rint(F.col(value_col) * 100).cast("long")
+    binned = df.select(
+        F.col(key_col),
+        cents.alias("__c"),
+    ).withColumn("bin", F.expr(f"__c div {int(bin_cents)}"))
+    return (
+        binned.groupBy(key_col, "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("__c").alias("min_cents"),
+            F.max("__c").alias("max_cents"),
+            F.sum("__c").cast("long").alias("sum_cents"),
+        )
+        .withColumn("bin_lo_cents", F.col("bin") * int(bin_cents))
+        .select(
+            key_col, "bin", "bin_lo_cents", "n",
+            "min_cents", "max_cents", "sum_cents",
+        )
+    )

@@ -225,3 +225,70 @@ def rrf_fuse(
         F.coalesce(F.col("__rb"), F.lit(0)).cast("long").alias("rank_vec"),
     )
     return fused.orderBy(F.col("rrf_q").desc(), F.col(id_col)).limit(k)
+
+
+def build_postings(
+    df: DataFrame,
+    head: int = 5,
+    top_words: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the head of an inverted index: per term, document
+    frequency, total term frequency, and the top-``head`` posting doc
+    ids by (tf desc, doc_id) — the artifact a lexical search engine
+    (the BM25 consumer above) builds at ingest time; restricted to the
+    ``top_words`` highest-df terms so the output is bounded and the
+    driver hash stable. Postings render as a comma-joined string (the
+    q_agg_collect precedent: list-order-proof hashing).
+
+    Scale shape: explode -> ONE (word, doc) partial/final aggregation
+    carries (word, doc_id, tf) triples — never text — through the
+    single corpus-sized shuffle. Both downstream frames reuse that
+    word-keyed partitioning: the df/tf rollup aggregates in place, and
+    the per-word top-``head`` cut is a word-partitioned window that
+    Catalyst executes as WindowGroupLimit (partial top-k before any
+    further movement), so the collect_list holds at most ``head``
+    structs per word — a stopword with df = |corpus| contributes
+    exactly ``head`` rows, not |corpus|. Final top_words cut is
+    TakeOrdered, never a global sort.
+    """
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(TX.word_tokens(F.col(text_col))).alias("word")
+        )
+        .groupBy("word", id_col)
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    stats = tf.groupBy("word").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+    )
+    w = Window.partitionBy("word").orderBy(F.col("tf").desc(), F.col(id_col))
+    heads = (
+        tf.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= head)
+        .groupBy("word")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("tf")).alias("ntf"),
+                                F.col(id_col).alias("d"),
+                            )
+                        )
+                    ),
+                    lambda x: x["d"].cast("string"),
+                ),
+            ).alias("postings_head")
+        )
+    )
+    return (
+        stats.join(heads, "word")
+        .orderBy(F.col("df").desc(), "word")
+        .limit(top_words)
+        .select("word", "df", "tf_total", "postings_head")
+    )

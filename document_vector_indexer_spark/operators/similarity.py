@@ -240,3 +240,61 @@ def knn_ivf(
         id_col=id_col,
         query_id_col=query_id_col,
     )
+
+
+def knn_lsh_pinned(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    dim: int,
+    bands: int = 6,
+    bits: int = 4,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Sign-LSH approximate kNN with PINNED seeded hyperplanes
+    (``dedup.lsh_hyperplanes`` — exact ±1 add/subtract projections),
+    fully deterministic and SQL-mirrorable: the oracle carries the
+    identical hyperplane literals, so this tier is value-checked, not
+    just rows-only — the same upgrade ``knn_ivf_pinned`` gave the IVF
+    tier (MLlib's ``knn_lsh`` stays as the model-backed variant; its
+    internal hyperplanes are not mirrorable).
+
+    Candidate generation: corpus and queries band into (band, bucket)
+    codes MAP-SIDE (``dedup.embedding_lsh_blocks``); candidates are
+    the corpus rows sharing ANY band's bucket with a query — one
+    BROADCAST equi-join on two int keys (queries are small; the
+    corpus never shuffles for candidate generation). A (query, id)
+    pair matching in several bands dedups through max(sim) — sim is
+    the same deterministic expression on the same inputs, so max
+    just collapses bit-identical duplicates. Exact cosine rerank +
+    per-query top-k window ends the plan; the window input is
+    candidates only (bucket-bounded, ~P[band match] x corpus — the
+    recall/cost dial is (bands, bits), see embedding_lsh_blocks'
+    scale note).
+    """
+    from document_vector_indexer_spark.operators.dedup import embedding_lsh_blocks
+
+    cb = embedding_lsh_blocks(
+        vectors, dim, vec_col, id_col, bands=bands, bits=bits, seed=seed
+    )
+    qb = embedding_lsh_blocks(
+        query, dim, vec_col, query_id_col, bands=bands, bits=bits, seed=seed
+    ).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "band",
+        "bucket",
+    )
+    cand = cb.join(F.broadcast(qb), ["band", "bucket"]).select(
+        "query_id",
+        F.col(id_col).alias("id"),
+        V.cosine(F.col(vec_col), F.col("q_vec")).alias("sim"),
+    )
+    uniq = cand.groupBy("query_id", "id").agg(F.max("sim").alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id"))
+    return uniq.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= k
+    )

@@ -9,6 +9,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports are local so a broken module surfaces per-import and new
     # modules bolt on with one line.
     from document_vector_indexer_spark.queries import (
+        analyticsops,
         corpusops,
         extras,
         relational,
@@ -31,6 +32,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch_full,
         corpusops,
         searchops,
+        analyticsops,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
@@ -77,6 +79,9 @@ _CHANGED_SINCE_VERIFIED = [
     "q_sink_roundtrip",  # r4: pipeline id now ranking.global_id (pre-embed)
     "q_tpch_q17",        # r4: join-back shuffle-pinned, broadcast dropped
     "q_knn_ivf",         # r4: pinned-centroid variant, now oracled
+    "q_lsh_buckets",     # r4: oracle generator refactored (shared with
+                         #     q_knn_lsh_pinned); SQL semantically
+                         #     identical but re-front on principle
 ]
 
 # Keys with a green (or, for rows-only keys, clean-run) driver row in
@@ -183,7 +188,6 @@ _VERIFIED = [
     "q_decontaminate",
     "q_vocab_topk",
     "q_vec_quantize",
-    "q_lsh_buckets",
     "q_dedup_semantic",
     "q_dedup_cluster",
     "q_stream_join",

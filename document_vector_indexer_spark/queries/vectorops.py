@@ -338,9 +338,12 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lsh_buckets() -> str:
-    """Generate the mirrored-oracle SQL from the same seeded hyperplanes
-    the Spark operator uses (bands=6, bits=4, seed=7 defaults)."""
+def lsh_band_union_sql(where: str = "TRUE") -> str:
+    """Mirrored-oracle band/bucket SQL (UNION ALL, one SELECT per band)
+    over ``embeddings WHERE <where>``, generated from the same seeded
+    hyperplanes the Spark operator uses (bands=6, bits=4, seed=7
+    defaults) — shared by q_lsh_buckets and q_knn_lsh_pinned so the
+    mirror logic exists exactly once."""
     from document_vector_indexer_spark.operators.dedup import lsh_hyperplanes
 
     H = lsh_hyperplanes(64, 6, 4, 7)
@@ -361,12 +364,12 @@ def _sql_lsh_buckets() -> str:
         )
         parts.append(
             f"SELECT vec_id, {b} AS band, CAST({bucket} AS INTEGER) AS bucket"
-            " FROM embeddings"
+            f" FROM embeddings WHERE {where}"
         )
-    return " UNION ALL ".join(parts) + " ORDER BY vec_id, band"
+    return " UNION ALL ".join(parts)
 
 
-SQL_LSH_BUCKETS = _sql_lsh_buckets()
+SQL_LSH_BUCKETS = lsh_band_union_sql() + " ORDER BY vec_id, band"
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:

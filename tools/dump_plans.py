@@ -72,6 +72,20 @@ EXTRA = {
     "q_bigram_lm": "bigram + context aggs behind the exchange barrier; context "
     "and weight lookups are shuffle-hash joins (bigram tables never "
     "broadcast); only the 1-row vocab size rides a broadcast",
+    "q_sessionize": "ONE user_id exchange -> sort -> lag + running-sum windows; "
+    "the (user, session) rollup finalizes in place (grouping keys superset the "
+    "partitioning — no second data shuffle)",
+    "q_scd2": "gaps-and-islands with a single raw-stream shuffle (lag-flag + "
+    "running sum on user_id); run-level agg and the closing lead() move only "
+    "|runs|-sized frames",
+    "q_histogram": "map-side cents quantize + integer-div binning; one "
+    "partial+final agg on (type, bin) — the event stream never shuffles",
+    "q_postings": "(word, doc) tf agg is the only corpus-sized shuffle (carries "
+    "triples, never text); WindowGroupLimit bounds the per-word top-5 collect; "
+    "df rollup reuses the word partitioning; TakeOrdered top-100 cut",
+    "q_knn_lsh_pinned": "map-side sign-LSH banding both sides; candidate gen is "
+    "a broadcast equi-join on (band, bucket) ints — the corpus never shuffles "
+    "for it; exact cosine rerank + per-query top-k window over candidates only",
 }
 
 
