@@ -340,3 +340,147 @@ def value_histogram(
             "min_cents", "max_cents", "sum_cents",
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_cents: Column,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    k_tenthousandths: int = 44_478,  # 3 x 1.4826 (consistency const) x 1e4
+) -> DataFrame:
+    """Robust per-group outlier detection via median absolute deviation
+    — the standard companion to :func:`zscore_outliers` when the group
+    mean/variance are themselves dragged by the outliers (z-score
+    masking). Flags |v − median| · 1e4 > k · MAD.
+
+    Cross-engine exact: values quantize to integer cents first; the
+    median of longs is always n.0 or n.5 (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, the q_agg_percentile-established parity
+    pair), so deviations are exact half-integer doubles and the
+    threshold comparison multiplies them into ranges far below 2⁵³ —
+    every operand bit-identical in both engines, no epsilon anywhere.
+
+    Scale shape: two passes over the stream (median, then MAD of the
+    deviations — MAD is inherently two-phase when exact), each pass a
+    tiny |groups|-row aggregate joined back as a broadcast; the stream
+    itself never shuffles. A single-pass deployment at 100 TB would
+    substitute approx_percentile for both medians (same shape, sketch
+    merge instead of exact sort) — kept exact here because the driver
+    hash demands it and the contract is the shape, not the sketch.
+    """
+    c = df.select(F.col(id_col), F.col(key_col), value_cents.alias("__v"))
+    med = c.groupBy(key_col).agg(
+        F.percentile("__v", F.lit(0.5)).alias("med")
+    )
+    with_dev = c.join(F.broadcast(med), key_col).withColumn(
+        "__dev", F.abs(F.col("__v").cast("double") - F.col("med"))
+    )
+    mad = with_dev.groupBy(key_col).agg(
+        F.percentile("__dev", F.lit(0.5)).alias("mad"),
+        F.count("*").cast("long").alias("group_n"),
+    )
+    return (
+        with_dev.join(F.broadcast(mad), key_col)
+        .filter(
+            F.col("__dev") * F.lit(10_000.0)
+            > F.lit(float(k_tenthousandths)) * F.col("mad")
+        )
+        .select(
+            F.col(id_col),
+            F.col(key_col),
+            F.col("__v").alias("value_cents"),
+            F.col("med"),
+            F.col("mad"),
+            F.col("group_n"),
+        )
+    )
+
+
+def changepoint_cusum(
+    df: DataFrame,
+    value_cents: Column,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Offline CUSUM changepoint detection per group over daily means —
+    "WHEN did this metric shift?", the follow-up question to
+    :func:`group_trend`'s "is it drifting?". The classic cumulative-
+    deviation statistic: with daily means y_1..y_n (milli-cents,
+    floored — the group_trend discipline), the candidate changepoint
+    maximizes |D_d| where D_d = n·Σ_{i≤d} y_i − d·Σy — the
+    n-scaled form keeps every operand an exact long (no division
+    until the reported before/after means, which floor a correctly-
+    rounded double quotient). Ties break to the earliest day.
+
+    Long-range bound: |D| ≤ n · Σy ≈ n² · max(y); at milli-cent daily
+    means (y ≤ 5·10⁵ here) that holds to n ≈ 10⁵ days — calendar time
+    bounds it far earlier. Output is one row per group: the argmax
+    day, the statistic, and floored before/after means.
+
+    Scale shape: identical to group_trend — the stream collapses
+    map-side+one shuffle into a (groups × days) daily frame; the
+    cumsum/argmax windows and final rollup run on that calendar-
+    bounded frame (the q_win_frame precedent: #rows == #days at ANY
+    raw-data scale).
+    """
+    from pyspark.sql.window import Window
+
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")).cast("long")
+    daily = (
+        df.select(F.col(key_col), day.alias("__d"), value_cents.alias("__v"))
+        .groupBy(key_col, "__d")
+        .agg(
+            F.sum("__v").cast("long").alias("__s"),
+            F.count("__v").cast("long").alias("__c"),
+        )
+        .select(
+            key_col,
+            "__d",
+            F.floor(F.col("__s").cast("double") * F.lit(1000.0) / F.col("__c"))
+            .cast("long")
+            .alias("__y"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(key_col)
+    scored = daily.select(
+        key_col,
+        "__d",
+        F.sum("__y").over(w_cum).alias("__cum"),
+        F.row_number()
+        .over(Window.partitionBy(key_col).orderBy("__d"))
+        .cast("long")
+        .alias("__i"),
+        F.sum("__y").over(w_all).alias("__tot"),
+        F.count("*").over(w_all).cast("long").alias("n_days"),
+    ).withColumn(
+        "__dev", F.col("n_days") * F.col("__cum") - F.col("__i") * F.col("__tot")
+    )
+    w_pick = Window.partitionBy(key_col).orderBy(
+        F.abs(F.col("__dev")).desc(), F.col("__d")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w_pick))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col(key_col),
+            F.col("n_days"),
+            F.col("__d").alias("cp_day"),
+            F.abs(F.col("__dev")).alias("max_absdev"),
+            F.floor(F.col("__cum").cast("double") / F.col("__i"))
+            .cast("long")
+            .alias("mean_before_milli"),
+            F.when(
+                F.col("__i") < F.col("n_days"),
+                F.floor(
+                    (F.col("__tot") - F.col("__cum")).cast("double")
+                    / (F.col("n_days") - F.col("__i"))
+                ).cast("long"),
+            ).alias("mean_after_milli"),
+        )
+    )

@@ -229,6 +229,97 @@ FROM scored QUALIFY rk <= 10
 """
 
 
+def mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier flags per event type
+    (operators/profiling.mad_outliers) — the masking-resistant
+    companion to q_outliers' z-score; exact half-integer medians."""
+    from document_vector_indexer_spark.operators.profiling import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outliers(
+        ev, F.rint(F.col("value") * 100).cast("long")
+    ).orderBy("event_id")
+
+
+SQL_MAD_OUTLIERS = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+),
+m AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM c GROUP BY 1),
+d AS (
+  SELECT c.*, med, abs(CAST(v AS DOUBLE) - med) AS dev
+  FROM c JOIN m USING (event_type)
+),
+s AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad,
+         CAST(count(*) AS BIGINT) AS group_n
+  FROM d GROUP BY 1
+)
+SELECT event_id, d.event_type, v AS value_cents, med, mad, group_n
+FROM d JOIN s USING (event_type)
+WHERE dev * 10000.0 > 44478.0 * mad
+ORDER BY event_id
+"""
+
+
+def changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint per event type
+    (operators/profiling.changepoint_cusum): argmax of the n-scaled
+    cumulative deviation over daily milli-cent means — all-integer
+    until the reported before/after means."""
+    from document_vector_indexer_spark.operators.profiling import (
+        changepoint_cusum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return changepoint_cusum(
+        ev, F.round(F.col("value") * F.lit(100.0)).cast("long")
+    ).orderBy("event_type")
+
+
+SQL_CHANGEPOINT = """
+WITH c AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(round(value * 100.0) AS BIGINT) AS v
+  FROM events
+),
+daily AS (
+  SELECT event_type, d,
+         CAST(floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) * 1000.0
+                    / count(v)) AS BIGINT) AS y
+  FROM c GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, d,
+         CAST(sum(y) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+           AS BIGINT) AS i,
+         CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+  FROM daily
+),
+dev AS (
+  SELECT *, n_days * cum - i * tot AS dv FROM scored
+),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY abs(dv) DESC, d) AS rk
+  FROM dev
+)
+SELECT event_type, n_days, d AS cp_day, abs(dv) AS max_absdev,
+       CAST(floor(CAST(cum AS DOUBLE) / i) AS BIGINT) AS mean_before_milli,
+       CASE WHEN i < n_days THEN
+         CAST(floor(CAST(tot - cum AS DOUBLE) / (n_days - i)) AS BIGINT)
+       END AS mean_after_milli
+FROM pick WHERE rk = 1 ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_sessionize": QuerySpec(
         sessionize_q,
@@ -254,5 +345,15 @@ QUERIES: dict[str, QuerySpec] = {
         knn_lsh_pinned_q,
         SQL_KNN_LSH_PINNED,
         "sign-LSH kNN, pinned hyperplanes: oracled approximate ANN tier",
+    ),
+    "q_mad_outliers": QuerySpec(
+        mad_outliers_q,
+        SQL_MAD_OUTLIERS,
+        "robust MAD outlier flags per group, exact half-integer medians",
+    ),
+    "q_changepoint": QuerySpec(
+        changepoint_q,
+        SQL_CHANGEPOINT,
+        "CUSUM changepoint per group over daily means, all-integer",
     ),
 }

@@ -250,3 +250,122 @@ def test_lsh_band_union_sql_unchanged_semantics():
 
     assert lsh_band_union_sql() + " ORDER BY vec_id, band" == SQL_LSH_BUCKETS
     assert lsh_band_union_sql("vec_id <> 0").count("WHERE vec_id <> 0") == 6
+
+
+# --- mad_outliers -----------------------------------------------------
+
+
+def test_mad_outliers_match_pure_python(spark):
+    """Recompute median/MAD flags in plain Python (statistics.median
+    uses the same interpolated convention as percentile/quantile_cont)."""
+    import statistics
+
+    from document_vector_indexer_spark.operators.profiling import mad_outliers
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    rows = ev.select(
+        "event_id", "event_type", F.rint(F.col("value") * 100).cast("long").alias("v")
+    ).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append((r.event_id, r.v))
+    expect = set()
+    for t, vs in groups.items():
+        med = statistics.median(v for _, v in vs)
+        mad = statistics.median(abs(v - med) for _, v in vs)
+        for eid, v in vs:
+            if abs(v - med) * 10_000.0 > 44_478.0 * mad:
+                expect.add(eid)
+    got = {
+        r.event_id
+        for r in mad_outliers(ev, F.rint(F.col("value") * 100).cast("long")).collect()
+    }
+    assert got == expect and len(expect) > 0
+
+
+def test_mad_outliers_stream_never_shuffles(spark):
+    """Both stats frames join back as broadcasts — the event stream has
+    no exchange of its own."""
+    from document_vector_indexer_spark.operators.profiling import mad_outliers
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    t = _tree(spark, mad_outliers(ev, F.rint(F.col("value") * 100).cast("long")))
+    # 3 broadcast joins: the med join appears once on the main lineage
+    # and once inside the MAD-stats branch (shared subtree re-expanded)
+    assert t.count("BroadcastHashJoin") >= 2, t
+    assert "SortMergeJoin" not in t and "ShuffledHashJoin" not in t, t
+
+
+# --- changepoint ------------------------------------------------------
+
+
+def test_changepoint_matches_pure_python(spark):
+    import math
+
+    from document_vector_indexer_spark.operators.profiling import changepoint_cusum
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    rows = ev.select(
+        "event_type",
+        F.datediff(F.to_date(F.col("ts").cast("timestamp")), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("value") * F.lit(100.0)).cast("long").alias("v"),
+    ).collect()
+    daily: dict = {}
+    for r in rows:
+        s, c = daily.setdefault(r.event_type, {}).get(r.d, (0, 0))
+        daily[r.event_type][r.d] = (s + r.v, c + 1)
+    expect = {}
+    for t, per in daily.items():
+        ys = [
+            (d, math.floor(s * 1000.0 / c)) for d, (s, c) in sorted(per.items())
+        ]
+        n, tot = len(ys), sum(y for _, y in ys)
+        best = None
+        cum = 0
+        for i, (d, y) in enumerate(ys, start=1):
+            cum += y
+            dv = n * cum - i * tot
+            key = (-abs(dv), d)
+            if best is None or key < best[0]:
+                after = (
+                    math.floor((tot - cum) / (n - i)) if i < n else None
+                )
+                best = (key, (n, d, abs(dv), math.floor(cum / i), after))
+        expect[t] = best[1]
+    got = {
+        r.event_type: (
+            r.n_days,
+            r.cp_day,
+            r.max_absdev,
+            r.mean_before_milli,
+            r.mean_after_milli,
+        )
+        for r in changepoint_cusum(
+            ev, F.round(F.col("value") * F.lit(100.0)).cast("long")
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_changepoint_windows_are_calendar_bounded(spark):
+    """All windows run AFTER the daily aggregation — the window input
+    is the (groups x days) frame, never the raw stream (the q_win_frame
+    precedent)."""
+    from document_vector_indexer_spark.operators.profiling import changepoint_cusum
+    from tests.parity_util import formatted_plan
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = formatted_plan(
+        spark, changepoint_cusum(ev, F.round(F.col("value") * F.lit(100.0)).cast("long"))
+    )
+    tree = tree_of(p)
+    # the first (bottom-most) exchange must feed a HashAggregate before
+    # any Window node appears above it
+    lines = [l.strip() for l in tree.splitlines() if l.strip()]
+    first_window_depth = next(
+        i for i, l in enumerate(lines) if "Window" in l and "GroupLimit" not in l
+    )
+    agg_positions = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert agg_positions and max(agg_positions) > first_window_depth, tree

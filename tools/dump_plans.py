@@ -86,6 +86,12 @@ EXTRA = {
     "q_knn_lsh_pinned": "map-side sign-LSH banding both sides; candidate gen is "
     "a broadcast equi-join on (band, bucket) ints — the corpus never shuffles "
     "for it; exact cosine rerank + per-query top-k window over candidates only",
+    "q_mad_outliers": "two tiny stats aggs (median, then MAD of deviations) "
+    "broadcast back; the event stream itself never shuffles; exact half-integer "
+    "medians make the threshold comparison bit-identical cross-engine",
+    "q_changepoint": "one shuffle collapses the stream to daily means; "
+    "cumsum/argmax windows run on the calendar-bounded (groups x days) frame; "
+    "n-scaled all-integer CUSUM statistic",
 }
 
 
