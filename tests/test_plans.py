@@ -166,11 +166,15 @@ def _global_window_nodes(plan: str) -> list[tuple[str, str]]:
     EMPTY partition spec over an UNbounded child — the single-task plan
     shape that is fatal at scale. In formatted-explain details a
     Window's Arguments holds 3 top-level bracket groups [funcs],
-    [partition], [order]; the empty partition spec is printed as only 2
-    groups. Exact node-name match: ``WindowGroupLimit`` (rank-limit
-    pushdown) also starts with "Window" but carries a partition spec in
-    a 2-bracket Arguments shape, so a substring match would
-    false-positive on it."""
+    [partition], [order]; EMPTY specs are omitted, so 2 groups means
+    either (no partition, order) — global, flag it — or (partition,
+    no order) — a partitioned unbounded-frame window, fine at scale.
+    The two are told apart by the sort-direction tokens (``ASC``/
+    ``DESC NULLS``) only an order spec carries (caught live by
+    q_changepoint's partitioned no-order window, r4). Exact node-name
+    match: ``WindowGroupLimit`` (rank-limit pushdown) also starts with
+    "Window" but carries a partition spec in a 2-bracket Arguments
+    shape, so a substring match would false-positive on it."""
     child = _tree_child(plan)
     out = []
     blocks = plan.split("\n\n")
@@ -184,16 +188,23 @@ def _global_window_nodes(plan: str) -> list[tuple[str, str]]:
         input_line = next((l for l in lines if l.startswith("Input")), "")
         args = next((l for l in lines if l.startswith("Arguments")), "")
         body = args[len("Arguments: "):]
-        # count top-level bracket groups
-        depth, groups = 0, 0
+        # split top-level bracket groups
+        depth, groups, cur = 0, [], []
         for ch in body:
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    cur = []
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups == 2:
+                if depth == 0:
+                    groups.append("".join(cur))
+            if depth > 0 and not (depth == 1 and ch == "["):
+                cur.append(ch)
+        is_global = len(groups) == 1 or (  # funcs only: sum() OVER ()
+            len(groups) == 2 and re.search(r"\b(ASC|DESC) NULLS", groups[-1])
+        )
+        if is_global:
             out.append((input_line, args))
     return out
 
