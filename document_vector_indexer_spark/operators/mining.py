@@ -1,0 +1,206 @@
+"""Relational / corpus mining operators: market-basket association
+rules, fixed-point PageRank, and length-bucketed batch packing.
+
+These extend SURVEY §2B's north-star surface with three classic
+large-data mining shapes a production corpus/metadata deployment runs
+routinely:
+
+- ``basket_pairs``: within-order item co-occurrence with
+  support / confidence / lift (Agrawal-style association rules,
+  pair-granularity). Pair generation is per-basket HOF combinatorics
+  over a ``collect_set`` — fan-out is C(|distinct items per basket|, 2)
+  with the item vocabulary bounded (brands: 25), NEVER a corpus
+  self-join. One shuffle on the basket key, one tiny pair agg.
+- ``pagerank``: damped PageRank over an edge list, ENTIRELY in scaled
+  integer arithmetic (ranks are units of 1e-12 of the total mass;
+  per-edge contribution is ``(rank * w) DIV out_w``; damping is
+  ``15/100 + 85/100`` integer splits). Long sums are exact and
+  order-independent, so the result is bit-identical on any engine /
+  partitioning — which is what makes the op ORACLED where textbook
+  float PageRank could only ever be rows-only. Mass leaks at each
+  floor division and at dangling nodes (documented, deterministic).
+- ``length_buckets``: pow-2 length-bucket packing profile for batched
+  inference/training (pad-to-bucket). Map-side bucket assignment, one
+  tiny (source, bucket) agg; utilization reported in exact ppm.
+
+Integer-range notes (same discipline as profiling.zscore_outliers):
+ranks are ≤ 1e12 and edge weights ≤ per-pair transition counts, so
+``rank*w`` stays < 2^63 up to ~1e6-weight edges; beyond the bench
+scale promote to DECIMAL(38,0) — the operator takes the scale as a
+parameter so callers can lower it for denser graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Total PageRank mass in integer units (1e12 => per-node shares for
+# n<=1e6 nodes keep 6+ significant digits after the integer divisions).
+PR_SCALE = 1_000_000_000_000
+
+
+def basket_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    top: int = 50,
+) -> DataFrame:
+    """Pairwise association rules over (basket, item) rows.
+
+    Returns the ``top`` pairs by support with exact-integer
+    ``conf_ab_ppm`` / ``conf_ba_ppm`` / ``lift_ppm``. Items inside a
+    pair are ordered ``item_a < item_b``; the final order is
+    (support desc, item_a, item_b) — fully deterministic.
+
+    Scale: ONE shuffle on the basket key builds per-basket distinct
+    item sets (``collect_set`` is bounded by the item vocabulary);
+    pair explode fans out C(set size, 2) map-side; the pair agg and
+    the two item-count joins shuffle only (item_a, item_b) triples.
+    The 1-row basket count joins in via broadcast (the repo's 1-row
+    crossJoin precedent, trainprep.mix_sources).
+    """
+    sets = (
+        baskets.groupBy(F.col(basket_col).alias("bk"))
+        .agg(F.sort_array(F.collect_set(F.col(item_col))).alias("items"))
+    )
+    # flatten(transform(arr, (x,i) -> transform(slice(arr, i+2, n), y -> (x,y))))
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + F.lit(2), F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    pair_support = (
+        sets.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    item_counts = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    n_baskets = sets.agg(F.count("*").cast("long").alias("n_baskets"))
+    ca = item_counts.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    cb = item_counts.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pair_support.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.expr("(1000000 * support) DIV cnt_a").alias("conf_ab_ppm"),
+            F.expr("(1000000 * support) DIV cnt_b").alias("conf_ba_ppm"),
+            F.expr("(1000000 * n_baskets * support) DIV (cnt_a * cnt_b)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.col("support").desc(), "item_a", "item_b")
+        .limit(top)
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 10,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Damped (85/100) PageRank in exact scaled-integer arithmetic.
+
+    ``edges``: (src, dst, w) with w a positive long weight.
+    ``nodes``: one ``node`` column — every rankable node (isolated
+    nodes keep the teleport share). Returns (node, rank_units) after
+    ``iterations`` synchronous updates from a uniform start.
+
+    Update rule (all integer, floor division):
+        new(n) = (15 * share) DIV 100
+               + (85 * sum_{(s,n,w)} (rank(s) * w) DIV out_w(s)) DIV 100
+    where share = scale DIV n_nodes. Dangling-node mass and floor
+    remainders leak (total mass shrinks monotonically) — that trade
+    buys bit-exact reproducibility on any engine and partitioning.
+
+    Scale shape: the edge list is the big table; each iteration is
+    one join of the (node, rank) frame against edges on src and one
+    sum shuffle on dst — rank state is O(nodes), edges never
+    re-shuffle if pre-partitioned by src. Lineage is cut per round
+    with ``localCheckpoint`` (dedup_cluster precedent) so the plan
+    does not grow with the iteration count.
+    """
+    out_w = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
+    ew = edges.join(out_w, "src").select("src", "dst", "w", "out_w")
+    n_nodes = nodes.agg(F.count("*").cast("long").alias("cnt"))
+    base = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.expr(f"CAST({scale} AS BIGINT) DIV cnt").alias("share")
+    )
+    ranks = base.select("node", F.col("share").alias("rank_units"))
+    for _ in range(iterations):
+        incoming = (
+            ranks.join(ew, ranks["node"] == ew["src"])
+            .select("dst", F.expr("(rank_units * w) DIV out_w").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").cast("long").alias("inc"))
+        )
+        ranks = (
+            base.join(incoming, base["node"] == incoming["dst"], "left")
+            .select(
+                "node",
+                F.expr(
+                    "(15 * share) DIV 100 + (85 * coalesce(inc, 0L)) DIV 100"
+                ).alias("rank_units"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+# pow-2 pad-to-bucket edges for length_buckets (tokens above the top
+# edge land in the top bucket — callers size the ladder to their data).
+BUCKET_EDGES = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def length_buckets(
+    df: DataFrame,
+    tokens_col: str,
+    group_col: str,
+    batch_size: int = 16,
+) -> DataFrame:
+    """Pad-to-pow-2-bucket batching profile per group.
+
+    For each (group, bucket): document count, exact token sum, padded
+    batch count at ``batch_size`` sequences per batch, and utilization
+    = tokens / (docs * bucket_len) in exact ppm. Everything before the
+    final tiny agg is map-side; zero extra shuffles.
+    """
+    bucket = F.lit(BUCKET_EDGES[-1])
+    for edge in reversed(BUCKET_EDGES):
+        bucket = F.when(F.col(tokens_col) <= edge, F.lit(edge)).otherwise(bucket)
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(tokens_col).alias("tokens"),
+            bucket.cast("long").alias("bucket_len"),
+        )
+        .groupBy("grp", "bucket_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tokens").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "grp",
+            "bucket_len",
+            "n_docs",
+            "sum_tokens",
+            F.expr(f"(n_docs + {batch_size - 1}) DIV {batch_size}").alias("n_batches"),
+            F.expr("(1000000 * sum_tokens) DIV (n_docs * bucket_len)").alias(
+                "util_ppm"
+            ),
+        )
+        .orderBy("grp", "bucket_len")
+    )

@@ -298,3 +298,113 @@ def knn_lsh_pinned(
     return uniq.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= k
     )
+
+
+def _pq_codebook_literal(codebook: list[list[float]]) -> "F.Column":
+    """ksub full-dim vectors as a nested array<array<double>> literal;
+    codeword j of subspace s is the s-th dsub-slice of codebook[j]."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in cw]) for cw in codebook]
+    )
+
+
+def pq_sub_sqdist_fp(
+    vec: "F.Column", cb_lit: "F.Column", s: "F.Column", j: "F.Column", dsub: int
+) -> "F.Column":
+    """floor(1e6 * squared-L2(subvector s of vec, subvector s of
+    codeword j)) as a long — the fixed-point distance both the encode
+    argmin and the ADC sum run on. Quantizing BEFORE any accumulation
+    makes every downstream comparison and sum pure-integer, hence
+    bit-identical on any engine and partitioning (the q_vec_centroid
+    precedent: floats only inside one left-to-right fold)."""
+    a = F.slice(vec, s * dsub + 1, dsub)
+    b = F.slice(F.element_at(cb_lit, j + 1), s * dsub + 1, dsub)
+    d = F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(d * 1_000_000)
+
+
+def knn_pq_pinned(
+    vectors: DataFrame,
+    query: DataFrame,
+    codebook: list[list[float]],
+    m: int,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Product-quantization kNN (Jégou et al., asymmetric distance) with
+    caller-PINNED codebooks — the fourth ANN tier after brute/LSH/IVF,
+    and like the pinned IVF/LSH variants fully deterministic and
+    exactly SQL-expressible.
+
+    ``codebook``: ksub full-dim vectors; subspace s of codeword j is
+    the s-th slice. Corpus rows ENCODE map-side (per subspace, argmin
+    of the fixed-point subvector distance over ksub codewords — zero
+    shuffle; at 100 TB the uint8 codes are write-time artifacts ~m
+    bytes/vector, the whole point of PQ: a 768-dim float corpus scans
+    as 8-96 bytes/row). Queries build their m x ksub ADC lookup table
+    the same way; scoring is one BROADCAST join (queries small) and a
+    per-subspace table lookup summed in pure longs; per-query top-k
+    window ends the plan. Approximation error comes only from the
+    quantization itself — ranking given the codes is exact.
+    """
+    dim = len(codebook[0])
+    ksub = len(codebook)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    cb = _pq_codebook_literal(codebook)
+    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
+    codewords = F.sequence(F.lit(0), F.lit(ksub - 1))
+
+    def encode(vec: "F.Column") -> "F.Column":
+        return F.transform(
+            subspaces,
+            lambda s: F.array_min(
+                F.transform(
+                    codewords,
+                    lambda j: F.struct(
+                        pq_sub_sqdist_fp(vec, cb, s, j, dsub).alias("d"),
+                        j.cast("int").alias("j"),
+                    ),
+                )
+            )["j"],
+        )
+
+    coded = vectors.select(
+        F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("code")
+    )
+    dtab = F.transform(
+        subspaces,
+        lambda s: F.transform(
+            codewords, lambda j: pq_sub_sqdist_fp(F.col(vec_col), cb, s, j, dsub)
+        ),
+    )
+    q = query.select(F.col(query_id_col).alias("query_id"), dtab.alias("dtab"))
+    scored = coded.join(F.broadcast(q)).select(
+        "query_id",
+        "id",
+        F.aggregate(
+            subspaces,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(F.col("dtab"), s + 1),
+                F.element_at(F.col("code"), s + 1) + 1,
+            ),
+        ).alias("adc_fp"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_fp", "id")
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= k
+    )

@@ -1,0 +1,211 @@
+"""Mining query keys: market-basket association rules, fixed-point
+PageRank over the event-transition graph, and length-bucketed batch
+packing (operators/mining.py).
+
+Determinism discipline: every ratio ships as exact-integer ppm
+(floor division — Spark ``DIV`` ≡ DuckDB ``//`` on nonnegative
+longs), PageRank mass is scaled-integer end-to-end, and no float is
+ever accumulated — the whole module's arithmetic is engine- and
+partitioning-independent by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from document_vector_indexer_spark.functions import text as TX
+from document_vector_indexer_spark.io import load_table
+from document_vector_indexer_spark.queries.base import QuerySpec
+from document_vector_indexer_spark.queries.textops import _DUCK_WORDS
+
+PR_ITERATIONS = 10
+PR_SCALE = 1_000_000_000_000
+
+
+def basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 brand-pair association rules over order baskets.
+
+    Baskets are orders; items are part BRANDS (via the broadcast part
+    dim): 25 brands over 15k orders at sf0.01 makes every surviving
+    pair genuinely frequent — part-granularity pairs would almost all
+    have support 1 (vacuous). Pair generation is per-basket HOF
+    combinatorics over sorted collect_set, never a self-join."""
+    from document_vector_indexer_spark.operators.mining import basket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    return basket_pairs(baskets, "basket", "item", top=50)
+
+
+SQL_BASKET_RULES = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+ic AS (SELECT p_brand AS item, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM b),
+p AS (
+  SELECT a.p_brand AS item_a, c.p_brand AS item_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.p_brand < c.p_brand
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, support,
+       CAST((1000000 * support) // ia.cnt AS BIGINT) AS conf_ab_ppm,
+       CAST((1000000 * support) // ib.cnt AS BIGINT) AS conf_ba_ppm,
+       CAST((1000000 * n_baskets * support) // (ia.cnt * ib.cnt) AS BIGINT)
+         AS lift_ppm
+FROM p JOIN ic ia ON ia.item = p.item_a
+       JOIN ic ib ON ib.item = p.item_b
+       CROSS JOIN nb
+ORDER BY support DESC, item_a, item_b
+LIMIT 50
+"""
+
+
+def _event_k(col: str = "props") -> F.Column:
+    return F.get_json_object(col, "$.k").cast("int")
+
+
+def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the page-transition graph implied by
+    the event stream: nodes are props.k page ids (100 of them), edges
+    are per-user consecutive-event transitions weighted by count.
+    Integer mass units of 1e-12 — see operators/mining.pagerank for
+    why that is what makes a PageRank ORACLE-able at all."""
+    from document_vector_indexer_spark.operators.mining import pagerank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _event_k().alias("k")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.withColumn("src", F.lag("k").over(w)).filter(
+        F.col("src").isNotNull()
+    )
+    edges = (
+        trans.groupBy("src", F.col("k").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    nodes = ev.select(F.col("k").alias("node")).distinct()
+    out = pagerank(edges, nodes, iterations=PR_ITERATIONS, scale=PR_SCALE)
+    return out.orderBy(F.col("rank_units").desc(), "node")
+
+
+def _pagerank_sql(iterations: int, scale: int) -> str:
+    head = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+),
+t AS (
+  SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         k AS dst
+  FROM e
+),
+ed AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       FROM t WHERE src IS NOT NULL GROUP BY 1, 2),
+ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM ed GROUP BY 1),
+ew AS (SELECT ed.src, ed.dst, ed.w, ow.out_w FROM ed JOIN ow USING (src)),
+n AS (SELECT DISTINCT k AS node FROM e),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM n),
+base AS (SELECT node, CAST({scale} // cnt AS BIGINT) AS share
+         FROM n CROSS JOIN nn),
+r0 AS (SELECT node, share AS rank_units FROM base)"""
+    iter_ctes = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        iter_ctes.append(
+            f""",
+r{i} AS (
+  SELECT b.node,
+         CAST((15 * b.share) // 100 + (85 * COALESCE(s.inc, 0)) // 100
+              AS BIGINT) AS rank_units
+  FROM base b LEFT JOIN (
+    SELECT ew.dst AS node,
+           sum((r.rank_units * ew.w) // ew.out_w) AS inc
+    FROM {prev} r JOIN ew ON r.node = ew.src GROUP BY 1
+  ) s ON b.node = s.node
+)"""
+        )
+        prev = f"r{i}"
+    return (
+        head
+        + "".join(iter_ctes)
+        + f"\nSELECT node, rank_units FROM {prev}"
+        + "\nORDER BY rank_units DESC, node"
+    )
+
+
+SQL_PAGERANK = _pagerank_sql(PR_ITERATIONS, PR_SCALE)
+
+
+def length_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-to-pow-2-bucket batching profile of the documents corpus
+    per source: bucket sizes, exact token sums, padded batch counts at
+    16 sequences/batch, utilization in exact ppm."""
+    from document_vector_indexer_spark.operators.mining import length_buckets
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", TX.token_count_ws(F.col("text")).alias("tokens")
+    )
+    out = length_buckets(docs, "tokens", "source", batch_size=16)
+    return out.select(
+        F.col("grp").alias("source"),
+        "bucket_len",
+        "n_docs",
+        "sum_tokens",
+        "n_batches",
+        "util_ppm",
+    )
+
+
+SQL_LENGTH_BUCKETS = f"""
+WITH t AS (
+  SELECT source,
+         CAST(len({_DUCK_WORDS.format(col="text")}) AS BIGINT) AS tokens
+  FROM documents
+),
+bk AS (
+  SELECT source, tokens,
+         CAST(CASE WHEN tokens <= 16 THEN 16 WHEN tokens <= 32 THEN 32
+                   WHEN tokens <= 64 THEN 64 WHEN tokens <= 128 THEN 128
+                   WHEN tokens <= 256 THEN 256 WHEN tokens <= 512 THEN 512
+                   WHEN tokens <= 1024 THEN 1024 WHEN tokens <= 2048 THEN 2048
+                   WHEN tokens <= 4096 THEN 4096 ELSE 8192 END AS BIGINT)
+           AS bucket_len
+  FROM t
+)
+SELECT source, bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+       CAST((count(*) + 15) // 16 AS BIGINT) AS n_batches,
+       CAST((1000000 * sum(tokens)) // (count(*) * bucket_len) AS BIGINT)
+         AS util_ppm
+FROM bk GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q_basket_rules": QuerySpec(
+        basket_rules_q,
+        SQL_BASKET_RULES,
+        "market-basket brand-pair rules: support/confidence/lift, exact ppm",
+    ),
+    "q_pagerank": QuerySpec(
+        pagerank_q,
+        SQL_PAGERANK,
+        "damped PageRank over event transitions, scaled-integer exact",
+    ),
+    "q_length_buckets": QuerySpec(
+        length_buckets_q,
+        SQL_LENGTH_BUCKETS,
+        "pow-2 length-bucket batch packing profile, exact ppm utilization",
+    ),
+}

@@ -12,6 +12,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analyticsops,
         corpusops,
         extras,
+        miningops,
         relational,
         scalarfuncs,
         searchops,
@@ -33,6 +34,7 @@ def all_queries() -> dict[str, QuerySpec]:
         corpusops,
         searchops,
         analyticsops,
+        miningops,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -521,6 +521,79 @@ FROM scored QUALIFY rk <= 5
 """
 
 
+_PQ_M = 8      # subspaces over the 64-dim embeddings (dsub = 8)
+_PQ_KSUB = 8   # codewords per subspace: corpus vectors vec_id 3..10
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization (ADC) kNN with PINNED codebooks — the
+    fourth ANN tier (brute / LSH / IVF / PQ), oracled end-to-end: the
+    per-subspace distances are fixed-point longs BEFORE any
+    accumulation (operators/similarity.knn_pq_pinned), so encode
+    argmin, ADC table lookups, and the final sum are pure-integer and
+    the DuckDB oracle mirrors them value-for-value. Codebook = corpus
+    vectors vec_id 3..10, sliced per subspace (same pinning move as
+    the IVF centroids above)."""
+    from document_vector_indexer_spark.operators.similarity import knn_pq_pinned
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb_rows = (
+        emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 3 + _PQ_KSUB))
+        .orderBy("vec_id")
+        .collect()
+    )
+    codebook = [list(r.embedding) for r in cb_rows]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = knn_pq_pinned(
+        emb.filter(F.col("vec_id") >= 3), queries, codebook, m=_PQ_M, k=5
+    )
+    return out.select(F.col("query_id").alias("qid"), "id", "adc_fp", "rk")
+
+
+def _sql_pq_dq(a: str, b: str, s: str) -> str:
+    """floor(1e6 * squared-L2 of subspace ``s`` slices) as BIGINT —
+    mirrors operators/similarity.pq_sub_sqdist_fp fold-for-fold."""
+    return (
+        "CAST(floor(1000000 * list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(generate_series(1, 8), "
+        f"i -> (CAST({a}[{s}*8+i] AS DOUBLE) - CAST({b}[{s}*8+i] AS DOUBLE))"
+        f" * (CAST({a}[{s}*8+i] AS DOUBLE) - CAST({b}[{s}*8+i] AS DOUBLE)))), "
+        "(acc, x) -> acc + x)) AS BIGINT)"
+    )
+
+
+SQL_KNN_PQ = f"""
+WITH cb AS (
+  SELECT vec_id - 3 AS j, embedding
+  FROM embeddings WHERE vec_id BETWEEN 3 AND {3 + _PQ_KSUB - 1}
+),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 3),
+sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT c.vec_id, t.s, cb.j,
+           row_number() OVER (PARTITION BY c.vec_id, t.s
+             ORDER BY {_sql_pq_dq('c.embedding', 'cb.embedding', 't.s')}, cb.j)
+             AS crk
+    FROM corpus c CROSS JOIN sub t CROSS JOIN cb)
+  WHERE crk = 1
+),
+scored AS (
+  SELECT q.qid, codes.vec_id AS id,
+         CAST(sum({_sql_pq_dq('q.embedding', 'cb.embedding', 'codes.s')})
+              AS BIGINT) AS adc_fp
+  FROM q CROSS JOIN codes JOIN cb ON cb.j = codes.j
+  GROUP BY 1, 2
+)
+SELECT qid, id, adc_fp,
+       row_number() OVER (PARTITION BY qid ORDER BY adc_fp, id) AS rk
+FROM scored QUALIFY rk <= 5
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash near-dup pairs through the PORTABLE pipeline
     (operators/dedup.minhash_portable_pairs): char-fold shingle hashes
@@ -811,6 +884,11 @@ QUERIES: dict[str, QuerySpec] = {
         "held by the recall-vs-brute pytest (tests/test_scale_ops.py)",
     ),
     "q_knn_ivf": QuerySpec(q_knn_ivf, SQL_KNN_IVF),
+    "q_knn_pq": QuerySpec(
+        q_knn_pq,
+        SQL_KNN_PQ,
+        "product-quantization ADC kNN, pinned codebooks, fixed-point exact",
+    ),
     "q_dedup_minhash": QuerySpec(q_dedup_minhash, SQL_DEDUP_MINHASH),
     "q_dedup_cluster": QuerySpec(q_dedup_cluster, SQL_DEDUP_CLUSTER),
     "q_dedup_apply": QuerySpec(

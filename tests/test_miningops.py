@@ -1,0 +1,256 @@
+"""Direct tests for the mining operators (basket_pairs, pagerank,
+length_buckets, knn_pq_pinned) — semantic invariants recomputed in
+plain Python + plan pins for the scale contracts. Value-exactness vs
+DuckDB is covered by test_driver_parity via the registry sweep."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from tests.parity_util import formatted_plan, tree_of
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tree(spark, df) -> str:
+    return tree_of(formatted_plan(spark, df))
+
+
+# --- basket_pairs -----------------------------------------------------
+
+
+def test_basket_pairs_match_pure_python(spark):
+    """Hand-recompute support/conf/lift on a tiny explicit basket set,
+    including a repeated (basket, item) row that collect_set must
+    dedup."""
+    from document_vector_indexer_spark.operators.mining import basket_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "b"),        # duplicate item within a basket
+        (5, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["bk", "it"])
+    got = {
+        (r.item_a, r.item_b): (r.support, r.conf_ab_ppm, r.conf_ba_ppm, r.lift_ppm)
+        for r in basket_pairs(df, "bk", "it", top=10).collect()
+    }
+    # baskets: {1:abc, 2:ab, 3:ac, 4:b, 5:a}; n=5; cnt a=4 b=3 c=2
+    def rule(s, ca, cb):
+        return (s, 10**6 * s // ca, 10**6 * s // cb, 10**6 * 5 * s // (ca * cb))
+
+    assert got == {
+        ("a", "b"): rule(2, 4, 3),
+        ("a", "c"): rule(2, 4, 2),
+        ("b", "c"): rule(1, 3, 2),
+    }
+
+
+def test_basket_pairs_fanout_is_bounded_not_self_join(spark):
+    """Candidate pairs come from per-basket HOF combinatorics — the
+    plan must contain NO join between two basket-sized frames (the
+    only joins are the two broadcast item-count lookups and the 1-row
+    basket-count broadcast) and exactly one shuffle of raw baskets."""
+    from document_vector_indexer_spark.queries.miningops import basket_rules_q
+
+    tree = _tree(spark, basket_rules_q(spark, SF))
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_basket_rules_nonvacuous(spark):
+    """Brand granularity must produce genuinely frequent pairs (the
+    whole point vs part granularity) and a spread of lifts."""
+    from document_vector_indexer_spark.queries.miningops import basket_rules_q
+
+    rows = basket_rules_q(spark, SF).collect()
+    assert len(rows) == 50
+    assert rows[0].support >= 10, rows[0]
+    lifts = {r.lift_ppm for r in rows}
+    assert len(lifts) > 10, "lift collapsed to near-constant"
+
+
+# --- pagerank ---------------------------------------------------------
+
+
+def _py_pagerank(edges, nodes, iters, scale):
+    out_w = Counter()
+    for s, _, w in edges:
+        out_w[s] += w
+    share = scale // len(nodes)
+    rank = {n: share for n in nodes}
+    for _ in range(iters):
+        inc = Counter()
+        for s, d, w in edges:
+            inc[d] += rank[s] * w // out_w[s]
+        rank = {n: 15 * share // 100 + 85 * inc.get(n, 0) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_pure_python_small_graph(spark):
+    """Exact integer recurrence on a hand-built graph with a hub, a
+    dangling node, and weighted multi-edges."""
+    from document_vector_indexer_spark.operators.mining import pagerank
+
+    edges = [(1, 2, 3), (1, 3, 1), (2, 1, 1), (3, 2, 2), (4, 1, 5)]
+    nodes = [1, 2, 3, 4, 5]  # 5 isolated, 2->? ... 4 never receives
+    e_df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    n_df = spark.createDataFrame([(n,) for n in nodes], ["node"])
+    got = {
+        r.node: r.rank_units
+        for r in pagerank(e_df, n_df, iterations=10, scale=10**12).collect()
+    }
+    assert got == _py_pagerank(edges, nodes, 10, 10**12)
+
+
+def test_pagerank_registered_query_matches_python(spark):
+    """Recompute the full event-graph PageRank in plain Python from the
+    same parquet — the end-to-end integer recurrence must agree."""
+    from document_vector_indexer_spark.queries.miningops import (
+        PR_ITERATIONS,
+        PR_SCALE,
+        pagerank_q,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    per_user = {}
+    for r in ev.collect():
+        per_user.setdefault(r.user_id, []).append(r)
+    trans = Counter()
+    nodes = set()
+    for rows in per_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b in zip(rows, rows[1:]):
+            trans[(a.k, b.k)] += 1
+        nodes.update(r.k for r in rows)
+    edges = [(s, d, w) for (s, d), w in trans.items()]
+    expect = _py_pagerank(edges, sorted(nodes), PR_ITERATIONS, PR_SCALE)
+    got = {r.node: r.rank_units for r in pagerank_q(spark, SF).collect()}
+    assert got == expect
+    # ranks must actually differentiate (non-vacuous graph)
+    assert len(set(got.values())) > 10
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    """Total mass never exceeds the initial scale and only shrinks
+    (floor + dangling leaks) — a cheap global sanity invariant."""
+    from document_vector_indexer_spark.queries.miningops import pagerank_q
+
+    total = (
+        pagerank_q(spark, SF).agg(F.sum("rank_units").cast("long")).first()[0]
+    )
+    assert 0 < total <= 10**12
+
+
+# --- length_buckets ---------------------------------------------------
+
+
+def test_length_buckets_edges_and_utilization(spark):
+    """Boundary tokens land in the right pow-2 bucket; utilization ppm
+    is the exact integer formula."""
+    from document_vector_indexer_spark.operators.mining import length_buckets
+
+    rows = [("s", 16), ("s", 17), ("s", 1), ("s", 8192), ("s", 9001)]
+    df = spark.createDataFrame(rows, ["src", "tokens"])
+    got = {
+        r.bucket_len: (r.n_docs, r.sum_tokens, r.n_batches, r.util_ppm)
+        for r in length_buckets(df, "tokens", "src", batch_size=2).collect()
+    }
+    assert got == {
+        16: (2, 17, 1, 10**6 * 17 // (2 * 16)),
+        32: (1, 17, 1, 10**6 * 17 // 32),
+        8192: (2, 8192 + 9001, 1, 10**6 * (8192 + 9001) // (2 * 8192)),
+    }
+
+
+def test_length_buckets_single_aggregation(spark):
+    """Bucket assignment is map-side: exactly one exchange before the
+    final order-by (the tiny (source, bucket) agg)."""
+    from document_vector_indexer_spark.queries.miningops import length_buckets_q
+
+    tree = _tree(spark, length_buckets_q(spark, SF))
+    n_exchanges = tree.count("Exchange")
+    assert n_exchanges <= 2, tree  # agg shuffle + presentation sort
+
+
+# --- knn_pq_pinned ----------------------------------------------------
+
+
+def test_knn_pq_encodes_codebook_vectors_to_themselves(spark):
+    """A vector that IS codeword j must encode to [j]*m (all subspace
+    distances 0) and score adc 0 against itself as a query."""
+    from document_vector_indexer_spark.operators.similarity import knn_pq_pinned
+
+    dim, m = 8, 4
+    codebook = [
+        [float(i == j) for i in range(dim)] for j in range(4)
+    ]  # 4 one-hot codewords
+    vecs = spark.createDataFrame(
+        [(j, codebook[j]) for j in range(4)], ["vec_id", "embedding"]
+    )
+    q = spark.createDataFrame([(0, codebook[0])], ["qid", "embedding"])
+    top = knn_pq_pinned(vecs, q, codebook, m=m, k=1).collect()
+    assert len(top) == 1 and top[0].id == 0 and top[0].adc_fp == 0
+
+
+def test_knn_pq_ranking_matches_pure_python(spark):
+    """Recompute the full encode + ADC pipeline in plain Python over
+    the sf0.001 embeddings — integer-exact agreement required."""
+    from document_vector_indexer_spark.queries.vectorops import q_knn_pq
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    codebook = [emb[j] for j in range(3, 11)]
+    m, dsub = 8, 8
+
+    def dq(v, cw, s):
+        d = sum(
+            (v[s * dsub + i] - cw[s * dsub + i]) ** 2 for i in range(dsub)
+        )
+        return math.floor(d * 10**6)
+
+    codes = {
+        vid: [
+            min(range(8), key=lambda j: (dq(v, codebook[j], s), j))
+            for s in range(m)
+        ]
+        for vid, v in emb.items()
+        if vid >= 3
+    }
+    expect = {}
+    for qid in (0, 1, 2):
+        scored = sorted(
+            (
+                (sum(dq(emb[qid], codebook[c[s]], s) for s in range(m)), vid)
+                for vid, c in codes.items()
+            )
+        )
+        expect[qid] = [(vid, adc) for adc, vid in scored[:5]]
+    got = {}
+    for r in q_knn_pq(spark, SF).collect():
+        got.setdefault(r.qid, []).append((r.rk, r.id, r.adc_fp))
+    got = {q: [(i, a) for _, i, a in sorted(v)] for q, v in got.items()}
+    assert got == expect
+
+
+def test_knn_pq_plan_broadcasts_queries_no_corpus_shuffle(spark):
+    """The corpus must reach the scorer without shuffling: queries are
+    broadcast; the only exchange is the per-query top-k window (and
+    the oracle-ordering sort above it)."""
+    from document_vector_indexer_spark.queries.vectorops import q_knn_pq
+
+    tree = _tree(spark, q_knn_pq(spark, SF))
+    assert "BroadcastExchange" in tree, tree
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree, tree
