@@ -32,12 +32,40 @@ parameter so callers can lower it for denser graphs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Total PageRank mass in integer units (1e12 => per-node shares for
 # n<=1e6 nodes keep 6+ significant digits after the integer divisions).
 PR_SCALE = 1_000_000_000_000
+
+
+def _basket_sets(baskets: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """(bk, items): sorted distinct item array per basket — ONE shuffle
+    on the basket key; collect_set is bounded by the item vocabulary."""
+    return baskets.groupBy(F.col(basket_col).alias("bk")).agg(
+        F.sort_array(F.collect_set(F.col(item_col))).alias("items")
+    )
+
+
+def _pair_supports(sets: DataFrame) -> DataFrame:
+    """(item_a, item_b, support) with item_a < item_b, from per-basket
+    HOF pair combinatorics — fan-out C(set size, 2) map-side, never a
+    basket self-join."""
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + F.lit(2), F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
+        .agg(F.count("*").cast("long").alias("support"))
+    )
 
 
 def basket_pairs(
@@ -60,25 +88,8 @@ def basket_pairs(
     The 1-row basket count joins in via broadcast (the repo's 1-row
     crossJoin precedent, trainprep.mix_sources).
     """
-    sets = (
-        baskets.groupBy(F.col(basket_col).alias("bk"))
-        .agg(F.sort_array(F.collect_set(F.col(item_col))).alias("items"))
-    )
-    # flatten(transform(arr, (x,i) -> transform(slice(arr, i+2, n), y -> (x,y))))
-    pairs_arr = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + F.lit(2), F.size(F.col("items"))),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
-    pair_support = (
-        sets.select(F.explode(pairs_arr).alias("p"))
-        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
-        .agg(F.count("*").cast("long").alias("support"))
-    )
+    sets = _basket_sets(baskets, basket_col, item_col)
+    pair_support = _pair_supports(sets)
     item_counts = (
         sets.select(F.explode("items").alias("item"))
         .groupBy("item")
@@ -203,4 +214,124 @@ def length_buckets(
             ),
         )
         .orderBy("grp", "bucket_len")
+    )
+
+
+def cooccurrence_triangles(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_frac_ppm: int = 5_000,
+) -> DataFrame:
+    """Per-item triangle counts in the co-occurrence graph whose edges
+    are item pairs with support >= ceil-free ``n_baskets *
+    min_support_frac_ppm DIV 1e6`` (a RELATIVE threshold, so the edge
+    set stays comparable across scale factors).
+
+    Triangle enumeration uses the a < b < c total order (each triangle
+    materializes exactly once): edges(a,b) ⋈ edges(b,c) ⋈ edges(a,c).
+    Scale: the support threshold is the load-bearing sparsifier — the
+    joined frames are frequent-pair lists (vocabulary-bounded), not
+    baskets; at web scale the standard refinement is degree-ordered
+    orientation (point each edge at the higher-degree endpoint), which
+    bounds wedge fan-out at O(m^1.5) — noted, not needed at brand
+    vocabulary sizes.
+    """
+    sets = _basket_sets(baskets, basket_col, item_col)
+    n_baskets = sets.agg(F.count("*").cast("long").alias("n_baskets"))
+    edges = (
+        _pair_supports(sets)
+        .crossJoin(F.broadcast(n_baskets))
+        .filter(
+            F.col("support")
+            >= F.expr(f"greatest(2L, (n_baskets * {min_support_frac_ppm}) DIV 1000000)")
+        )
+        .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    )
+    e_ab = edges
+    e_bc = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e_ac = edges.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        e_ab.join(e_bc, "b")
+        .join(
+            e_ac,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "item")
+    )
+
+
+def linear_attribution(
+    events: DataFrame,
+    lookback_s: int,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: every conversion's value (exact
+    cents) splits evenly across the user's touch events inside the
+    lookback window; conversions with no touches attribute to
+    ``direct``. Returns one row per credited type:
+    (touch_type, n_conversions, touched_cents, attributed_cents) where
+    attributed_cents = Σ over conversions of value_cents * n_type DIV
+    n_touches (floor division — per-conversion credit may undershoot
+    by < n_touches cents; deterministic, never over-attributes).
+
+    Scale: ONE user-keyed shuffle per side for the touch⋈conversion
+    join; the time residual bounds the per-user pair fan-out to the
+    lookback window (the stream-join finite-horizon contract); both
+    downstream aggs are conversion-keyed then type-keyed (tiny).
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.rint(F.col("value") * 100).cast("long")
+    conv = events.filter(F.col("event_type") == convert_type).select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        us.alias("conv_us"),
+        cents.alias("value_cents"),
+    )
+    touch = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        us.alias("touch_us"),
+    )
+    joined = conv.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("touch_us") >= F.col("conv_us") - F.lit(lookback_s * 1_000_000)),
+        "left",
+    )
+    per_conv_type = (
+        joined.groupBy("conv_id", "value_cents", "touch_type")
+        .agg(F.count("t_user").cast("long").alias("n_type"))
+    )
+    per_conv = per_conv_type.withColumn(
+        "n_touches",
+        F.sum("n_type").over(
+            Window.partitionBy("conv_id")  # conversion-keyed: bounded rows/key
+        ),
+    )
+    credited = per_conv.select(
+        F.when(F.col("n_touches") == 0, F.lit("direct"))
+        .otherwise(F.col("touch_type"))
+        .alias("touch_type"),
+        F.when(F.col("n_touches") == 0, F.col("value_cents"))
+        .otherwise(F.expr("value_cents * n_type DIV n_touches"))
+        .alias("cents"),
+        F.col("value_cents"),
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.sum("value_cents").cast("long").alias("touched_cents"),
+            F.sum("cents").cast("long").alias("attributed_cents"),
+        )
+        .orderBy("touch_type")
     )

@@ -192,6 +192,111 @@ ORDER BY 1, 2
 """
 
 
+TRI_MIN_SUPPORT_PPM = 20_000  # edges need support >= 2% of baskets
+ATTR_LOOKBACK_S = 7 * 86_400
+
+
+def triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand triangle counts in the order co-occurrence graph,
+    edges thresholded at a RELATIVE 2%-of-baskets support so the edge
+    set stays selective (~the mean pair support) at every scale
+    factor."""
+    from document_vector_indexer_spark.operators.mining import (
+        cooccurrence_triangles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    return cooccurrence_triangles(
+        baskets, "basket", "item", min_support_frac_ppm=TRI_MIN_SUPPORT_PPM
+    )
+
+
+SQL_TRIANGLES = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM b),
+p AS (
+  SELECT x.item AS item_a, y.item AS item_b, CAST(count(*) AS BIGINT) AS support
+  FROM b x JOIN b y ON x.bk = y.bk AND x.item < y.item GROUP BY 1, 2
+),
+ed AS (
+  SELECT item_a AS a, item_b AS b FROM p CROSS JOIN nb
+  WHERE support >= greatest(2, (n_baskets * {TRI_MIN_SUPPORT_PPM}) // 1000000)
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+             JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+x AS (SELECT unnest([a, b, c]) AS item FROM tri)
+SELECT item, CAST(count(*) AS BIGINT) AS n_triangles
+FROM x GROUP BY 1
+ORDER BY n_triangles DESC, item
+"""
+
+
+def attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution of purchase value (exact cents)
+    across view/click touches in a 7-day lookback; untouched
+    conversions credit to 'direct'."""
+    from document_vector_indexer_spark.operators.mining import linear_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return linear_attribution(ev, lookback_s=ATTR_LOOKBACK_S)
+
+
+SQL_ATTRIBUTION = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+conv AS (
+  SELECT user_id, event_id AS conv_id, us AS conv_us, cents AS value_cents
+  FROM e WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_type AS touch_type, us AS touch_us
+  FROM e WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT c.conv_id, c.value_cents, t.touch_type
+  FROM conv c LEFT JOIN touch t
+    ON t.user_id = c.user_id AND t.touch_us < c.conv_us
+   AND t.touch_us >= c.conv_us - {ATTR_LOOKBACK_S * 1_000_000}
+),
+pct AS (
+  SELECT conv_id, value_cents, touch_type,
+         CAST(count(touch_type) AS BIGINT) AS n_type
+  FROM j GROUP BY 1, 2, 3
+),
+pc AS (
+  SELECT *, CAST(sum(n_type) OVER (PARTITION BY conv_id) AS BIGINT)
+              AS n_touches
+  FROM pct
+),
+cr AS (
+  SELECT CASE WHEN n_touches = 0 THEN 'direct' ELSE touch_type END
+           AS touch_type,
+         CASE WHEN n_touches = 0 THEN value_cents
+              ELSE (value_cents * n_type) // n_touches END AS cents,
+         value_cents
+  FROM pc
+)
+SELECT touch_type, count(*) AS n_conversions,
+       CAST(sum(value_cents) AS BIGINT) AS touched_cents,
+       CAST(sum(cents) AS BIGINT) AS attributed_cents
+FROM cr GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_basket_rules": QuerySpec(
         basket_rules_q,
@@ -207,5 +312,15 @@ QUERIES: dict[str, QuerySpec] = {
         length_buckets_q,
         SQL_LENGTH_BUCKETS,
         "pow-2 length-bucket batch packing profile, exact ppm utilization",
+    ),
+    "q_triangles": QuerySpec(
+        triangles_q,
+        SQL_TRIANGLES,
+        "per-item triangle counts in the thresholded co-occurrence graph",
+    ),
+    "q_attribution": QuerySpec(
+        attribution_q,
+        SQL_ATTRIBUTION,
+        "linear multi-touch purchase attribution, exact-cents credit",
     ),
 }

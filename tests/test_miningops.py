@@ -254,3 +254,104 @@ def test_knn_pq_plan_broadcasts_queries_no_corpus_shuffle(spark):
     tree = _tree(spark, q_knn_pq(spark, SF))
     assert "BroadcastExchange" in tree, tree
     assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree, tree
+
+
+# --- cooccurrence_triangles -------------------------------------------
+
+
+def test_triangles_match_pure_python(spark):
+    """Recompute the thresholded edge set and triangle enumeration in
+    plain Python from the same parquet."""
+    from document_vector_indexer_spark.queries.miningops import (
+        TRI_MIN_SUPPORT_PPM,
+        triangles_q,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    brand = {r.p_partkey: r.p_brand for r in part.collect()}
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        baskets.setdefault(r.l_orderkey, set()).add(brand[r.l_partkey])
+    support = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                support[(a, b)] += 1
+    thr = max(2, len(baskets) * TRI_MIN_SUPPORT_PPM // 10**6)
+    edges = {p for p, c in support.items() if c >= thr}
+    tri_count = Counter()
+    for (a, b) in edges:
+        for (b2, c) in edges:
+            if b2 == b and (a, c) in edges:
+                for n in (a, b, c):
+                    tri_count[n] += 1
+    got = {r.item: r.n_triangles for r in triangles_q(spark, SF).collect()}
+    assert got == dict(tri_count)
+    assert len(got) > 5 and max(got.values()) > min(got.values())
+
+
+def test_triangles_no_cartesian(spark):
+    from document_vector_indexer_spark.queries.miningops import triangles_q
+
+    tree = _tree(spark, triangles_q(spark, SF))
+    assert "CartesianProduct" not in tree, tree
+
+
+# --- linear_attribution -----------------------------------------------
+
+
+def test_attribution_matches_pure_python(spark):
+    """Recompute the whole credit assignment in plain Python — exact
+    integer agreement at sf0.001."""
+    from document_vector_indexer_spark.queries.miningops import (
+        ATTR_LOOKBACK_S,
+        attribution_q,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.rint(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    rows = ev.collect()
+    touches = [r for r in rows if r.event_type in ("view", "click")]
+    look = ATTR_LOOKBACK_S * 10**6
+    agg = {}
+    for c in (r for r in rows if r.event_type == "purchase"):
+        window = [
+            t for t in touches
+            if t.user_id == c.user_id and c.us - look <= t.us < c.us
+        ]
+        if not window:
+            groups = {"direct": (1, c.cents, c.cents)}
+        else:
+            n = len(window)
+            by_type = Counter(t.event_type for t in window)
+            groups = {
+                ty: (1, c.cents, c.cents * k // n) for ty, k in by_type.items()
+            }
+        for ty, (one, tc, ac) in groups.items():
+            a, b, d = agg.get(ty, (0, 0, 0))
+            agg[ty] = (a + one, b + tc, d + ac)
+    got = {
+        r.touch_type: (r.n_conversions, r.touched_cents, r.attributed_cents)
+        for r in attribution_q(spark, SF).collect()
+    }
+    assert got == agg
+    # non-vacuous: both touch channels and a direct remainder exist
+    assert set(got) == {"view", "click", "direct"}
+
+
+def test_attribution_never_over_credits(spark):
+    """Floor division must never attribute more than the touched value
+    in any channel, and direct credit is exact."""
+    from document_vector_indexer_spark.queries.miningops import attribution_q
+
+    for r in attribution_q(spark, SF).collect():
+        assert 0 <= r.attributed_cents <= r.touched_cents
+        if r.touch_type == "direct":
+            assert r.attributed_cents == r.touched_cents
