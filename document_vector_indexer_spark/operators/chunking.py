@@ -74,3 +74,89 @@ def chunk_documents(
         out = global_id(out, [*id_cols, "chunk_pos"], "id")
         out = out.withColumn("id", F.col("id").cast("long"))
     return out
+
+
+# --- content-defined chunking (CDC) ----------------------------------
+
+# Rolling-window parameters: boundary after word i when the hash of
+# the trailing CDC_WINDOW words ≡ CDC_DIVISOR-1 (mod CDC_DIVISOR) —
+# expected chunk length = CDC_DIVISOR words. Plain Rabin-style CDC
+# (no min/max clamps — FastCDC's clamps need a sequential scan; the
+# unclamped form is stateless per position, hence exactly
+# SQL-expressible AND embarrassingly parallel).
+CDC_WINDOW = 4
+CDC_DIVISOR = 64
+CDC_BASE = 257
+CDC_MOD = 1_000_000_007
+
+
+def _cdc_window_hash(words: Column, i: Column) -> Column:
+    """Integer hash of the ≤CDC_WINDOW words ending at 1-based ``i`` —
+    fold (acc*B + code) % M with code = len*17 + codepoint(first char)
+    (the fingerprint/vocab code), bit-identical in any engine."""
+    lo = F.greatest(F.lit(1), i - F.lit(CDC_WINDOW - 1))
+    sub = F.slice(words, lo, i - lo + 1)
+    mapped = F.transform(
+        sub, lambda w: (F.length(w) * 17 + F.ascii(w)).cast("long")
+    )
+    return F.aggregate(
+        mapped,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * CDC_BASE + x) % F.lit(CDC_MOD).cast("long"),
+    )
+
+
+def chunk_cdc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking over word tokens: cut after word i
+    whenever the rolling window hash hits the divisor target. The
+    boundary depends only on a local window, so edits shift chunking
+    for O(window) words instead of the whole document tail — THE
+    chunker property that keeps chunk-level dedup stable under
+    insertions (the failure mode of fixed-size chunking).
+
+    Returns (id_col, chunk_pos, n_words, chunk_text). Scale: one
+    Exchange barrier on the id (the lambda-boundary CSE rule —
+    vocab_topk precedent: tokenizing behind the barrier keeps every
+    downstream HOF referencing plain attributes), then everything is
+    map-side; cost O(n_words x window) per document.
+    """
+    n = F.size(F.col("words"))
+    interior = F.when(
+        n > 1,
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: _cdc_window_hash(F.col("words"), i)
+            % CDC_DIVISOR
+            == CDC_DIVISOR - 1,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.concat(F.array(F.lit(0)), interior, F.array(n))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("cuts")) - 1),
+        lambda k: F.array_join(
+            F.slice(
+                F.col("words"),
+                F.element_at(F.col("cuts"), k) + 1,
+                F.element_at(F.col("cuts"), k + 1)
+                - F.element_at(F.col("cuts"), k),
+            ),
+            " ",
+        ),
+    )
+    return (
+        df.repartition(F.col(id_col))  # CSE barrier (vocab_topk rule)
+        .select(F.col(id_col), TX.word_tokens(F.col(text_col)).alias("words"))
+        .select(id_col, "words", cuts.alias("cuts"))
+        .select(id_col, F.posexplode(chunks).alias("chunk_pos", "chunk_text"))
+        .filter(F.length("chunk_text") > 0)
+        .select(
+            id_col,
+            "chunk_pos",
+            TX.token_count_ws(F.col("chunk_text")).alias("n_words"),
+            "chunk_text",
+        )
+    )

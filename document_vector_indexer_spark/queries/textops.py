@@ -654,6 +654,43 @@ LIMIT 100
 """
 
 
+def chunk_cdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/chunking.chunk_cdc): word
+    rolling-hash boundaries — chunking stays stable under insertions,
+    the property fixed-size chunking lacks (shift-robustness is
+    test-pinned in tests/test_miningops.py). Full chunk table."""
+    from document_vector_indexer_spark.operators.chunking import chunk_cdc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_cdc(docs).orderBy("doc_id", "chunk_pos")
+
+
+SQL_CHUNK_CDC = f"""
+WITH w AS (
+  SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS words FROM documents
+),
+c AS (
+  SELECT doc_id, words,
+         list_concat(list_concat([CAST(0 AS BIGINT)],
+           CASE WHEN len(words) > 1 THEN
+             list_filter(generate_series(1, len(words) - 1),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(words[greatest(1, i - 3):i],
+                        x -> CAST(length(x) * 17 + ascii(x) AS BIGINT))),
+                      (a, x) -> (a * 257 + x) % 1000000007) % 64 = 63)
+           ELSE CAST([] AS BIGINT[]) END),
+           [CAST(len(words) AS BIGINT)]) AS cuts
+  FROM w
+)
+SELECT doc_id, CAST(k - 1 AS INTEGER) AS chunk_pos,
+       CAST(cuts[k + 1] - cuts[k] AS BIGINT) AS n_words,
+       array_to_string(words[cuts[k] + 1:cuts[k + 1]], ' ') AS chunk_text
+FROM c CROSS JOIN unnest(generate_series(1, len(cuts) - 1)) AS t(k)
+WHERE cuts[k + 1] - cuts[k] > 0
+ORDER BY doc_id, chunk_pos
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_chunk_topk": QuerySpec(
         flagship_chunk_topk,
@@ -672,6 +709,11 @@ QUERIES: dict[str, QuerySpec] = {
         chunk_sentence,
         SQL_CHUNK_SENTENCE,
         "greedy sentence-grouping chunker (R5+R7) vs recursive-CTE oracle",
+    ),
+    "q_chunk_cdc": QuerySpec(
+        chunk_cdc_q,
+        SQL_CHUNK_CDC,
+        "content-defined (rolling-hash) chunker — shift-robust boundaries",
     ),
     "q_clean_text": QuerySpec(
         clean_text_check, SQL_CLEAN_TEXT, "clean_text (R3) md5-verified per doc"

@@ -355,3 +355,85 @@ def test_attribution_never_over_credits(spark):
         assert 0 <= r.attributed_cents <= r.touched_cents
         if r.touch_type == "direct":
             assert r.attributed_cents == r.touched_cents
+
+
+# --- chunk_cdc --------------------------------------------------------
+
+
+def _py_cdc_cuts(words):
+    from document_vector_indexer_spark.operators.chunking import (
+        CDC_BASE,
+        CDC_DIVISOR,
+        CDC_MOD,
+        CDC_WINDOW,
+    )
+
+    cuts = [0]
+    for i in range(1, len(words)):
+        acc = 0
+        for w in words[max(0, i - CDC_WINDOW):i]:
+            acc = (acc * CDC_BASE + len(w) * 17 + ord(w[0])) % CDC_MOD
+        if acc % CDC_DIVISOR == CDC_DIVISOR - 1:
+            cuts.append(i)
+    cuts.append(len(words))
+    return cuts
+
+
+def test_chunk_cdc_matches_pure_python(spark):
+    """Recompute boundaries + chunk texts in plain Python for a slice
+    of the corpus."""
+    from document_vector_indexer_spark.operators.chunking import chunk_cdc
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 50
+    )
+    expect = {}
+    for r in docs.select("doc_id", "text").collect():
+        words = r.text.split()
+        cuts = _py_cdc_cuts(words)
+        expect[r.doc_id] = [
+            " ".join(words[a:b]) for a, b in zip(cuts, cuts[1:]) if b > a
+        ]
+    got = {}
+    for r in chunk_cdc(docs).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_pos, r.chunk_text))
+        assert r.n_words == len(r.chunk_text.split())
+    got = {d: [t for _, t in sorted(v)] for d, v in got.items()}
+    assert got == expect
+
+
+def test_chunk_cdc_is_shift_robust_fixed_chunker_is_not(spark):
+    """THE property that motivates CDC: prepend a sentence to a
+    document and the chunk set is almost unchanged (only the first
+    chunk region differs), while the fixed-size chunker shifts every
+    boundary. Measured as surviving-chunk overlap."""
+    from document_vector_indexer_spark.operators.chunking import (
+        chunk_array,
+        chunk_cdc,
+    )
+
+    base = spark.read.parquet(f"{SF}/documents.parquet").orderBy(
+        F.col("n_chars").desc()
+    )
+    text = base.first().text
+    both = spark.createDataFrame(
+        [(0, text), (1, "freshly prepended editorial preamble " + text)],
+        ["doc_id", "text"],
+    )
+    cdc = {}
+    for r in chunk_cdc(both).collect():
+        cdc.setdefault(r.doc_id, set()).add(r.chunk_text)
+    cdc_overlap = len(cdc[0] & cdc[1]) / len(cdc[0])
+    fixed = {}
+    for r in both.select(
+        "doc_id", F.explode(chunk_array(F.col("text"), "fixed", 200, 0)).alias("c")
+    ).collect():
+        fixed.setdefault(r.doc_id, set()).add(r.c)
+    fixed_overlap = len(fixed[0] & fixed[1]) / len(fixed[0])
+    # CDC: at most the chunk containing the prepend point changes —
+    # every other original chunk survives verbatim.
+    assert len(cdc[0] - cdc[1]) <= 1, cdc[0] - cdc[1]
+    assert len(cdc[0]) >= 3 and cdc_overlap > fixed_overlap
+    # fixed-size: the prepend shifts every window — (almost) nothing
+    # survives.
+    assert fixed_overlap <= 0.2, fixed_overlap
