@@ -335,3 +335,122 @@ def linear_attribution(
         )
         .orderBy("touch_type")
     )
+
+
+def rfm_segments(events: DataFrame, convert_type: str = "purchase") -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation of the
+    purchase stream: per-user last-purchase time, purchase count, and
+    exact-cents spend, each cut into ANSI quartiles, combined into a
+    3-digit segment code (rq*100 + fq*10 + mq, 4 = top quartile).
+
+    The quartiles use the two-pass ``ranking.global_rank`` + ANSI
+    ``ntile_from_rank`` closed form — NEVER an empty-partitionBy
+    window (q_win_ntile precedent): three range-repartition passes
+    over the per-USER frame (corpus-sized events collapse in the
+    first user-keyed agg). (metric, user_id) keys make every cut
+    deterministic.
+    """
+    from document_vector_indexer_spark.operators.ranking import (
+        global_rank,
+        ntile_from_rank,
+    )
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.rint(F.col("value") * 100).cast("long")
+    per_user = (
+        events.filter(F.col("event_type") == convert_type)
+        .select("user_id", us.alias("us"), cents.alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.max("us").alias("last_us"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum("c").cast("long").alias("cents"),
+        )
+    )
+    cur = per_user
+    for metric, code in (("last_us", "rq"), ("freq", "fq"), ("cents", "mq")):
+        cur = global_rank(cur, [metric, "user_id"], f"_r_{code}", f"_t_{code}")
+        cur = cur.withColumn(
+            code, ntile_from_rank(F.col(f"_r_{code}"), F.col(f"_t_{code}"), 4)
+        ).drop(f"_r_{code}", f"_t_{code}")
+    return (
+        cur.select(
+            (F.col("rq") * 100 + F.col("fq") * 10 + F.col("mq")).alias("segment"),
+            "cents",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+def ewma_daily(events: DataFrame, shift: int = 3) -> DataFrame:
+    """Per-type EWMA of daily mean value (exact integer cents) with
+    alpha = 1/2^shift: e_t = (x_t + (2^shift - 1) * e_{t-1}) >> shift,
+    seeded at the first day's mean. Pure bit-shift/long arithmetic —
+    the sequential fold is bit-identical in any engine, so the
+    recurrence (which has NO closed form once each step floors) is
+    still oracle-able (DuckDB mirrors it with a recursive CTE).
+
+    Per-day deviation from the smoothed level ships as exact ppm —
+    the drift/spike monitor companion to profiling.changepoint_cusum.
+
+    Scale: the stream collapses to the (type, day) daily frame in one
+    shuffle; the fold runs per type over the CALENDAR-BOUNDED day
+    array (q_win_frame discipline: state is O(days), never O(rows)).
+    """
+    mult = (1 << shift) - 1
+    day = F.to_date(F.col("ts").cast("timestamp"))
+    cents = F.rint(F.col("value") * 100).cast("long")
+    daily = (
+        events.select(F.col("event_type"), day.alias("day"), cents.alias("c"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("long").alias("s"), F.count("*").cast("long").alias("n"))
+        .select("event_type", "day", F.expr("s DIV n").alias("mean_cents"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "mean_cents"))).alias("xs")
+    )
+    acc0 = F.expr(
+        "CAST(array() AS array<struct<day:date,mean_cents:bigint,ewma:bigint>>)"
+    )
+    folded = F.aggregate(
+        F.col("xs"),
+        acc0,
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    x["mean_cents"].alias("mean_cents"),
+                    F.when(F.size(acc) == 0, x["mean_cents"])
+                    .otherwise(
+                        F.shiftright(
+                            x["mean_cents"]
+                            + F.lit(mult) * F.element_at(acc, -1)["ewma"],
+                            shift,
+                        )
+                    )
+                    .alias("ewma"),
+                )
+            ),
+        ),
+    )
+    return (
+        series.select("event_type", F.explode(folded).alias("e"))
+        .select(
+            "event_type",
+            # epoch-day long (the repo's driver-hash date convention,
+            # analyticsops.changepoint precedent)
+            F.unix_date(F.col("e.day")).cast("long").alias("day_num"),
+            F.col("e.mean_cents").alias("mean_cents"),
+            F.col("e.ewma").alias("ewma_cents"),
+            F.expr(
+                "abs(e.mean_cents - e.ewma) * 1000000 DIV greatest(e.ewma, 1L)"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("event_type", "day_num")
+    )

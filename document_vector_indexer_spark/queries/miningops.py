@@ -297,6 +297,70 @@ FROM cr GROUP BY 1 ORDER BY 1
 """
 
 
+def rfm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of purchasers (mining.rfm_segments):
+    segment code = recency*100 + frequency*10 + monetary quartiles."""
+    from document_vector_indexer_spark.operators.mining import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "events"))
+
+
+SQL_RFM = """
+WITH p AS (
+  SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+t AS (
+  SELECT user_id, cents,
+         ntile(4) OVER (ORDER BY last_us, user_id) AS rq,
+         ntile(4) OVER (ORDER BY freq, user_id) AS fq,
+         ntile(4) OVER (ORDER BY cents, user_id) AS mq
+  FROM p
+)
+SELECT CAST(rq * 100 + fq * 10 + mq AS BIGINT) AS segment,
+       count(*) AS n_users, CAST(sum(cents) AS BIGINT) AS total_cents
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+def ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer EWMA (alpha = 1/8) of per-type daily mean cents with
+    exact ppm deviation flags (mining.ewma_daily)."""
+    from document_vector_indexer_spark.operators.mining import ewma_daily
+
+    return ewma_daily(load_table(spark, sf_dir, "events"), shift=3)
+
+
+SQL_EWMA = """
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+              // count(*) AS BIGINT) AS mean_cents
+  FROM events GROUP BY 1, 2
+),
+i AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                 AS BIGINT) AS idx
+  FROM d
+),
+r AS (
+  SELECT event_type, day, idx, mean_cents, mean_cents AS ewma
+  FROM i WHERE idx = 1
+  UNION ALL
+  SELECT i.event_type, i.day, i.idx, i.mean_cents,
+         CAST((i.mean_cents + 7 * r.ewma) >> 3 AS BIGINT)
+  FROM r JOIN i ON i.event_type = r.event_type AND i.idx = r.idx + 1
+)
+SELECT event_type, CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num,
+       mean_cents, CAST(ewma AS BIGINT) AS ewma_cents,
+       CAST((abs(mean_cents - ewma) * 1000000) // greatest(ewma, 1)
+            AS BIGINT) AS dev_ppm
+FROM r ORDER BY event_type, day_num
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_basket_rules": QuerySpec(
         basket_rules_q,
@@ -322,5 +386,15 @@ QUERIES: dict[str, QuerySpec] = {
         attribution_q,
         SQL_ATTRIBUTION,
         "linear multi-touch purchase attribution, exact-cents credit",
+    ),
+    "q_rfm": QuerySpec(
+        rfm_q,
+        SQL_RFM,
+        "RFM quartile segmentation via two-pass global rank (no global window)",
+    ),
+    "q_ewma": QuerySpec(
+        ewma_q,
+        SQL_EWMA,
+        "integer EWMA of daily means with exact ppm deviation flags",
     ),
 }

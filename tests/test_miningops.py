@@ -437,3 +437,87 @@ def test_chunk_cdc_is_shift_robust_fixed_chunker_is_not(spark):
     # fixed-size: the prepend shifts every window — (almost) nothing
     # survives.
     assert fixed_overlap <= 0.2, fixed_overlap
+
+
+# --- rfm_segments -----------------------------------------------------
+
+
+def _ansi_ntile(rows, key, k=4):
+    """rows sorted by key; ANSI ntile: first n%k tiles get n//k+1."""
+    srt = sorted(rows, key=key)
+    n = len(srt)
+    base, rem = n // k, n % k
+    out, pos = {}, 0
+    for tile in range(1, k + 1):
+        size = base + (1 if tile <= rem else 0)
+        for r in srt[pos:pos + size]:
+            out[r[0]] = tile
+        pos += size
+    return out
+
+
+def test_rfm_matches_pure_python(spark):
+    from document_vector_indexer_spark.queries.miningops import rfm_q
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    per_user = {}
+    for r in ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.rint(F.col("value") * 100).cast("long").alias("cents"),
+    ).collect():
+        u = per_user.setdefault(r.user_id, [0, 0, 0])
+        u[0] = max(u[0], r.us)
+        u[1] += 1
+        u[2] += r.cents
+    rows = [(uid, v[0], v[1], v[2]) for uid, v in per_user.items()]
+    rq = _ansi_ntile(rows, lambda r: (r[1], r[0]))
+    fq = _ansi_ntile(rows, lambda r: (r[2], r[0]))
+    mq = _ansi_ntile(rows, lambda r: (r[3], r[0]))
+    expect = {}
+    for uid, _, _, cents in rows:
+        seg = rq[uid] * 100 + fq[uid] * 10 + mq[uid]
+        n, t = expect.get(seg, (0, 0))
+        expect[seg] = (n + 1, t + cents)
+    got = {
+        r.segment: (r.n_users, r.total_cents)
+        for r in rfm_q(spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) >= 10  # segments genuinely differentiate
+
+
+# --- ewma_daily -------------------------------------------------------
+
+
+def test_ewma_matches_pure_python(spark):
+    from document_vector_indexer_spark.queries.miningops import ewma_q
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    daily = {}
+    for r in ev.select(
+        "event_type",
+        F.unix_date(F.to_date(F.col("ts").cast("timestamp"))).alias("d"),
+        F.rint(F.col("value") * 100).cast("long").alias("cents"),
+    ).collect():
+        s, n = daily.get((r.event_type, r.d), (0, 0))
+        daily[(r.event_type, r.d)] = (s + r.cents, n + 1)
+    series = {}
+    for (ty, d), (s, n) in daily.items():
+        series.setdefault(ty, []).append((d, s // n))
+    expect = {}
+    for ty, xs in series.items():
+        xs.sort()
+        e = None
+        for d, m in xs:
+            e = m if e is None else (m + 7 * e) >> 3
+            expect[(ty, d)] = (m, e, abs(m - e) * 10**6 // max(e, 1))
+    got = {
+        (r.event_type, r.day_num): (r.mean_cents, r.ewma_cents, r.dev_ppm)
+        for r in ewma_q(spark, SF).collect()
+    }
+    assert got == expect
+    # non-vacuous: the smoother must actually damp (ewma != mean
+    # somewhere) and some days deviate noticeably
+    assert any(m != e for m, e, _ in got.values())
+    assert max(p for _, _, p in got.values()) > 10_000
