@@ -300,8 +300,13 @@ def linear_attribution(
         F.col("event_type").alias("touch_type"),
         us.alias("touch_us"),
     )
+    # Plan-pinned shuffle join: Catalyst would happily broadcast the
+    # touch side at bench scale, but touches are a constant fraction
+    # of the EVENT STREAM — never broadcastable at 100 TB. Both sides
+    # hash-partition on user_id; the lookback residual evaluates
+    # post-match.
     joined = conv.join(
-        touch,
+        touch.hint("shuffle_hash"),
         (F.col("user_id") == F.col("t_user"))
         & (F.col("touch_us") < F.col("conv_us"))
         & (F.col("touch_us") >= F.col("conv_us") - F.lit(lookback_s * 1_000_000)),

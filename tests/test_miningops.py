@@ -521,3 +521,14 @@ def test_ewma_matches_pure_python(spark):
     # somewhere) and some days deviate noticeably
     assert any(m != e for m, e, _ in got.values())
     assert max(p for _, _, p in got.values()) > 10_000
+
+
+def test_attribution_touch_join_is_shuffle_pinned(spark):
+    """Touches are a constant fraction of the event stream — the
+    touch side must never ride a broadcast (Catalyst would at bench
+    scale); the join hash-partitions on user_id."""
+    from document_vector_indexer_spark.queries.miningops import attribution_q
+
+    tree = _tree(spark, attribution_q(spark, SF))
+    assert "BroadcastHashJoin" not in tree and "BroadcastNestedLoopJoin" not in tree, tree
+    assert "ShuffledHashJoin" in tree or "SortMergeJoin" in tree, tree

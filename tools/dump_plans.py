@@ -92,6 +92,32 @@ EXTRA = {
     "q_changepoint": "one shuffle collapses the stream to daily means; "
     "cumsum/argmax windows run on the calendar-bounded (groups x days) frame; "
     "n-scaled all-integer CUSUM statistic",
+    "q_basket_rules": "pair candidates from per-basket HOF combinatorics over "
+    "collect_set (one basket-key shuffle) — never a basket self-join; item "
+    "counts and the 1-row basket count ride broadcasts; exact-ppm rules",
+    "q_pagerank": "edge build: one user-keyed lag pass + (src,dst) agg; each "
+    "iteration joins the O(nodes) rank state to edges and long-sums on dst; "
+    "localCheckpoint caps lineage at 10 iterations",
+    "q_knn_pq": "map-side PQ encode (argmin over fixed-point subvector "
+    "distances — zero shuffle, the write-time codes artifact); queries carry "
+    "their ADC tables through a broadcast join; integer lookup-sum scoring; "
+    "per-query top-k window only",
+    "q_chunk_cdc": "doc-keyed Exchange barrier (lambda-CSE rule) then all "
+    "map-side HOFs: rolling-window boundary filter, cut-pair substring "
+    "assembly, posexplode",
+    "q_triangles": "relative support threshold sparsifies the edge list before "
+    "the a<b<c oriented 3-way join (vocabulary-bounded frames, broadcast "
+    "joins); per-item rollup via explode",
+    "q_attribution": "user-keyed touch/conversion join with the 7-day lookback "
+    "residual bounding fan-out; conversion-keyed credit window (rows/key = "
+    "touch types); two tiny aggs",
+    "q_rfm": "event stream collapses to per-user RFM metrics in one shuffle; "
+    "three two-pass global_rank quartile cuts (range exchange + broadcast "
+    "offsets each — no empty-partitionBy window); 64-row segment rollup",
+    "q_ewma": "one shuffle to the (type, day) daily frame; bit-shift EWMA fold "
+    "runs inside an aggregate HOF over the calendar-bounded day array",
+    "q_length_buckets": "map-side token count + pow-2 bucket CASE; one tiny "
+    "(source, bucket) partial+final agg",
 }
 
 
