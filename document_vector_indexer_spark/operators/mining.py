@@ -459,3 +459,138 @@ def ewma_daily(events: DataFrame, shift: int = 3) -> DataFrame:
         )
         .orderBy("event_type", "day_num")
     )
+
+
+def common_paths(events: DataFrame, k: int = 20, depth: int = 3) -> DataFrame:
+    """Top-``k`` most common ``depth``-step event-type paths (the
+    sequential-pattern head of clickstream mining): per-user
+    consecutive event windows, counted and cut with a deterministic
+    (count desc, path) TakeOrdered. One user-keyed shuffle for the
+    lag windows; the path agg shuffles short strings."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cols = [
+        F.lag("event_type", depth - 1 - i).over(w).alias(f"s{i}")
+        for i in range(depth)
+    ]
+    steps = events.select("user_id", "ts", "event_id", "event_type", *cols)
+    return (
+        steps.filter(F.col("s0").isNotNull())
+        .select(F.concat_ws(">", *[f"s{i}" for i in range(depth)]).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(k)
+    )
+
+
+def gini_concentration(events: DataFrame) -> DataFrame:
+    """Per-type Gini coefficient of user spend concentration, exact
+    ppm: gini = Σ(2i − n − 1)·x_(i) / (n·Σx) over per-user totals
+    sorted ascending. The per-type rank comes from ONE two-pass
+    ``global_rank`` over (type, x, user) — types group contiguously in
+    the global order, so per-type rank = global rank − type offset
+    (a tiny per-type agg) and no low-cardinality-partition window
+    (5 types = 5 tasks) ever exists in the plan.
+    """
+    from document_vector_indexer_spark.operators.ranking import global_rank
+
+    cents = F.rint(F.col("value") * 100).cast("long")
+    per_user = (
+        events.select("event_type", "user_id", cents.alias("c"))
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("c").cast("long").alias("x"))
+    )
+    ranked = global_rank(per_user, ["event_type", "x", "user_id"])
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("x").cast("long").alias("total_cents"),
+            F.min("_grank").cast("long").alias("_minr"),
+            F.sum(F.col("_grank") * 2 * F.col("x")).cast("long").alias("_s2rx"),
+            F.sum("x").cast("long").alias("_sx"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "total_cents",
+            # Σ(2·(grank-minr+1) − n − 1)·x  ==  2Σgrank·x − (2minr−2+n+1)Σx
+            F.expr(
+                "(_s2rx - (2 * _minr - 2 + n_users + 1) * _sx) * 1000000"
+                " DIV (n_users * _sx)"
+            ).alias("gini_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ks_drift(events: DataFrame, baseline_type: str = "view") -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance of each event
+    type's value distribution against ``baseline_type``, in pure
+    integer cross-multiplied form: D·(n_t·n_b) = max over cents values
+    of |cum_t·n_b − cum_b·n_t| — no float ever, so the statistic is
+    engine-exact (textbook KS needs ecdf ratios; cross-multiplying
+    keeps it in longs).
+
+    Scale: the stream collapses to (type, cents) counts in one agg;
+    the cumsum windows run per type over the VALUE-DOMAIN-bounded
+    distinct-cents frame (≤ ~49k rows per type at ANY raw data scale —
+    the q_win_frame calendar-bounded justification, domain edition).
+    """
+    cents = F.rint(F.col("value") * 100).cast("long")
+    typed = events.select(F.col("event_type").alias("t"), cents.alias("c"))
+    tc = (
+        typed.filter(F.col("t") != baseline_type)
+        .groupBy("t", "c")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    bc = (
+        typed.filter(F.col("t") == baseline_type)
+        .groupBy("c")
+        .agg(F.count("*").cast("long").alias("cb"))
+    )
+    types = tc.select("t").distinct()
+    grid = (
+        tc.select("t", "c")
+        .unionByName(types.crossJoin(bc.select("c")))
+        .distinct()
+    )
+    joined = (
+        grid.join(tc, ["t", "c"], "left")
+        .join(F.broadcast(bc), "c", "left")
+        .select(
+            "t", "c",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.partitionBy("t").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("t")
+    cum = joined.select(
+        "t", "c",
+        F.sum("ct").over(w).alias("cum_t"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ct").over(wt).alias("n_t"),
+        F.sum("cb").over(wt).alias("n_b"),
+    )
+    scored = cum.select(
+        "t", "c", "n_t", "n_b",
+        F.abs(F.col("cum_t") * F.col("n_b") - F.col("cum_b") * F.col("n_t")).alias(
+            "num"
+        ),
+    )
+    wmax = Window.partitionBy("t").orderBy(F.col("num").desc(), "c")
+    return (
+        scored.withColumn("rk", F.row_number().over(wmax))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("t").alias("event_type"),
+            "n_t",
+            "n_b",
+            F.expr("num * 1000000 DIV (n_t * n_b)").alias("ks_ppm"),
+            F.col("c").alias("at_cents"),
+        )
+        .orderBy("event_type")
+    )

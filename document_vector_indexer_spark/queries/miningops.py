@@ -361,6 +361,102 @@ FROM r ORDER BY event_type, day_num
 """
 
 
+def paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step event-type paths (mining.common_paths)."""
+    from document_vector_indexer_spark.operators.mining import common_paths
+
+    return common_paths(load_table(spark, sf_dir, "events"), k=20, depth=3)
+
+
+SQL_PATHS = """
+WITH s AS (
+  SELECT lag(event_type, 2) OVER w AS s0,
+         lag(event_type, 1) OVER w AS s1,
+         event_type AS s2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
+FROM s WHERE s0 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+"""
+
+
+def gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Gini spend concentration (mining.gini_concentration),
+    exact ppm via the two-pass global rank."""
+    from document_vector_indexer_spark.operators.mining import gini_concentration
+
+    return gini_concentration(load_table(spark, sf_dir, "events"))
+
+
+SQL_GINI = """
+WITH p AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                                    ORDER BY x, user_id) AS BIGINT) AS i
+  FROM p
+)
+SELECT event_type, count(*) AS n_users, CAST(sum(x) AS BIGINT) AS total_cents,
+       CAST((sum((2 * i) * x) - (count(*) + 1) * sum(x)) * 1000000
+            // (count(*) * sum(x)) AS BIGINT) AS gini_ppm
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer two-sample KS distance of each type's value
+    distribution vs the 'view' baseline (mining.ks_drift)."""
+    from document_vector_indexer_spark.operators.mining import ks_drift
+
+    return ks_drift(load_table(spark, sf_dir, "events"), baseline_type="view")
+
+
+SQL_KS = """
+WITH e AS (
+  SELECT event_type AS t, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+tc AS (SELECT t, c, CAST(count(*) AS BIGINT) AS ct
+       FROM e WHERE t <> 'view' GROUP BY 1, 2),
+bc AS (SELECT c, CAST(count(*) AS BIGINT) AS cb
+       FROM e WHERE t = 'view' GROUP BY 1),
+grid AS (
+  SELECT t, c FROM tc
+  UNION
+  SELECT ty.t, bc.c FROM (SELECT DISTINCT t FROM tc) ty CROSS JOIN bc
+),
+j AS (
+  SELECT g.t, g.c, COALESCE(tc.ct, 0) AS ct, COALESCE(bc.cb, 0) AS cb
+  FROM grid g LEFT JOIN tc ON tc.t = g.t AND tc.c = g.c
+              LEFT JOIN bc ON bc.c = g.c
+),
+cum AS (
+  SELECT t, c,
+         CAST(sum(ct) OVER (PARTITION BY t ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_t,
+         CAST(sum(cb) OVER (PARTITION BY t ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_b,
+         CAST(sum(ct) OVER (PARTITION BY t) AS BIGINT) AS n_t,
+         CAST(sum(cb) OVER (PARTITION BY t) AS BIGINT) AS n_b
+  FROM j
+)
+SELECT t AS event_type, n_t, n_b,
+       CAST(abs(cum_t * n_b - cum_b * n_t) * 1000000 // (n_t * n_b) AS BIGINT)
+         AS ks_ppm,
+       c AS at_cents
+FROM cum
+QUALIFY row_number() OVER (PARTITION BY t
+          ORDER BY abs(cum_t * n_b - cum_b * n_t) DESC, c) = 1
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_basket_rules": QuerySpec(
         basket_rules_q,
@@ -396,5 +492,20 @@ QUERIES: dict[str, QuerySpec] = {
         ewma_q,
         SQL_EWMA,
         "integer EWMA of daily means with exact ppm deviation flags",
+    ),
+    "q_paths": QuerySpec(
+        paths_q,
+        SQL_PATHS,
+        "top-20 3-step event-type paths (sequential-pattern head)",
+    ),
+    "q_gini": QuerySpec(
+        gini_q,
+        SQL_GINI,
+        "per-type Gini spend concentration, exact ppm via two-pass rank",
+    ),
+    "q_ks_drift": QuerySpec(
+        ks_q,
+        SQL_KS,
+        "exact integer two-sample KS distance vs the view baseline",
     ),
 }

@@ -532,3 +532,81 @@ def test_attribution_touch_join_is_shuffle_pinned(spark):
     tree = _tree(spark, attribution_q(spark, SF))
     assert "BroadcastHashJoin" not in tree and "BroadcastNestedLoopJoin" not in tree, tree
     assert "ShuffledHashJoin" in tree or "SortMergeJoin" in tree, tree
+
+
+# --- common_paths / gini / ks_drift -----------------------------------
+
+
+def test_paths_match_pure_python(spark):
+    from document_vector_indexer_spark.queries.miningops import paths_q
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    per_user = {}
+    for r in ev.select("user_id", "ts", "event_id", "event_type").collect():
+        per_user.setdefault(r.user_id, []).append(r)
+    cnt = Counter()
+    for rows in per_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b, c in zip(rows, rows[1:], rows[2:]):
+            cnt[f"{a.event_type}>{b.event_type}>{c.event_type}"] += 1
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.path, r.n) for r in paths_q(spark, SF).collect()]
+    assert got == expect
+    assert len({n for _, n in got}) > 3  # real frequency spread
+
+
+def test_gini_matches_pure_python(spark):
+    from document_vector_indexer_spark.queries.miningops import gini_q
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    per = {}
+    for r in ev.select(
+        "event_type", "user_id",
+        F.rint(F.col("value") * 100).cast("long").alias("c"),
+    ).collect():
+        per[(r.event_type, r.user_id)] = per.get((r.event_type, r.user_id), 0) + r.c
+    by_type = {}
+    for (ty, uid), x in per.items():
+        by_type.setdefault(ty, []).append((x, uid))
+    expect = {}
+    for ty, xs in by_type.items():
+        xs.sort()
+        n, sx = len(xs), sum(x for x, _ in xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, (x, _) in enumerate(xs))
+        expect[ty] = (n, sx, num * 10**6 // (n * sx))
+    got = {
+        r.event_type: (r.n_users, r.total_cents, r.gini_ppm)
+        for r in gini_q(spark, SF).collect()
+    }
+    assert got == expect
+    assert max(g for _, _, g in got.values()) > 50_000  # non-vacuous spread
+
+
+def test_ks_matches_pure_python(spark):
+    from document_vector_indexer_spark.queries.miningops import ks_q
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    rows = ev.select(
+        "event_type", F.rint(F.col("value") * 100).cast("long").alias("c")
+    ).collect()
+    base = sorted(r.c for r in rows if r.event_type == "view")
+    expect = {}
+    for ty in {r.event_type for r in rows} - {"view"}:
+        xs = sorted(r.c for r in rows if r.event_type == ty)
+        vals = sorted(set(xs) | set(base))
+        nt, nb = len(xs), len(base)
+        best = (-1, None)
+        ct = cb = 0
+        import bisect
+        for v in vals:
+            ct = bisect.bisect_right(xs, v)
+            cb = bisect.bisect_right(base, v)
+            num = abs(ct * nb - cb * nt)
+            if num > best[0]:
+                best = (num, v)
+        expect[ty] = (nt, nb, best[0] * 10**6 // (nt * nb), best[1])
+    got = {
+        r.event_type: (r.n_t, r.n_b, r.ks_ppm, r.at_cents)
+        for r in ks_q(spark, SF).collect()
+    }
+    assert got == expect
