@@ -344,6 +344,67 @@ def cmd_curate(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_analyze(args: argparse.Namespace) -> None:
+    """Corpus report as one JSON object on stdout: size/token stats,
+    exact-dup rate, language mix (when a lang column exists),
+    pad-to-bucket batching profile, and the vocabulary head. Four
+    jobs, all tiny after map-side prep: one doc-level aggregate, one
+    lang agg, one (source, bucket) agg, one word agg."""
+    import json
+
+    from document_vector_indexer_spark.functions import text as TX
+    from document_vector_indexer_spark.operators.mining import length_buckets
+    from document_vector_indexer_spark.operators.textanalysis import vocab_topk
+    from document_vector_indexer_spark.session import get_spark
+
+    if not os.path.exists(args.input):
+        sys.exit(f"error: input not found: {args.input}")
+    spark = get_spark(app_name="dvi-analyze")
+    docs = _load_input(spark, args.input)
+    base = docs.select(
+        "*",
+        TX.token_count_ws(F.col("text")).alias("_tokens"),
+        F.md5(F.col("text")).alias("_h"),
+    )
+    head = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.countDistinct("_h").alias("n_unique_texts"),
+    ).first()
+    report: dict = {
+        "n_docs": head["n_docs"],
+        "total_tokens": head["total_tokens"] or 0,
+        "total_chars": head["total_chars"] or 0,
+        "exact_dup_docs": head["n_docs"] - head["n_unique_texts"],
+    }
+    if "lang" in docs.columns:
+        report["langs"] = {
+            r["lang"]: r["n"]
+            for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+    group = "source" if "source" in docs.columns else "filename"
+    grouped = base if group == "source" else base.withColumn(
+        "source", F.lit("all")
+    )
+    report["length_buckets"] = [
+        {
+            "source": r["grp"],
+            "bucket_len": r["bucket_len"],
+            "n_docs": r["n_docs"],
+            "n_batches": r["n_batches"],
+            "util_ppm": r["util_ppm"],
+        }
+        for r in length_buckets(grouped, "_tokens", "source").collect()
+    ]
+    id_col = "doc_id" if "doc_id" in docs.columns else "filename"
+    report["vocab_top10"] = [
+        {"word": r["word"], "n_docs": r["n_docs"], "n_occur": r["n_occur"]}
+        for r in vocab_topk(docs, k=10, text_col="text", id_col=id_col).collect()
+    ]
+    print(json.dumps(report, sort_keys=True))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="document_vector_indexer_spark",
@@ -397,6 +458,14 @@ def main(argv: list[str] | None = None) -> None:
         help="MinHash estimated-Jaccard threshold for --dedup near",
     )
     cu.set_defaults(fn=cmd_curate)
+
+    an = sub.add_parser(
+        "analyze",
+        help="corpus report: sizes, dup rate, language mix, batching "
+             "profile, vocabulary head (one JSON object on stdout)",
+    )
+    an.add_argument("input")
+    an.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)
     args.fn(args)

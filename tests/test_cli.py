@@ -312,3 +312,31 @@ def test_cli_hybrid_query_empty_text_exits(spark, doc_dir, tmp_path, capsys):
     capsys.readouterr()
     with pytest.raises(SystemExit):
         main(["query", "--chunks", out, "--text", "   ", "--hybrid"])
+
+
+def test_cli_analyze_report(spark, capsys):
+    """`analyze` prints one JSON corpus report whose headline numbers
+    match independent recomputation from the same parquet."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from document_vector_indexer_spark.cli import main
+    from document_vector_indexer_spark.functions import text as TX
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    main(["analyze", src])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    report = json.loads(out)
+    docs = spark.read.parquet(src)
+    n = docs.count()
+    toks = docs.agg(
+        F.sum(TX.token_count_ws(F.col("text"))).cast("long")
+    ).first()[0]
+    assert report["n_docs"] == n
+    assert report["total_tokens"] == toks
+    assert report["exact_dup_docs"] == n - docs.select("text").distinct().count()
+    assert sum(report["langs"].values()) == n
+    assert sum(b["n_docs"] for b in report["length_buckets"]) == n
+    assert len(report["vocab_top10"]) == 10
+    assert all(b["util_ppm"] <= 10**6 for b in report["length_buckets"])
