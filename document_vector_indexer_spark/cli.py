@@ -379,8 +379,10 @@ def cmd_analyze(args: argparse.Namespace) -> None:
         "exact_dup_docs": head["n_docs"] - head["n_unique_texts"],
     }
     if "lang" in docs.columns:
+        # NULL lang -> "unknown": a None key would crash
+        # json.dumps(sort_keys=True) (None vs str is unorderable)
         report["langs"] = {
-            r["lang"]: r["n"]
+            (r["lang"] if r["lang"] is not None else "unknown"): r["n"]
             for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()
         }
     group = "source" if "source" in docs.columns else "filename"

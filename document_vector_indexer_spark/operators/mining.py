@@ -27,7 +27,13 @@ Integer-range notes (same discipline as profiling.zscore_outliers):
 ranks are ≤ 1e12 and edge weights ≤ per-pair transition counts, so
 ``rank*w`` stays < 2^63 up to ~1e6-weight edges; beyond the bench
 scale promote to DECIMAL(38,0) — the operator takes the scale as a
-parameter so callers can lower it for denser graphs.
+parameter so callers can lower it for denser graphs. The same
+promotion applies to the two ppm numerators that multiply raw counts:
+``basket_pairs``' lift (1e6·n_baskets·support < 2^63 ⇒ safe to
+~15M baskets with ~600-support pairs, or any mix whose product stays
+under 9.2e12) and ``ks_drift``'s statistic (1e6·n_t·n_b < 2^63 ⇒
+~3M samples per side); past those, CAST the numerator to
+DECIMAL(38,0) on both engine and oracle sides.
 """
 
 from __future__ import annotations
@@ -508,7 +514,6 @@ def gini_concentration(events: DataFrame) -> DataFrame:
             F.sum("x").cast("long").alias("total_cents"),
             F.min("_grank").cast("long").alias("_minr"),
             F.sum(F.col("_grank") * 2 * F.col("x")).cast("long").alias("_s2rx"),
-            F.sum("x").cast("long").alias("_sx"),
         )
         .select(
             "event_type",
@@ -516,8 +521,8 @@ def gini_concentration(events: DataFrame) -> DataFrame:
             "total_cents",
             # Σ(2·(grank-minr+1) − n − 1)·x  ==  2Σgrank·x − (2minr−2+n+1)Σx
             F.expr(
-                "(_s2rx - (2 * _minr - 2 + n_users + 1) * _sx) * 1000000"
-                " DIV (n_users * _sx)"
+                "(_s2rx - (2 * _minr - 2 + n_users + 1) * total_cents)"
+                " * 1000000 DIV (n_users * total_cents)"
             ).alias("gini_ppm"),
         )
         .orderBy("event_type")

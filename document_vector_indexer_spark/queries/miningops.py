@@ -20,8 +20,21 @@ from document_vector_indexer_spark.io import load_table
 from document_vector_indexer_spark.queries.base import QuerySpec
 from document_vector_indexer_spark.queries.textops import _DUCK_WORDS
 
+from document_vector_indexer_spark.operators.mining import PR_SCALE
+
 PR_ITERATIONS = 10
-PR_SCALE = 1_000_000_000_000
+
+
+def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(basket, item) = (order, part BRAND via the broadcast part dim)
+    — the one definition both basket queries share, so q_basket_rules
+    and q_triangles can never disagree about what a basket is."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
 
 
 def basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,13 +47,7 @@ def basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinatorics over sorted collect_set, never a self-join."""
     from document_vector_indexer_spark.operators.mining import basket_pairs
 
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    baskets = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand")),
-        li["l_partkey"] == F.col("p_partkey"),
-    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
-    return basket_pairs(baskets, "basket", "item", top=50)
+    return basket_pairs(_brand_baskets(spark, sf_dir), "basket", "item", top=50)
 
 
 SQL_BASKET_RULES = """
@@ -205,14 +212,9 @@ def triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cooccurrence_triangles,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    baskets = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand")),
-        li["l_partkey"] == F.col("p_partkey"),
-    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
     return cooccurrence_triangles(
-        baskets, "basket", "item", min_support_frac_ppm=TRI_MIN_SUPPORT_PPM
+        _brand_baskets(spark, sf_dir), "basket", "item",
+        min_support_frac_ppm=TRI_MIN_SUPPORT_PPM,
     )
 
 

@@ -339,4 +339,10 @@ def test_cli_analyze_report(spark, capsys):
     assert sum(report["langs"].values()) == n
     assert sum(b["n_docs"] for b in report["length_buckets"]) == n
     assert len(report["vocab_top10"]) == 10
-    assert all(b["util_ppm"] <= 10**6 for b in report["length_buckets"])
+    # utilization can exceed 1.0 only in the open-ended top bucket
+    # (tokens > top edge still land there by design)
+    assert all(
+        b["util_ppm"] <= 10**6
+        for b in report["length_buckets"]
+        if b["bucket_len"] < 8192
+    )
