@@ -185,6 +185,77 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (Broder): top-20 pairs by
+    max(inter/n_a, inter/n_b) in exact ppm — catches quote-inclusion
+    (a short document embedded in a long one), the case symmetric
+    Jaccard scores near zero because the union is dominated by the
+    long side. Same df-capped inverted-index pipeline as
+    q_dedup_ngram (operators/dedup.ngram_jaccard_pairs) — containment
+    is a projection of (inter, n_a, n_b), so the scale shape is
+    identical and already plan-pinned."""
+    from document_vector_indexer_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_cols=("source",))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.expr("inter * 1000000 DIV n_a").alias("contain_a_ppm"),
+        F.expr("inter * 1000000 DIV n_b").alias("contain_b_ppm"),
+    ).withColumn(
+        "contain_max_ppm", F.greatest("contain_a_ppm", "contain_b_ppm")
+    )
+    return (
+        scored.orderBy(F.col("contain_max_ppm").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+SQL_DEDUP_CONTAIN = """
+WITH sh AS (
+  SELECT source, doc_id AS id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           list_transform(generate_series(1, len(words) - 2),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           ELSE [] END) AS shingles
+  FROM (SELECT source, doc_id,
+               list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                              '\\s+'), x -> x <> '') AS words
+        FROM documents)
+),
+expl AS (
+  SELECT source, id, unnest(shingles) AS shingle FROM sh
+),
+retained AS (
+  SELECT source, id, shingle,
+         count(*) OVER (PARTITION BY source, shingle) AS df
+  FROM expl QUALIFY df <= 20
+),
+sizes AS (
+  SELECT source, id, CAST(count(*) AS BIGINT) AS n_ret FROM retained GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.source, a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM retained a JOIN retained b
+    ON a.shingle = b.shingle AND a.source = b.source
+  WHERE a.id < b.id
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, inter,
+       CAST(inter * 1000000 // sa.n_ret AS BIGINT) AS contain_a_ppm,
+       CAST(inter * 1000000 // sb.n_ret AS BIGINT) AS contain_b_ppm,
+       CAST(greatest(inter * 1000000 // sa.n_ret, inter * 1000000 // sb.n_ret)
+            AS BIGINT) AS contain_max_ppm
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source AND sa.id = p.id_a
+JOIN sizes sb ON sb.source = p.source AND sb.id = p.id_b
+ORDER BY contain_max_ppm DESC, id_a, id_b
+LIMIT 20
+"""
+
+
 # Same df-capped (max_df=20) discriminative-shingle semantics as the
 # operator — see operators/dedup.py for why the cap is load-bearing.
 SQL_DEDUP_NGRAM = """
@@ -868,6 +939,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q_knn_per_query": QuerySpec(q_knn_per_query, SQL_KNN_PER_QUERY),
     "q_dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "q_dedup_ngram": QuerySpec(q_dedup_ngram, SQL_DEDUP_NGRAM),
+    "q_dedup_contain": QuerySpec(
+        q_dedup_contain,
+        SQL_DEDUP_CONTAIN,
+        "asymmetric shingle containment (quote-inclusion dedup), exact ppm",
+    ),
     "q_dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "q_dedup_embed": QuerySpec(q_dedup_embed, SQL_DEDUP_EMBED),
     "q_lsh_buckets": QuerySpec(q_lsh_buckets, SQL_LSH_BUCKETS),

@@ -610,3 +610,24 @@ def test_ks_matches_pure_python(spark):
         for r in ks_q(spark, SF).collect()
     }
     assert got == expect
+
+
+# --- containment dedup ------------------------------------------------
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """THE motivating case: a short document fully quoted inside a
+    long one scores containment ~1.0 while symmetric Jaccard stays
+    low (union dominated by the long side)."""
+    from document_vector_indexer_spark.operators.dedup import ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [(1, "s", short), (2, "s", filler + " " + short + " " + filler)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    p = ngram_jaccard_pairs(df, block_cols=("source",)).collect()
+    assert len(p) == 1
+    r = p[0]
+    contain_short = r.inter * 10**6 // r.n_a
+    assert contain_short == 10**6          # short doc fully contained
+    assert r.jaccard < 0.05                # Jaccard blind to it
