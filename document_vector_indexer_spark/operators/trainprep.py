@@ -32,6 +32,14 @@ def portable_hash_fraction(key: Column, salt: str = "") -> Column:
     already restore every decile to 1.00 +/- 0.01, three adds margin.
 
     Map-side only: at any scale this is a projection, no shuffle."""
+    return portable_hash_units(key, salt).cast("double") / F.lit(float(_M31))
+
+
+def portable_hash_units(key: Column, salt: str = "") -> Column:
+    """The integer hash h in [0, M31) behind
+    :func:`portable_hash_fraction` — use directly for exact
+    cross-multiplied threshold tests (``h * q < p * M31`` keeps a
+    probability-p decision in pure longs, no double ever)."""
     s = F.concat_ws(":", F.lit(salt), key.cast("string"))
     h = F.aggregate(
         F.sequence(F.lit(1), F.length(s)),
@@ -41,7 +49,7 @@ def portable_hash_fraction(key: Column, salt: str = "") -> Column:
     )
     for _ in range(3):
         h = (h * 48271) % F.lit(_M31).cast("long")
-    return h.cast("double") / F.lit(float(_M31))
+    return h
 
 
 def hash_split(
@@ -360,4 +368,40 @@ def stratified_sample(
     return (
         df.withColumn("sample_rk", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rk") <= k)
+    )
+
+
+def length_weighted_sample(
+    df,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    cap_tokens: int = 512,
+    salt: str = "lw",
+):
+    """Probability-proportional-to-length Bernoulli sampling: keep a
+    doc with p = min(1, tokens/cap) — the standard token-budget
+    subsample that keeps the TOKEN distribution (not the doc count)
+    representative when long docs carry most of the training signal.
+
+    The keep decision is the exact cross-multiplied integer test
+    ``h * cap < tokens * M31`` (h = portable_hash_units) — no double
+    is ever compared, so the sample is bit-stable across engines,
+    runs, partitionings, AND corpus growth (a doc's fate is a pure
+    function of (salt, id, its own length) — the hash_split
+    no-leakage-on-refresh property, weighted edition).
+
+    Map-side projection + filter; zero shuffles. Adds ``p_ppm``.
+    """
+    h = portable_hash_units(F.col(id_col), salt=salt)
+    t = F.col(tokens_col).cast("long")
+    return (
+        df.withColumn("_h", h)
+        .filter(F.col("_h") * cap_tokens < t * _M31)
+        .withColumn(
+            "p_ppm",
+            F.least(F.lit(1_000_000).cast("long"), F.expr(
+                f"CAST({tokens_col} AS BIGINT) * 1000000 DIV {cap_tokens}"
+            )),
+        )
+        .drop("_h")
     )

@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 from document_vector_indexer_spark.functions import text as TX
 from document_vector_indexer_spark.io import load_table
 from document_vector_indexer_spark.queries.base import QuerySpec
-from document_vector_indexer_spark.queries.textops import _DUCK_WORDS
+from document_vector_indexer_spark.queries.textops import _DUCK_WORDS, _duck_units
 
 from document_vector_indexer_spark.operators.mining import PR_SCALE
 
@@ -459,6 +459,44 @@ ORDER BY event_type
 """
 
 
+SAMPLE_CAP_TOKENS = 512
+
+
+def sample_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted token-budget sampling
+    (trainprep.length_weighted_sample): keep p = min(1, tokens/512),
+    decided by the exact cross-multiplied integer test — bit-stable
+    across engines/runs/partitionings/corpus growth."""
+    from document_vector_indexer_spark.operators.trainprep import (
+        length_weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count_ws(F.col("text")).alias("tokens")
+    )
+    out = length_weighted_sample(
+        docs, tokens_col="tokens", id_col="doc_id",
+        cap_tokens=SAMPLE_CAP_TOKENS,
+    )
+    return out.select("doc_id", "tokens", "p_ppm").orderBy("doc_id")
+
+
+SQL_SAMPLE_TOKENS = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_DUCK_WORDS.format(col="text")}) AS BIGINT) AS tokens
+  FROM documents
+)
+SELECT doc_id, tokens,
+       least(CAST(1000000 AS BIGINT),
+             tokens * 1000000 // {SAMPLE_CAP_TOKENS}) AS p_ppm
+FROM t
+WHERE {_duck_units("'lw:' || CAST(doc_id AS VARCHAR)")}
+        * {SAMPLE_CAP_TOKENS} < tokens * 2147483647
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_basket_rules": QuerySpec(
         basket_rules_q,
@@ -509,5 +547,10 @@ QUERIES: dict[str, QuerySpec] = {
         ks_q,
         SQL_KS,
         "exact integer two-sample KS distance vs the view baseline",
+    ),
+    "q_sample_tokens": QuerySpec(
+        sample_tokens_q,
+        SQL_SAMPLE_TOKENS,
+        "length-weighted token-budget sampling, cross-multiplied exact",
     ),
 }

@@ -503,14 +503,20 @@ FROM g ORDER BY doc_id
 # DuckDB fragments shared by the trainprep-derived queries below.
 # Portable hash fraction (mirrors trainprep.portable_hash_fraction):
 # char-fold of the salted key mod M31, three Lehmer rounds, over M31.
-def _duck_frac(s_expr: str) -> str:
-    return f"""CAST((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+def _duck_units(s_expr: str) -> str:
+    """The integer hash h in [0, M31) BEFORE the /M31 division —
+    usable for exact cross-multiplied threshold tests (no double)."""
+    return f"""(((list_reduce(list_prepend(CAST(0 AS BIGINT),
                 list_transform(generate_series(1, length({s_expr})),
                                i -> CAST(ascii(substr({s_expr}, i, 1)) AS BIGINT))),
               (a, c) -> (a * 131 + c) % 2147483647)
               * 48271 % 2147483647)
               * 48271 % 2147483647)
-              * 48271 % 2147483647) AS DOUBLE) / 2147483647"""
+              * 48271 % 2147483647)"""
+
+
+def _duck_frac(s_expr: str) -> str:
+    return f"CAST({_duck_units(s_expr)} AS DOUBLE) / 2147483647"
 
 
 # Word tokenization identical to the oracled queries above.

@@ -631,3 +631,45 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     contain_short = r.inter * 10**6 // r.n_a
     assert contain_short == 10**6          # short doc fully contained
     assert r.jaccard < 0.05                # Jaccard blind to it
+
+
+# --- length_weighted_sample -------------------------------------------
+
+
+def _py_units(s):
+    h = 0
+    for ch in s:
+        h = (h * 131 + ord(ch)) % 2147483647
+    for _ in range(3):
+        h = h * 48271 % 2147483647
+    return h
+
+
+def test_sample_tokens_matches_pure_python(spark):
+    from document_vector_indexer_spark.queries.miningops import (
+        SAMPLE_CAP_TOKENS,
+        sample_tokens_q,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    expect = {}
+    for r in docs.collect():
+        tokens = len(r.text.split())
+        if _py_units(f"lw:{r.doc_id}") * SAMPLE_CAP_TOKENS < tokens * 2147483647:
+            expect[r.doc_id] = (
+                tokens, min(10**6, tokens * 10**6 // SAMPLE_CAP_TOKENS)
+            )
+    got = {
+        r.doc_id: (r.tokens, r.p_ppm)
+        for r in sample_tokens_q(spark, SF).collect()
+    }
+    assert got == expect
+    # length-weighting must actually bias: kept docs are longer on
+    # average than the corpus, and the sample is a strict subset
+    n_docs = docs.count()
+    assert 0 < len(got) < n_docs
+    corpus_mean = sum(len(r.text.split()) for r in docs.collect()) / n_docs
+    kept_mean = sum(t for t, _ in got.values()) / len(got)
+    # corpus lengths are fairly uniform, so the bias is modest but
+    # must be strictly positive (p ∝ length)
+    assert kept_mean > corpus_mean * 1.1
