@@ -118,6 +118,20 @@ EXTRA = {
     "runs inside an aggregate HOF over the calendar-bounded day array",
     "q_length_buckets": "map-side token count + pow-2 bucket CASE; one tiny "
     "(source, bucket) partial+final agg",
+    "q_paths": "one user-keyed exchange feeds all depth lags; path agg "
+    "shuffles short strings; TakeOrdered cut",
+    "q_gini": "per-(type,user) totals in one shuffle; ONE two-pass global_rank "
+    "over (type,x,user) — per-type rank recovered arithmetically, no "
+    "5-partition window; all-integer numerator",
+    "q_ks_drift": "stream collapses to (type,cents) counts; baseline counts "
+    "ride a broadcast; cumsum windows over the value-domain-bounded "
+    "distinct-cents frame; cross-multiplied longs",
+    "q_dedup_contain": "same df-capped inverted-index pipeline as "
+    "q_dedup_ngram (ReuseExchange shares the shingle shuffle); containment "
+    "is a pure projection of (inter, n_a, n_b)",
+    "q_sample_tokens": "map-side only: portable-hash units + cross-multiplied "
+    "integer keep test + exact-ppm probability; zero shuffles before the "
+    "presentation sort",
 }
 
 
