@@ -128,6 +128,7 @@ def pagerank(
     nodes: DataFrame,
     iterations: int = 10,
     scale: int = PR_SCALE,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Damped (85/100) PageRank in exact scaled-integer arithmetic.
 
@@ -148,7 +149,9 @@ def pagerank(
     sum shuffle on dst — rank state is O(nodes), edges never
     re-shuffle if pre-partitioned by src. Lineage is cut per round
     with ``localCheckpoint`` (dedup_cluster precedent) so the plan
-    does not grow with the iteration count.
+    does not grow with the iteration count; ``checkpoint=False``
+    keeps the full lineage visible for plan inspection/tests (the
+    explain of the checkpointed form is just the post-barrier scan).
     """
     out_w = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
     ew = edges.join(out_w, "src").select("src", "dst", "w", "out_w")
@@ -172,8 +175,9 @@ def pagerank(
                     "(15 * share) DIV 100 + (85 * coalesce(inc, 0L)) DIV 100"
                 ).alias("rank_units"),
             )
-            .localCheckpoint(eager=False)
         )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

@@ -673,3 +673,27 @@ def test_sample_tokens_matches_pure_python(spark):
     # corpus lengths are fairly uniform, so the bias is modest but
     # must be strictly positive (p ∝ length)
     assert kept_mean > corpus_mean * 1.1
+
+
+def test_pagerank_iteration_plan_has_no_cartesian(spark):
+    """With checkpointing off the full 2-iteration lineage is
+    explainable: the only nested-loop joins are the 1-row node-count
+    broadcasts; rank/edge joins are hash joins on src/dst."""
+    from document_vector_indexer_spark.operators.mining import pagerank
+
+    e_df = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (3, 1, 1)], ["src", "dst", "w"]
+    )
+    n_df = spark.createDataFrame([(n,) for n in (1, 2, 3)], ["node"])
+    out = pagerank(e_df, n_df, iterations=2, checkpoint=False)
+    tree = _tree(spark, out)
+    assert "CartesianProduct" not in tree, tree
+    # every iteration's rank<->edge join must be an equi hash join
+    assert "HashJoin" in tree or "SortMergeJoin" in tree, tree
+    # values are identical with and without the lineage barrier
+    a = {r.node: r.rank_units for r in out.collect()}
+    b = {
+        r.node: r.rank_units
+        for r in pagerank(e_df, n_df, iterations=2, checkpoint=True).collect()
+    }
+    assert a == b
