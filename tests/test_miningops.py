@@ -697,3 +697,70 @@ def test_pagerank_iteration_plan_has_no_cartesian(spark):
         for r in pagerank(e_df, n_df, iterations=2, checkpoint=True).collect()
     }
     assert a == b
+
+
+# --- degenerate-input robustness --------------------------------------
+
+
+def test_mining_ops_survive_empty_inputs(spark):
+    """Every mining operator must yield an empty (or teleport-only)
+    result on empty input — never crash. At 100 TB a filter that
+    matches nothing is routine, not exceptional."""
+    from pyspark.sql import types as T
+
+    from document_vector_indexer_spark.operators.mining import (
+        basket_pairs,
+        common_paths,
+        gini_concentration,
+        ks_drift,
+        length_buckets,
+        linear_attribution,
+        pagerank,
+        rfm_segments,
+    )
+
+    empty_events = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    )
+    assert linear_attribution(empty_events, lookback_s=60).count() == 0
+    assert rfm_segments(empty_events).count() == 0
+    assert gini_concentration(empty_events).count() == 0
+    assert ks_drift(empty_events).count() == 0
+    assert common_paths(empty_events).count() == 0
+
+    empty_bk = spark.createDataFrame(
+        [], T.StructType(
+            [T.StructField("bk", T.LongType()), T.StructField("it", T.StringType())]
+        )
+    )
+    assert basket_pairs(empty_bk, "bk", "it").count() == 0
+
+    empty_tok = spark.createDataFrame(
+        [], T.StructType(
+            [T.StructField("src", T.StringType()), T.StructField("tokens", T.LongType())]
+        )
+    )
+    assert length_buckets(empty_tok, "tokens", "src").count() == 0
+
+    # pagerank: nodes with NO edges keep exactly the damped teleport
+    # share (uniform, deterministic)
+    e = spark.createDataFrame(
+        [], T.StructType(
+            [T.StructField("src", T.IntegerType()),
+             T.StructField("dst", T.IntegerType()),
+             T.StructField("w", T.LongType())]
+        )
+    )
+    n = spark.createDataFrame([(1,), (2,)], ["node"])
+    got = {r.node: r.rank_units for r in pagerank(e, n, iterations=3).collect()}
+    share = 10**12 // 2
+    assert got == {1: 15 * share // 100, 2: 15 * share // 100}
