@@ -811,3 +811,60 @@ def near_dedup_keep_first(
         F.col("id").alias(id_col)
     )
     return df.join(losers.hint("shuffle_hash"), id_col, "left_anti")
+
+
+def golden_records(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merge_col: str = "source",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Entity-resolution SURVIVORSHIP: one canonical "golden" record
+    per near-dup cluster, built by field-level rules rather than
+    :func:`near_dedup_keep_first`'s keep-lowest-id drop — the ER step
+    after pair detection (Fellegi-Sunter pipelines call it merge /
+    survivorship): representative = longest text (ties: lowest id),
+    provenance = the merged sorted set of ``merge_col`` values,
+    plus member count and total variant bytes. Docs with no near-dup
+    pair form singleton clusters under their own id.
+
+    Scale: pairs/components as in near_dedup_keep_first; the label
+    join back to the corpus is id-keyed (component side is the
+    duplicated fraction — shuffle, never broadcast); survivorship is
+    ONE component-keyed aggregation (max-of-struct argmax, no window).
+    """
+    pairs = minhash_portable_pairs(
+        df, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    labeled = df.join(comp.hint("shuffle_hash"), id_col, "left").withColumn(
+        "component", F.coalesce("component", F.col(id_col))
+    )
+    best = F.max(
+        F.struct(
+            F.length(text_col).alias("len"),
+            (-F.col(id_col)).alias("negid"),
+            F.col(id_col).alias("id"),
+        )
+    ).alias("_best")
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+            best,
+            F.array_join(F.sort_array(F.collect_set(merge_col)), ",").alias(
+                "sources"
+            ),
+        )
+        .select(
+            "component",
+            F.col("_best.id").alias("canon_id"),
+            F.col("_best.len").cast("long").alias("canon_chars"),
+            "n_members",
+            "total_chars",
+            "sources",
+        )
+        .orderBy("component")
+    )

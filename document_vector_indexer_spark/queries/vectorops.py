@@ -834,6 +834,45 @@ ORDER BY d.doc_id
 """
 
 
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER survivorship (dedup.golden_records): one canonical record
+    per near-dup cluster — longest-text representative (ties: lowest
+    id), merged provenance set, member/byte rollups — vs the
+    recursive-CTE closure oracle. The field-level-merge complement to
+    q_dedup_apply's keep-first drop."""
+    from document_vector_indexer_spark.operators.dedup import golden_records
+
+    docs = load_table(spark, sf_dir, "documents")
+    return golden_records(docs, threshold=0.25)
+
+
+SQL_GOLDEN_RECORD = f"""
+{_SQL_COMPONENTS_PRELUDE},
+lab AS (
+  SELECT d.doc_id, d.text, d.source,
+         COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+sel AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+              ORDER BY length(text) DESC, doc_id) AS rk
+  FROM lab
+),
+stats AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+  FROM lab GROUP BY 1
+)
+SELECT s.component, c.doc_id AS canon_id,
+       CAST(length(c.text) AS BIGINT) AS canon_chars,
+       s.n_members, s.total_chars, s.sources
+FROM stats s JOIN (SELECT component, doc_id, text FROM sel WHERE rk = 1) c
+  USING (component)
+ORDER BY s.component
+"""
+
+
 def q_embed_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_vector_indexer_spark.operators.embedding import embed_local
 
@@ -971,6 +1010,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_apply,
         SQL_DEDUP_APPLY,
         "near-dedup keep/drop applied end-to-end (curate --dedup near path)",
+    ),
+    "q_golden_record": QuerySpec(
+        q_golden_record,
+        SQL_GOLDEN_RECORD,
+        "ER survivorship: canonical record + merged provenance per cluster",
     ),
     "q_dedup_minhash_mllib": QuerySpec(
         q_dedup_minhash_mllib, None,

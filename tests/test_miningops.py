@@ -764,3 +764,49 @@ def test_mining_ops_survive_empty_inputs(spark):
     got = {r.node: r.rank_units for r in pagerank(e, n, iterations=3).collect()}
     share = 10**12 // 2
     assert got == {1: 15 * share // 100, 2: 15 * share // 100}
+
+
+# --- golden_records ---------------------------------------------------
+
+
+def test_golden_records_survivorship_rules(spark):
+    """Field-level survivorship on a planted cluster: canon = longest
+    text (tie: lowest id), provenance merged+sorted, singletons pass
+    through under their own id."""
+    from document_vector_indexer_spark.operators.dedup import golden_records
+
+    dup = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the band plays on through the night for everyone there"
+    )
+    rows = [
+        (1, dup, "web"),
+        (2, dup + " extra tail words here", "books"),   # longest -> canon
+        (3, dup + " extra tail words here", "web"),      # same len, id 3 > 2
+        (10, "a completely different document about gardens and rivers "
+             "flowing gently through ancient villages at dawn", "news"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r.component: (r.canon_id, r.n_members, r.sources)
+        for r in golden_records(df, threshold=0.25).collect()
+    }
+    assert got[1] == (2, 3, "books,web")     # cluster: canon=2 (longest, min id)
+    assert got[10] == (10, 1, "news")        # singleton under its own id
+    # cluster totals account for every member exactly once
+    assert sum(n for _, n, _ in got.values()) == len(rows)
+
+
+def test_golden_records_nonvacuous_on_corpus(spark):
+    """The sf0.001 corpus has planted near-dups: real multi-member
+    clusters with merged provenance must appear."""
+    from document_vector_indexer_spark.operators.dedup import golden_records
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = golden_records(docs, threshold=0.25).collect()
+    multi = [r for r in out if r.n_members > 1]
+    assert len(multi) >= 10
+    assert any("," in r.sources for r in multi), "no cross-source merge"
+    assert sum(r.n_members for r in out) == docs.count()
+    for r in multi:
+        assert r.canon_chars * r.n_members >= r.total_chars  # canon is max
