@@ -603,3 +603,50 @@ def ks_drift(events: DataFrame, baseline_type: str = "view") -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def k_anonymity_profile(
+    df: DataFrame,
+    quasi_cols: "Sequence[str]",
+    group_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity risk profile: rows whose quasi-identifier
+    combination matches fewer than ``k`` records are re-identifiable —
+    the pre-release privacy audit (Sweeney's k-anonymity) a dataset
+    publisher runs before sharing. Reported per ``group_col`` so the
+    risk concentrates where it lives: (n_rows, n_groups,
+    n_risky_groups, n_risky_rows, risk_ppm), all exact integers.
+
+    Scale: ONE quasi-identifier aggregation (partial+final — hot
+    combinations absorb map-side) then a tiny per-group rollup; the
+    raw table shuffles once, keyed by the quasi-identifier tuple.
+    More data IMPROVES k-anonymity (groups fill in), so the risky set
+    shrinks as the corpus grows — the operator's per-scale outputs
+    reflect that honestly.
+    """
+    groups = (
+        df.groupBy(group_col, *quasi_cols)
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    risky = F.col("n") < k
+    return (
+        groups.groupBy(group_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.count_if(risky).cast("long").alias("n_risky_groups"),
+            F.sum(F.when(risky, F.col("n")).otherwise(0)).cast("long").alias(
+                "n_risky_rows"
+            ),
+        )
+        .select(
+            group_col,
+            "n_rows",
+            "n_groups",
+            "n_risky_groups",
+            "n_risky_rows",
+            F.expr("n_risky_rows * 1000000 DIV n_rows").alias("risk_ppm"),
+        )
+        .orderBy(group_col)
+    )

@@ -497,6 +497,53 @@ ORDER BY doc_id
 """
 
 
+K_ANON_K = 5
+K_ANON_BAND = 10_000  # $10k price bands: risky tail persists to sf0.01
+
+
+def kanon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of orders against the (customer nation,
+    $10k total-price band) quasi-identifier, per nation
+    (mining.k_anonymity_profile). More data genuinely improves
+    anonymity here — sf0.001 is mostly risky, sf0.1 fully safe —
+    and the per-scale outputs reflect that honestly."""
+    from document_vector_indexer_spark.operators.mining import (
+        k_anonymity_profile,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.expr(f"CAST(o_totalprice AS BIGINT) DIV {K_ANON_BAND}").alias("band"),
+    )
+    return k_anonymity_profile(
+        joined, quasi_cols=["band"], group_col="nation", k=K_ANON_K
+    )
+
+
+SQL_KANON = f"""
+WITH g AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(o_totalprice AS BIGINT) // {K_ANON_BAND} AS band,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT nation, CAST(sum(n) AS BIGINT) AS n_rows,
+       count(*) AS n_groups,
+       CAST(count(*) FILTER (n < {K_ANON_K}) AS BIGINT) AS n_risky_groups,
+       CAST(COALESCE(sum(n) FILTER (n < {K_ANON_K}), 0) AS BIGINT)
+         AS n_risky_rows,
+       CAST(COALESCE(sum(n) FILTER (n < {K_ANON_K}), 0) * 1000000
+            // sum(n) AS BIGINT) AS risk_ppm
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_basket_rules": QuerySpec(
         basket_rules_q,
@@ -552,5 +599,10 @@ QUERIES: dict[str, QuerySpec] = {
         sample_tokens_q,
         SQL_SAMPLE_TOKENS,
         "length-weighted token-budget sampling, cross-multiplied exact",
+    ),
+    "q_kanonymity": QuerySpec(
+        kanon_q,
+        SQL_KANON,
+        "k-anonymity risk audit per nation, exact integer profile",
     ),
 }

@@ -810,3 +810,49 @@ def test_golden_records_nonvacuous_on_corpus(spark):
     assert sum(r.n_members for r in out) == docs.count()
     for r in multi:
         assert r.canon_chars * r.n_members >= r.total_chars  # canon is max
+
+
+# --- k_anonymity_profile ----------------------------------------------
+
+
+def test_kanonymity_matches_pure_python_and_is_mixed(spark):
+    """Exact per-nation recompute at sf0.001, where the profile is
+    genuinely MIXED (risky and safe groups both exist) — the scale
+    where the k<5 logic is actually exercised."""
+    from document_vector_indexer_spark.queries.miningops import (
+        K_ANON_BAND,
+        K_ANON_K,
+        kanon_q,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    groups = Counter()
+    for o in orders:
+        nation = cust[o.o_custkey]
+        band = int(o.o_totalprice) // K_ANON_BAND
+        groups[(nation, band)] += 1
+    expect = {}
+    for (nation, _), n in groups.items():
+        rows, g, rg, rr = expect.get(nation, (0, 0, 0, 0))
+        expect[nation] = (
+            rows + n, g + 1,
+            rg + (1 if n < K_ANON_K else 0),
+            rr + (n if n < K_ANON_K else 0),
+        )
+    expect = {
+        na: (*v, v[3] * 10**6 // v[0]) for na, v in expect.items()
+    }
+    got = {
+        r.nation: (r.n_rows, r.n_groups, r.n_risky_groups, r.n_risky_rows,
+                   r.risk_ppm)
+        for r in kanon_q(spark, SF).collect()
+    }
+    assert got == expect
+    # mixed: some rows risky, some safe, in every nation's ppm spread
+    total_risky = sum(v[3] for v in got.values())
+    total = sum(v[0] for v in got.values())
+    assert 0 < total_risky < total
