@@ -132,6 +132,11 @@ EXTRA = {
     "q_sample_tokens": "map-side only: portable-hash units + cross-multiplied "
     "integer keep test + exact-ppm probability; zero shuffles before the "
     "presentation sort",
+    "q_golden_record": "pairs/components reuse the minhash machinery; the "
+    "label join back is id-keyed shuffle (never broadcast); survivorship is "
+    "one component-keyed max-of-struct argmax agg, no window",
+    "q_kanonymity": "one quasi-identifier-keyed partial+final agg (hot "
+    "combos absorb map-side), then a tiny per-nation rollup; exact integers",
 }
 
 
