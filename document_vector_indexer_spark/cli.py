@@ -379,11 +379,14 @@ def cmd_analyze(args: argparse.Namespace) -> None:
         "exact_dup_docs": head["n_docs"] - head["n_unique_texts"],
     }
     if "lang" in docs.columns:
-        # NULL lang -> "unknown": a None key would crash
-        # json.dumps(sort_keys=True) (None vs str is unorderable)
+        # NULL lang -> "unknown" BEFORE the groupBy: a None key would
+        # crash json.dumps(sort_keys=True), and remapping after the agg
+        # would silently overwrite a genuine lang='unknown' group
         report["langs"] = {
-            (r["lang"] if r["lang"] is not None else "unknown"): r["n"]
-            for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()
+            r["lang"]: r["n"]
+            for r in base.groupBy(
+                F.coalesce("lang", F.lit("unknown")).alias("lang")
+            ).agg(F.count("*").alias("n")).collect()
         }
     group = "source" if "source" in docs.columns else "filename"
     grouped = base if group == "source" else base.withColumn(

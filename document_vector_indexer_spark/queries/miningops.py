@@ -528,7 +528,7 @@ def kanon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_KANON = f"""
 WITH g AS (
   SELECT CAST(c_nationkey AS BIGINT) AS nation,
-         CAST(o_totalprice AS BIGINT) // {K_ANON_BAND} AS band,
+         CAST(floor(o_totalprice) AS BIGINT) // {K_ANON_BAND} AS band,
          CAST(count(*) AS BIGINT) AS n
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2

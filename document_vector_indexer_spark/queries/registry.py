@@ -75,11 +75,11 @@ def all_queries() -> dict[str, QuerySpec]:
 
 # Changed in round 4 (stale or red prior row): see rule 1 above.
 _CHANGED_SINCE_VERIFIED = [
-    "q_sample_split",    # r4: oracle sum() cast to BIGINT (r3 red hash row);
-                         #     oracle text also reflowed by the _duck_units
-                         #     refactor (same semantics, re-checked locally)
+    "q_sample_split",    # r4: oracle sum() cast to BIGINT (r3 red hash row)
     "q_pack_sequences",  # r4: same HUGEINT cast fix
     "q_mix_sources",     # r4: same HUGEINT cast fix + _duck_units reflow
+    "q_decontaminate",   # r4: oracle text reflowed by the _duck_units
+                         #     refactor (same semantics, re-checked locally)
     "q_sink_roundtrip",  # r4: pipeline id now ranking.global_id (pre-embed)
     "q_tpch_q17",        # r4: join-back shuffle-pinned, broadcast dropped
     "q_knn_ivf",         # r4: pinned-centroid variant, now oracled
@@ -189,7 +189,7 @@ _VERIFIED = [
     "q_tpch_q18",
     "q_source_binary",
     "q_repetition",
-    "q_decontaminate",
+    # (q_decontaminate -> _CHANGED_SINCE_VERIFIED: _duck_units reflow)
     "q_vocab_topk",
     "q_vec_quantize",
     "q_dedup_semantic",

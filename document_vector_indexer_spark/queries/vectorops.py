@@ -185,6 +185,42 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same df-capped (max_df=20) discriminative-shingle semantics as the
+# operator — see operators/dedup.py for why the cap is load-bearing.
+# ONE shared prelude feeds both the Jaccard and the containment oracle
+# (the _SQL_COMPONENTS_PRELUDE precedent: a verbatim copy would let a
+# future shingle/df-cap fix silently desynchronize the two).
+_SQL_NGRAM_PRELUDE = """WITH sh AS (
+  SELECT source, doc_id AS id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           list_transform(generate_series(1, len(words) - 2),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           ELSE [] END) AS shingles
+  FROM (SELECT source, doc_id,
+               list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                              '\\s+'), x -> x <> '') AS words
+        FROM documents)
+),
+expl AS (
+  SELECT source, id, unnest(shingles) AS shingle FROM sh
+),
+retained AS (
+  SELECT source, id, shingle,
+         count(*) OVER (PARTITION BY source, shingle) AS df
+  FROM expl QUALIFY df <= 20
+),
+sizes AS (
+  SELECT source, id, count(*) AS n_ret FROM retained GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.source, a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM retained a JOIN retained b
+    ON a.shingle = b.shingle AND a.source = b.source
+  WHERE a.id < b.id
+  GROUP BY 1, 2, 3
+)"""
+
+
 def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle CONTAINMENT (Broder): top-20 pairs by
     max(inter/n_a, inter/n_b) in exact ppm — catches quote-inclusion
@@ -213,37 +249,9 @@ def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_CONTAIN = """
-WITH sh AS (
-  SELECT source, doc_id AS id,
-         list_distinct(CASE WHEN len(words) >= 3 THEN
-           list_transform(generate_series(1, len(words) - 2),
-                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-           ELSE [] END) AS shingles
-  FROM (SELECT source, doc_id,
-               list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
-                                              '\\s+'), x -> x <> '') AS words
-        FROM documents)
-),
-expl AS (
-  SELECT source, id, unnest(shingles) AS shingle FROM sh
-),
-retained AS (
-  SELECT source, id, shingle,
-         count(*) OVER (PARTITION BY source, shingle) AS df
-  FROM expl QUALIFY df <= 20
-),
-sizes AS (
-  SELECT source, id, CAST(count(*) AS BIGINT) AS n_ret FROM retained GROUP BY 1, 2
-),
-pairs AS (
-  SELECT a.source, a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
-  FROM retained a JOIN retained b
-    ON a.shingle = b.shingle AND a.source = b.source
-  WHERE a.id < b.id
-  GROUP BY 1, 2, 3
-)
-SELECT id_a, id_b, inter,
+SQL_DEDUP_CONTAIN = f"""
+{_SQL_NGRAM_PRELUDE}
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
        CAST(inter * 1000000 // sa.n_ret AS BIGINT) AS contain_a_ppm,
        CAST(inter * 1000000 // sb.n_ret AS BIGINT) AS contain_b_ppm,
        CAST(greatest(inter * 1000000 // sa.n_ret, inter * 1000000 // sb.n_ret)
@@ -256,38 +264,8 @@ LIMIT 20
 """
 
 
-# Same df-capped (max_df=20) discriminative-shingle semantics as the
-# operator — see operators/dedup.py for why the cap is load-bearing.
-SQL_DEDUP_NGRAM = """
-WITH sh AS (
-  SELECT source, doc_id AS id,
-         list_distinct(CASE WHEN len(words) >= 3 THEN
-           list_transform(generate_series(1, len(words) - 2),
-                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-           ELSE [] END) AS shingles
-  FROM (SELECT source, doc_id,
-               list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
-                                              '\\s+'), x -> x <> '') AS words
-        FROM documents)
-),
-expl AS (
-  SELECT source, id, unnest(shingles) AS shingle FROM sh
-),
-retained AS (
-  SELECT source, id, shingle,
-         count(*) OVER (PARTITION BY source, shingle) AS df
-  FROM expl QUALIFY df <= 20
-),
-sizes AS (
-  SELECT source, id, count(*) AS n_ret FROM retained GROUP BY 1, 2
-),
-pairs AS (
-  SELECT a.source, a.id AS id_a, b.id AS id_b, count(*) AS inter
-  FROM retained a JOIN retained b
-    ON a.shingle = b.shingle AND a.source = b.source
-  WHERE a.id < b.id
-  GROUP BY 1, 2, 3
-)
+SQL_DEDUP_NGRAM = f"""
+{_SQL_NGRAM_PRELUDE}
 SELECT id_a, id_b, inter,
        round(CAST(inter AS DOUBLE) / (sa.n_ret + sb.n_ret - inter), 6) AS jaccard
 FROM pairs p

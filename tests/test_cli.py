@@ -339,10 +339,12 @@ def test_cli_analyze_report(spark, capsys):
     assert sum(report["langs"].values()) == n
     assert sum(b["n_docs"] for b in report["length_buckets"]) == n
     assert len(report["vocab_top10"]) == 10
+    from document_vector_indexer_spark.operators.mining import BUCKET_EDGES
+
     # utilization can exceed 1.0 only in the open-ended top bucket
     # (tokens > top edge still land there by design)
     assert all(
         b["util_ppm"] <= 10**6
         for b in report["length_buckets"]
-        if b["bucket_len"] < 8192
+        if b["bucket_len"] < BUCKET_EDGES[-1]
     )
