@@ -856,3 +856,119 @@ def test_kanonymity_matches_pure_python_and_is_mixed(spark):
     total_risky = sum(v[3] for v in got.values())
     total = sum(v[0] for v in got.values())
     assert 0 < total_risky < total
+
+
+# --- seeded randomized cross-checks -----------------------------------
+# (fixed seeds: deterministic CI, but inputs no hand-written test would
+# think of — shapes the pure-data tests above can miss)
+
+
+def test_pagerank_random_graphs_match_python(spark):
+    import random
+
+    from document_vector_indexer_spark.operators.mining import pagerank
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        nodes = list(range(rng.randint(4, 12)))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes), rng.randint(1, 9))
+            for _ in range(rng.randint(3, 20))
+        ]
+        # collapse duplicate (src, dst) into summed weights (the
+        # operator contract: one weighted edge per pair)
+        agg = Counter()
+        for s_, d_, w_ in edges:
+            agg[(s_, d_)] += w_
+        edges = [(s_, d_, w_) for (s_, d_), w_ in agg.items()]
+        e_df = spark.createDataFrame(edges, ["src", "dst", "w"])
+        n_df = spark.createDataFrame([(n,) for n in nodes], ["node"])
+        got = {
+            r.node: r.rank_units
+            for r in pagerank(
+                e_df, n_df, iterations=3, checkpoint=False
+            ).collect()
+        }
+        assert got == _py_pagerank(edges, nodes, 3, 10**12), f"seed {seed}"
+
+
+def test_basket_pairs_random_baskets_match_bruteforce(spark):
+    import random
+    from itertools import combinations
+
+    rng = random.Random(41)
+    rows = [
+        (bk, rng.choice("abcdefg"))
+        for bk in range(30)
+        for _ in range(rng.randint(1, 6))
+    ]
+    df = spark.createDataFrame(rows, ["bk", "it"])
+    baskets = {}
+    for bk, it in rows:
+        baskets.setdefault(bk, set()).add(it)
+    support = Counter()
+    item_cnt = Counter()
+    for items in baskets.values():
+        for it in items:
+            item_cnt[it] += 1
+        for a, b in combinations(sorted(items), 2):
+            support[(a, b)] += 1
+    n = len(baskets)
+    expect = {
+        (a, b): (
+            s,
+            10**6 * s // item_cnt[a],
+            10**6 * s // item_cnt[b],
+            10**6 * n * s // (item_cnt[a] * item_cnt[b]),
+        )
+        for (a, b), s in support.items()
+    }
+    from document_vector_indexer_spark.operators.mining import basket_pairs
+
+    got = {
+        (r.item_a, r.item_b): (r.support, r.conf_ab_ppm, r.conf_ba_ppm, r.lift_ppm)
+        for r in basket_pairs(df, "bk", "it", top=1000).collect()
+    }
+    assert got == expect
+
+
+def test_ks_drift_random_samples_match_python(spark):
+    import bisect
+    import random
+
+    from document_vector_indexer_spark.operators.mining import ks_drift
+
+    rng = random.Random(17)
+    rows = []
+    eid = 0
+    import datetime
+    t0 = datetime.datetime(2024, 1, 1)
+    for ty, lo, hi in (("view", 1, 50), ("click", 5, 60), ("error", 1, 12)):
+        for _ in range(rng.randint(20, 60)):
+            rows.append(
+                (eid, t0 + datetime.timedelta(seconds=eid), 1, ty,
+                 rng.randint(lo, hi) / 100 * 100)  # integral cents
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    base = sorted(round(v * 100) for _, _, _, ty, v in rows if ty == "view")
+    expect = {}
+    for ty in ("click", "error"):
+        xs = sorted(round(v * 100) for _, _, _, t, v in rows if t == ty)
+        vals = sorted(set(xs) | set(base))
+        nt, nb = len(xs), len(base)
+        best = (-1, None)
+        for v in vals:
+            num = abs(
+                bisect.bisect_right(xs, v) * nb - bisect.bisect_right(base, v) * nt
+            )
+            if num > best[0]:
+                best = (num, v)
+        expect[ty] = (nt, nb, best[0] * 10**6 // (nt * nb), best[1])
+    got = {
+        r.event_type: (r.n_t, r.n_b, r.ks_ppm, r.at_cents)
+        for r in ks_drift(ev, baseline_type="view").collect()
+    }
+    assert got == expect
