@@ -90,15 +90,28 @@ CDC_BASE = 257
 CDC_MOD = 1_000_000_007
 
 
+def _cdc_word_code(w: Column) -> Column:
+    """Full char-fold word hash (a*131 + codepoint) % M31 — the
+    dedup._word_hash code. The earlier len*17+first-codepoint code was
+    too weak here: a vocabulary sharing one first letter (caught by a
+    planted adversarial test) yields so few distinct codes that the
+    boundary condition can NEVER fire and CDC degrades to whole-doc
+    chunks. Boundary diversity is load-bearing for a chunker in a way
+    it is not for the fingerprint that code came from."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(w)),
+        F.lit(0).cast("long"),
+        lambda a, i: (a * 131 + F.ascii(F.substring(w, i, F.lit(1))))
+        % F.lit(CDC_MOD).cast("long"),
+    )
+
+
 def _cdc_window_hash(words: Column, i: Column) -> Column:
     """Integer hash of the ≤CDC_WINDOW words ending at 1-based ``i`` —
-    fold (acc*B + code) % M with code = len*17 + codepoint(first char)
-    (the fingerprint/vocab code), bit-identical in any engine."""
+    fold (acc*B + char_fold(word)) % M, bit-identical in any engine."""
     lo = F.greatest(F.lit(1), i - F.lit(CDC_WINDOW - 1))
     sub = F.slice(words, lo, i - lo + 1)
-    mapped = F.transform(
-        sub, lambda w: (F.length(w) * 17 + F.ascii(w)).cast("long")
-    )
+    mapped = F.transform(sub, _cdc_word_code)
     return F.aggregate(
         mapped,
         F.lit(0).cast("long"),

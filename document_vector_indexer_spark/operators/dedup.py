@@ -868,3 +868,80 @@ def golden_records(
         )
         .orderBy("component")
     )
+
+
+def cdc_chunk_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_df: int = 20,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Document-pair overlap at CDC-CHUNK granularity — the
+    application content-defined chunking exists for: because CDC
+    boundaries survive edits (chunking.chunk_cdc), two documents that
+    share a long passage share the chunks INSIDE it verbatim even
+    when surrounding text was inserted or deleted, so chunk-hash
+    equality finds passage reuse that fixed-window hashing misses.
+
+    Semantics: per doc, the DISTINCT md5s of its CDC chunks of
+    ``min_words``+ words; candidate pairs come from the df-capped
+    inverted index (the ngram_jaccard_pairs scale decision: a chunk
+    shared by b docs yields O(b²) pairs, and a chunk in >max_df docs
+    is boilerplate, not provenance); ``shared`` counts co-occurring
+    retained hashes; overlap_ppm = shared·1e6 DIV min(n_a, n_b)
+    (containment-style: a short doc fully inside a long one scores
+    1e6). Denominators count ALL eligible distinct hashes, so the
+    score is conservative for docs heavy in dropped boilerplate.
+
+    Returns pairs with shared >= ``min_shared`` (default 1: one
+    shared 5+-word verbatim chunk is already a strong provenance
+    signal; raise for noisy corpora), id_a < id_b.
+    """
+    from document_vector_indexer_spark.operators.chunking import chunk_cdc
+
+    chunks = chunk_cdc(df, text_col=text_col, id_col=id_col).filter(
+        F.col("n_words") >= min_words
+    )
+    el = (
+        chunks.select(
+            F.col(id_col).alias("id"), F.md5("chunk_text").alias("h")
+        )
+        .distinct()
+    )
+    sizes = el.groupBy("id").agg(F.count("*").cast("long").alias("n"))
+    buckets = (
+        el.groupBy("h")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") <= max_df)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.expr("shared * 1000000 DIV least(n_a, n_b)").alias("overlap_ppm"),
+        )
+    )

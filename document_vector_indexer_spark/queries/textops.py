@@ -671,7 +671,10 @@ def chunk_cdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_cdc(docs).orderBy("doc_id", "chunk_pos")
 
 
-SQL_CHUNK_CDC = f"""
+# Shareable CDC chunk-table SQL (no presentation ORDER BY): the
+# q_dedup_cdc oracle embeds this as a CTE (the _SQL_NGRAM_PRELUDE
+# sharing precedent — one definition of "a CDC chunk").
+_SQL_CDC_CHUNKS = f"""
 WITH w AS (
   SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS words FROM documents
 ),
@@ -682,7 +685,10 @@ c AS (
              list_filter(generate_series(1, len(words) - 1),
                i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
                       list_transform(words[greatest(1, i - 3):i],
-                        x -> CAST(length(x) * 17 + ascii(x) AS BIGINT))),
+                        x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                               list_transform(generate_series(1, length(x)),
+                                 j -> CAST(ascii(substr(x, j, 1)) AS BIGINT))),
+                               (a, c) -> (a * 131 + c) % 1000000007))),
                       (a, x) -> (a * 257 + x) % 1000000007) % 64 = 63)
            ELSE CAST([] AS BIGINT[]) END),
            [CAST(len(words) AS BIGINT)]) AS cuts
@@ -693,7 +699,47 @@ SELECT doc_id, CAST(k - 1 AS INTEGER) AS chunk_pos,
        array_to_string(words[cuts[k] + 1:cuts[k + 1]], ' ') AS chunk_text
 FROM c CROSS JOIN unnest(generate_series(1, len(cuts) - 1)) AS t(k)
 WHERE cuts[k + 1] - cuts[k] > 0
-ORDER BY doc_id, chunk_pos
+"""
+
+SQL_CHUNK_CDC = f"{_SQL_CDC_CHUNKS}\nORDER BY doc_id, chunk_pos"
+
+
+def dedup_cdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-reuse pairs at CDC-chunk granularity
+    (operators/dedup.cdc_chunk_pairs) — the application the CDC
+    chunker exists for: shared chunks survive edits, so chunk-hash
+    equality finds reused passages fixed windows miss. Top-20 by
+    containment-style overlap."""
+    from document_vector_indexer_spark.operators.dedup import cdc_chunk_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = cdc_chunk_pairs(docs)
+    return (
+        pairs.orderBy(F.col("overlap_ppm").desc(), "id_a", "id_b").limit(20)
+    )
+
+
+SQL_DEDUP_CDC = f"""
+WITH chunks AS ({_SQL_CDC_CHUNKS}),
+el AS (
+  SELECT doc_id AS id, md5(chunk_text) AS h
+  FROM chunks WHERE n_words >= 5 GROUP BY 1, 2
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM el GROUP BY 1),
+b AS (SELECT h, count(*) AS df FROM el GROUP BY 1),
+ret AS (SELECT el.id, el.h FROM el JOIN b USING (h) WHERE df <= 20),
+p AS (
+  SELECT a.id AS id_a, c.id AS id_b, CAST(count(*) AS BIGINT) AS shared
+  FROM ret a JOIN ret c ON a.h = c.h AND a.id < c.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared, sa.n AS n_a, sb.n AS n_b,
+       CAST(shared * 1000000 // least(sa.n, sb.n) AS BIGINT) AS overlap_ppm
+FROM p JOIN sizes sa ON sa.id = p.id_a
+       JOIN sizes sb ON sb.id = p.id_b
+WHERE shared >= 1
+ORDER BY overlap_ppm DESC, id_a, id_b
+LIMIT 20
 """
 
 
@@ -720,6 +766,11 @@ QUERIES: dict[str, QuerySpec] = {
         chunk_cdc_q,
         SQL_CHUNK_CDC,
         "content-defined (rolling-hash) chunker — shift-robust boundaries",
+    ),
+    "q_dedup_cdc": QuerySpec(
+        dedup_cdc_q,
+        SQL_DEDUP_CDC,
+        "passage-reuse pairs via shared CDC-chunk hashes, df-capped",
     ),
     "q_clean_text": QuerySpec(
         clean_text_check, SQL_CLEAN_TEXT, "clean_text (R3) md5-verified per doc"

@@ -368,11 +368,17 @@ def _py_cdc_cuts(words):
         CDC_WINDOW,
     )
 
+    def code(w):
+        a = 0
+        for ch in w:
+            a = (a * 131 + ord(ch)) % CDC_MOD
+        return a
+
     cuts = [0]
     for i in range(1, len(words)):
         acc = 0
         for w in words[max(0, i - CDC_WINDOW):i]:
-            acc = (acc * CDC_BASE + len(w) * 17 + ord(w[0])) % CDC_MOD
+            acc = (acc * CDC_BASE + code(w)) % CDC_MOD
         if acc % CDC_DIVISOR == CDC_DIVISOR - 1:
             cuts.append(i)
     cuts.append(len(words))
@@ -972,3 +978,41 @@ def test_ks_drift_random_samples_match_python(spark):
         for r in ks_drift(ev, baseline_type="view").collect()
     }
     assert got == expect
+
+
+# --- cdc_chunk_pairs --------------------------------------------------
+
+
+def test_cdc_chunk_pairs_find_edited_copies(spark):
+    """THE CDC-dedup case: doc B = doc A with a sentence inserted
+    mid-document. Shared CDC chunks survive on both sides of the
+    edit, so the pair surfaces with high overlap — while the edit
+    shifts every fixed window after the insertion point."""
+    import random
+
+    from document_vector_indexer_spark.operators.dedup import cdc_chunk_pairs
+
+    rng = random.Random(5)
+    words = [f"tok{rng.randint(0, 400)}" for _ in range(600)]
+    a = " ".join(words)
+    b = " ".join(words[:300] + ["freshly", "inserted", "editorial", "note"]
+                 + words[300:])
+    noise = " ".join(f"z{rng.randint(0, 400)}" for _ in range(600))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, noise)], ["doc_id", "text"]
+    )
+    pairs = {(r.id_a, r.id_b): r for r in cdc_chunk_pairs(df).collect()}
+    assert (1, 2) in pairs, pairs
+    r = pairs[(1, 2)]
+    assert r.overlap_ppm >= 600_000, r  # most chunks survive the edit
+    assert not any(3 in p for p in pairs), "noise doc matched"
+
+
+def test_dedup_cdc_nonvacuous_on_corpus(spark):
+    from document_vector_indexer_spark.queries.textops import dedup_cdc_q
+
+    rows = dedup_cdc_q(spark, SF).collect()
+    assert len(rows) >= 5
+    assert rows[0].overlap_ppm > 100_000
+    for r in rows:
+        assert 0 < r.shared <= min(r.n_a, r.n_b)
