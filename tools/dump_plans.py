@@ -137,6 +137,9 @@ EXTRA = {
     "one component-keyed max-of-struct argmax agg, no window",
     "q_kanonymity": "one quasi-identifier-keyed partial+final agg (hot "
     "combos absorb map-side), then a tiny per-nation rollup; exact integers",
+    "q_dedup_cdc": "CDC chunk table behind its barrier; (chunk-md5, doc) "
+    "inverted index with the ngram df-cap; row-local pair combinatorics; "
+    "shuffle-pinned size joins; exact-ppm containment overlap",
 }
 
 
