@@ -892,8 +892,16 @@ def cdc_chunk_pairs(
     is boilerplate, not provenance); ``shared`` counts co-occurring
     retained hashes; overlap_ppm = shared·1e6 DIV min(n_a, n_b)
     (containment-style: a short doc fully inside a long one scores
-    1e6). Denominators count ALL eligible distinct hashes, so the
-    score is conservative for docs heavy in dropped boilerplate.
+    1e6). Denominators count RETAINED hashes — consistent with the
+    numerator, the ngram_jaccard_pairs convention.
+
+    Plan shape follows ngram exactly: ONE chunk-pipeline execution
+    feeds one (hash → doc-set) aggregation; a single explode emits
+    both per-member singleton markers and the ordered pairs, so sizes
+    and intersections come from one count aggregation whose exchange
+    the two filtered reads share via ReuseExchange (first cut built
+    sizes from a separate branch — the CDC pipeline executed three
+    times, caught in plan review).
 
     Returns pairs with shared >= ``min_shared`` (default 1: one
     shared 5+-word verbatim chunk is already a strong provenance
@@ -904,17 +912,18 @@ def cdc_chunk_pairs(
     chunks = chunk_cdc(df, text_col=text_col, id_col=id_col).filter(
         F.col("n_words") >= min_words
     )
-    el = (
-        chunks.select(
-            F.col(id_col).alias("id"), F.md5("chunk_text").alias("h")
-        )
-        .distinct()
+    el = chunks.select(
+        F.col(id_col).alias("id"), F.md5("chunk_text").alias("h")
     )
-    sizes = el.groupBy("id").agg(F.count("*").cast("long").alias("n"))
+    # collect_set dedups (id, h) repeats as part of the one aggregation
     buckets = (
         el.groupBy("h")
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         .filter(F.size("ids") <= max_df)
+    )
+    marker_arr = F.transform(
+        F.col("ids"),
+        lambda x: F.struct(x.alias("id_a"), F.lit(-1).cast("long").alias("id_b")),
     )
     pair_arr = F.flatten(
         F.transform(
@@ -925,10 +934,19 @@ def cdc_chunk_pairs(
             ),
         )
     )
-    pairs = (
-        buckets.select(F.explode(pair_arr).alias("p"))
+    counted = (
+        buckets.select(
+            F.explode(F.concat(marker_arr, pair_arr)).alias("p")
+        )
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count("*").cast("long").alias("shared"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    sizes = counted.filter(F.col("id_b") == -1).select(
+        F.col("id_a").alias("id"), F.col("cnt").alias("n")
+    )
+    pairs = (
+        counted.filter(F.col("id_b") != -1)
+        .withColumnRenamed("cnt", "shared")
         .filter(F.col("shared") >= min_shared)
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))

@@ -725,9 +725,9 @@ el AS (
   SELECT doc_id AS id, md5(chunk_text) AS h
   FROM chunks WHERE n_words >= 5 GROUP BY 1, 2
 ),
-sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM el GROUP BY 1),
 b AS (SELECT h, count(*) AS df FROM el GROUP BY 1),
 ret AS (SELECT el.id, el.h FROM el JOIN b USING (h) WHERE df <= 20),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM ret GROUP BY 1),
 p AS (
   SELECT a.id AS id_a, c.id AS id_b, CAST(count(*) AS BIGINT) AS shared
   FROM ret a JOIN ret c ON a.h = c.h AND a.id < c.id
