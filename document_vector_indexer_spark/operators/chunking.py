@@ -91,13 +91,17 @@ CDC_MOD = 1_000_000_007
 
 
 def _cdc_word_code(w: Column) -> Column:
-    """Full char-fold word hash (a*131 + codepoint) % M31 — the
-    dedup._word_hash code. The earlier len*17+first-codepoint code was
-    too weak here: a vocabulary sharing one first letter (caught by a
-    planted adversarial test) yields so few distinct codes that the
-    boundary condition can NEVER fire and CDC degrades to whole-doc
-    chunks. Boundary diversity is load-bearing for a chunker in a way
-    it is not for the fingerprint that code came from."""
+    """Full char-fold word hash (a*131 + codepoint) % CDC_MOD — the
+    dedup._word_hash fold SHAPE, but with THIS module's modulus
+    (1e9+7, not dedup's M31): the three lockstep implementations
+    (this, textops._SQL_CDC_CHUNKS, tests' _py_cdc_cuts) share
+    CDC_MOD, so do not consolidate with _word_hash. The earlier
+    len*17+first-codepoint code was too weak here: a vocabulary
+    sharing one first letter (caught by a planted adversarial test)
+    yields so few distinct codes that the boundary condition can
+    NEVER fire and CDC degrades to whole-doc chunks. Boundary
+    diversity is load-bearing for a chunker in a way it is not for
+    the fingerprint that code came from."""
     return F.aggregate(
         F.sequence(F.lit(1), F.length(w)),
         F.lit(0).cast("long"),
@@ -106,14 +110,17 @@ def _cdc_word_code(w: Column) -> Column:
     )
 
 
-def _cdc_window_hash(words: Column, i: Column) -> Column:
-    """Integer hash of the ≤CDC_WINDOW words ending at 1-based ``i`` —
-    fold (acc*B + char_fold(word)) % M, bit-identical in any engine."""
+def _cdc_window_hash(codes: Column, i: Column) -> Column:
+    """Integer hash of the ≤CDC_WINDOW word CODES ending at 1-based
+    ``i`` — fold (acc*B + code) % M, bit-identical in any engine.
+    Operates on a PRECOMPUTED per-word code array: folding chars here
+    would recompute each word's O(len) hash once per window position
+    (caught in review — ~CDC_WINDOW× redundant character hashing on
+    the chunking hot path)."""
     lo = F.greatest(F.lit(1), i - F.lit(CDC_WINDOW - 1))
-    sub = F.slice(words, lo, i - lo + 1)
-    mapped = F.transform(sub, _cdc_word_code)
+    sub = F.slice(codes, lo, i - lo + 1)
     return F.aggregate(
-        mapped,
+        sub,
         F.lit(0).cast("long"),
         lambda a, x: (a * CDC_BASE + x) % F.lit(CDC_MOD).cast("long"),
     )
@@ -135,14 +142,15 @@ def chunk_cdc(
     Exchange barrier on the id (the lambda-boundary CSE rule —
     vocab_topk precedent: tokenizing behind the barrier keeps every
     downstream HOF referencing plain attributes), then everything is
-    map-side; cost O(n_words x window) per document.
+    map-side; cost O(n_words × (word_len + window)) per document
+    (codes fold once per word, window hashes fold over ints).
     """
     n = F.size(F.col("words"))
     interior = F.when(
         n > 1,
         F.filter(
             F.sequence(F.lit(1), n - 1),
-            lambda i: _cdc_window_hash(F.col("words"), i)
+            lambda i: _cdc_window_hash(F.col("codes"), i)
             % CDC_DIVISOR
             == CDC_DIVISOR - 1,
         ),
@@ -163,6 +171,14 @@ def chunk_cdc(
     return (
         df.repartition(F.col(id_col))  # CSE barrier (vocab_topk rule)
         .select(F.col(id_col), TX.word_tokens(F.col(text_col)).alias("words"))
+        # per-word codes ONCE (multi-use alias — CollapseProject keeps
+        # the stage; each window position then folds 4 ints, not 4
+        # whole words)
+        .select(
+            id_col,
+            "words",
+            F.transform(F.col("words"), _cdc_word_code).alias("codes"),
+        )
         .select(id_col, "words", cuts.alias("cuts"))
         .select(id_col, F.posexplode(chunks).alias("chunk_pos", "chunk_text"))
         .filter(F.length("chunk_text") > 0)

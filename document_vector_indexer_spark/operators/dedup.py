@@ -905,7 +905,9 @@ def cdc_chunk_pairs(
 
     Returns pairs with shared >= ``min_shared`` (default 1: one
     shared 5+-word verbatim chunk is already a strong provenance
-    signal; raise for noisy corpora), id_a < id_b.
+    signal; raise for noisy corpora), id_a < id_b. Precondition
+    (shared with ngram_jaccard_pairs' marker trick): doc ids are
+    NONNEGATIVE longs — id -1 is the in-band singleton sentinel.
     """
     from document_vector_indexer_spark.operators.chunking import chunk_cdc
 

@@ -678,21 +678,26 @@ _SQL_CDC_CHUNKS = f"""
 WITH w AS (
   SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS words FROM documents
 ),
+w2 AS (
+  SELECT doc_id, words,
+         list_transform(words,
+           x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, length(x)),
+                    j -> CAST(ascii(substr(x, j, 1)) AS BIGINT))),
+                  (a, c) -> (a * 131 + c) % 1000000007)) AS codes
+  FROM w
+),
 c AS (
   SELECT doc_id, words,
          list_concat(list_concat([CAST(0 AS BIGINT)],
            CASE WHEN len(words) > 1 THEN
              list_filter(generate_series(1, len(words) - 1),
                i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                      list_transform(words[greatest(1, i - 3):i],
-                        x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                               list_transform(generate_series(1, length(x)),
-                                 j -> CAST(ascii(substr(x, j, 1)) AS BIGINT))),
-                               (a, c) -> (a * 131 + c) % 1000000007))),
+                      codes[greatest(1, i - 3):i]),
                       (a, x) -> (a * 257 + x) % 1000000007) % 64 = 63)
            ELSE CAST([] AS BIGINT[]) END),
            [CAST(len(words) AS BIGINT)]) AS cuts
-  FROM w
+  FROM w2
 )
 SELECT doc_id, CAST(k - 1 AS INTEGER) AS chunk_pos,
        CAST(cuts[k + 1] - cuts[k] AS BIGINT) AS n_words,
