@@ -419,8 +419,13 @@ def main(argv: list[str] | None = None) -> None:
 
     ix = sub.add_parser("index", help="document dir / parquet -> chunk table")
     ix.add_argument("input")
-    ix.add_argument("--strategy", default="fixed",
-                    choices=["fixed", "sentence", "paragraph"])
+    ix.add_argument(
+        "--strategy", default="fixed",
+        choices=["fixed", "sentence", "paragraph", "cdc"],
+        help="cdc = content-defined (rolling-hash) boundaries: chunk "
+             "sets stay stable under document edits; --chunk-size/"
+             "--overlap do not apply",
+    )
     ix.add_argument("--chunk-size", type=int, default=1200)
     ix.add_argument("--overlap", type=int, default=200)
     ix.add_argument("--batch-size", type=int, default=32)

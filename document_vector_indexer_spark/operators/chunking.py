@@ -62,7 +62,30 @@ def chunk_documents(
     """documents -> chunk table ``(id_cols..., chunk_pos, chunk_text,
     split_strategy)`` with one row per chunk, document order preserved
     in ``chunk_pos`` (0-based).
+
+    ``strategy="cdc"`` routes to the content-defined chunker (4th
+    strategy beyond the reference's three): word rolling-hash
+    boundaries, so chunk-level dedup stays stable under edits.
+    ``chunk_size``/``overlap`` do not apply there (expected chunk
+    length is CDC_DIVISOR words); single id column only.
     """
+    if strategy == "cdc":
+        if len(id_cols) != 1:
+            raise ValueError(
+                "cdc chunking keys on exactly one id column; join extra "
+                f"columns back afterwards (got {id_cols})"
+            )
+        out = (
+            chunk_cdc(df, text_col=text_col, id_col=id_cols[0])
+            .drop("n_words")
+            .withColumn("split_strategy", F.lit("cdc"))
+        )
+        if with_global_id:
+            from document_vector_indexer_spark.operators.ranking import global_id
+
+            out = global_id(out, [*id_cols, "chunk_pos"], "id")
+            out = out.withColumn("id", F.col("id").cast("long"))
+        return out
     arr = chunk_array(F.col(text_col), strategy, chunk_size, overlap)
     out = (
         df.select(*id_cols, F.posexplode(arr).alias("chunk_pos", "chunk_text"))

@@ -348,3 +348,24 @@ def test_cli_analyze_report(spark, capsys):
         for b in report["length_buckets"]
         if b["bucket_len"] < BUCKET_EDGES[-1]
     )
+
+
+def test_cli_index_cdc_strategy(spark, doc_dir, tmp_path, capsys):
+    """--strategy cdc indexes end-to-end and the chunk table is
+    queryable; chunks are word-joined substrings of their documents."""
+    out = str(tmp_path / "chunks_cdc")
+    main(
+        [
+            "index", str(doc_dir), "--strategy", "cdc",
+            "--embedding-dim", "24", "--output", out,
+        ]
+    )
+    assert "Done. Indexed" in capsys.readouterr().out
+    chunks = spark.read.parquet(out)
+    rows = chunks.collect()
+    assert rows and all(r.split_strategy == "cdc" for r in rows)
+    assert {r.filename for r in rows} == {"spark.txt", "duck.txt", "cooking.txt"}
+    main(["query", "--chunks", out, "--text", "sort merge join shuffle",
+          "--k", "2"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("[")]
+    assert len(lines) == 2 and "spark.txt" in lines[0]
