@@ -1016,3 +1016,35 @@ def test_dedup_cdc_nonvacuous_on_corpus(spark):
     assert rows[0].overlap_ppm > 100_000
     for r in rows:
         assert 0 < r.shared <= min(r.n_a, r.n_b)
+
+
+def test_chunk_cdc_randomized_adversarial_shapes(spark):
+    """Seeded random docs in adversarial shapes — unicode words,
+    single-word docs, repeated tokens, huge words — must match the
+    pure-Python recompute exactly and never crash."""
+    import random
+
+    from document_vector_indexer_spark.operators.chunking import chunk_cdc
+
+    rng = random.Random(1234)
+    alphabet = ["alpha", "β", "γδε", "x", "Ω" * 30, "word"]
+    docs = []
+    for d in range(12):
+        n = rng.choice([0, 1, 2, 5, 40, 200])
+        words = [rng.choice(alphabet) + str(rng.randint(0, 9)) for _ in range(n)]
+        docs.append((d, " ".join(words)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    expect = {}
+    for d, text in docs:
+        words = text.split()
+        cuts = _py_cdc_cuts(words)
+        chunks = [
+            " ".join(words[a:b]) for a, b in zip(cuts, cuts[1:]) if b > a
+        ]
+        if chunks:
+            expect[d] = chunks
+    got = {}
+    for r in chunk_cdc(df).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_pos, r.chunk_text))
+    got = {d: [t for _, t in sorted(v)] for d, v in got.items()}
+    assert got == expect
