@@ -544,6 +544,53 @@ FROM g GROUP BY 1 ORDER BY 1
 """
 
 
+def markov_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event TYPES: P(next |
+    current) in exact ppm from per-user consecutive-event transitions
+    (the probability view of the q_pagerank edge build, at the
+    5-type granularity where every cell is meaningful). One user-keyed
+    lag pass + one tiny (cur, nxt) agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("cur", F.lag("event_type").over(w))
+        .filter(F.col("cur").isNotNull())
+        .groupBy("cur", F.col("event_type").alias("nxt"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    out_tot = trans.groupBy("cur").agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        trans.join(F.broadcast(out_tot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            F.expr("n * 1000000 DIV tot").alias("p_ppm"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+SQL_MARKOV = """
+WITH t AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS cur,
+         event_type AS nxt
+  FROM events
+),
+c AS (
+  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE cur IS NOT NULL GROUP BY 1, 2
+),
+o AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.cur, c.nxt, c.n, CAST(c.n * 1000000 // o.tot AS BIGINT) AS p_ppm
+FROM c JOIN o USING (cur)
+ORDER BY cur, nxt
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_basket_rules": QuerySpec(
         basket_rules_q,
@@ -604,5 +651,10 @@ QUERIES: dict[str, QuerySpec] = {
         kanon_q,
         SQL_KANON,
         "k-anonymity risk audit per nation, exact integer profile",
+    ),
+    "q_markov": QuerySpec(
+        markov_q,
+        SQL_MARKOV,
+        "first-order event-type Markov transition matrix, exact ppm",
     ),
 }

@@ -1048,3 +1048,33 @@ def test_chunk_cdc_randomized_adversarial_shapes(spark):
         got.setdefault(r.doc_id, []).append((r.chunk_pos, r.chunk_text))
     got = {d: [t for _, t in sorted(v)] for d, v in got.items()}
     assert got == expect
+
+
+def test_markov_matches_pure_python_and_rows_sum_to_one(spark):
+    from document_vector_indexer_spark.queries.miningops import markov_q
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    per_user = {}
+    for r in ev.select("user_id", "ts", "event_id", "event_type").collect():
+        per_user.setdefault(r.user_id, []).append(r)
+    cnt = Counter()
+    for rows in per_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b in zip(rows, rows[1:]):
+            cnt[(a.event_type, b.event_type)] += 1
+    tot = Counter()
+    for (c, _), n in cnt.items():
+        tot[c] += n
+    expect = {
+        (c, x): (n, n * 10**6 // tot[c]) for (c, x), n in cnt.items()
+    }
+    got = {
+        (r.cur, r.nxt): (r.n, r.p_ppm) for r in markov_q(spark, SF).collect()
+    }
+    assert got == expect
+    # each row of the matrix sums to ~1 (floor loses < |row| ppm)
+    by_cur = Counter()
+    for (c, _), (_, p) in got.items():
+        by_cur[c] += p
+    for c, s in by_cur.items():
+        assert 10**6 - 5 <= s <= 10**6, (c, s)
