@@ -138,8 +138,11 @@ EXTRA = {
     "q_kanonymity": "one quasi-identifier-keyed partial+final agg (hot "
     "combos absorb map-side), then a tiny per-nation rollup; exact integers",
     "q_dedup_cdc": "CDC chunk table behind its barrier; (chunk-md5, doc) "
-    "inverted index with the ngram df-cap; row-local pair combinatorics; "
-    "shuffle-pinned size joins; exact-ppm containment overlap",
+    "inverted index with the ngram df-cap; single-emission markers+pairs "
+    "share one count shuffle (ReuseExchange in the AQE-final plan); "
+    "exact-ppm containment overlap",
+    "q_markov": "one user-keyed lag exchange; tiny (cur,nxt) agg; broadcast "
+    "row-total join; exact-ppm probabilities",
 }
 
 
