@@ -524,9 +524,13 @@ def gini_concentration(events: DataFrame) -> DataFrame:
             "n_users",
             "total_cents",
             # Σ(2·(grank-minr+1) − n − 1)·x  ==  2Σgrank·x − (2minr−2+n+1)Σx
+            # greatest(1,...) guard (round-4 ADVICE): a type whose
+            # per-user spends sum to 0 (all-zero 'view' values) would
+            # otherwise be NULL here but a hard error in the DuckDB
+            # oracle — the ewma dev_ppm precedent, applied both sides.
             F.expr(
                 "(_s2rx - (2 * _minr - 2 + n_users + 1) * total_cents)"
-                " * 1000000 DIV (n_users * total_cents)"
+                " * 1000000 DIV greatest(1L, n_users * total_cents)"
             ).alias("gini_ppm"),
         )
         .orderBy("event_type")
@@ -598,7 +602,19 @@ def ks_drift(events: DataFrame, baseline_type: str = "view") -> DataFrame:
             F.col("t").alias("event_type"),
             "n_t",
             "n_b",
-            F.expr("num * 1000000 DIV (n_t * n_b)").alias("ks_ppm"),
+            # greatest(1,...) guard (round-4 ADVICE): an absent
+            # baseline partition (n_b = 0) must degrade to ks_ppm = 0
+            # on BOTH engines, not NULL here vs an error in DuckDB.
+            # The documented bound 1e6*n_t*n_b < 2^63 is ENFORCED in
+            # the value path (not prunable): Spark long math wraps
+            # silently outside ANSI mode, DuckDB would error loudly —
+            # raise_error makes both engines fail the same way.
+            F.expr(
+                "CASE WHEN n_t <= 9223372036854775807 DIV 1000000"
+                "                 DIV greatest(1L, n_b)"
+                " THEN num * 1000000 DIV greatest(1L, n_t * n_b)"
+                " ELSE raise_error('ks_drift: 1e6*n_t*n_b >= 2^63') END"
+            ).alias("ks_ppm"),
             F.col("c").alias("at_cents"),
         )
         .orderBy("event_type")

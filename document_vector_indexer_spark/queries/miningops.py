@@ -404,7 +404,7 @@ r AS (
 )
 SELECT event_type, count(*) AS n_users, CAST(sum(x) AS BIGINT) AS total_cents,
        CAST((sum((2 * i) * x) - (count(*) + 1) * sum(x)) * 1000000
-            // (count(*) * sum(x)) AS BIGINT) AS gini_ppm
+            // greatest(1, count(*) * sum(x)) AS BIGINT) AS gini_ppm
 FROM r GROUP BY 1 ORDER BY 1
 """
 
@@ -449,7 +449,8 @@ cum AS (
   FROM j
 )
 SELECT t AS event_type, n_t, n_b,
-       CAST(abs(cum_t * n_b - cum_b * n_t) * 1000000 // (n_t * n_b) AS BIGINT)
+       CAST(abs(cum_t * n_b - cum_b * n_t) * 1000000
+            // greatest(1, n_t * n_b) AS BIGINT)
          AS ks_ppm,
        c AS at_cents
 FROM cum

@@ -1078,3 +1078,39 @@ def test_markov_matches_pure_python_and_rows_sum_to_one(spark):
         by_cur[c] += p
     for c, s in by_cur.items():
         assert 10**6 - 5 <= s <= 10**6, (c, s)
+
+
+def test_gini_ks_degenerate_inputs_yield_zero_not_null(spark):
+    """Zero-guard behavior (round-4 ADVICE): an event type whose spend
+    sums to 0 gets gini_ppm = 0 (not NULL); a missing baseline type
+    gives ks_ppm = 0 with n_b = 0 (not NULL) — both engines now
+    degrade identically instead of NULL-here/error-there."""
+    import datetime as dt
+
+    from document_vector_indexer_spark.operators.mining import (
+        gini_concentration,
+        ks_drift,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), i % 3, ty, v, "{}")
+        for i, (ty, v) in enumerate(
+            [("free", 0.0)] * 6 + [("paid", 1.25), ("paid", 2.50), ("paid", 0.75)]
+        )
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    g = {r.event_type: r for r in gini_concentration(ev).collect()}
+    assert g["free"].total_cents == 0
+    assert g["free"].gini_ppm == 0  # guarded, not NULL
+    assert g["paid"].gini_ppm is not None
+
+    # no 'view' rows at all -> every type compares against an empty
+    # baseline: n_b = 0 and ks_ppm = 0 on the Spark side
+    k = {r.event_type: r for r in ks_drift(ev, baseline_type="view").collect()}
+    assert set(k) == {"free", "paid"}
+    assert all(r.n_b == 0 and r.ks_ppm == 0 for r in k.values())
