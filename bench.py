@@ -60,13 +60,14 @@ HEADLINE = [
 ]
 
 
-def _ingest_subprocess(sf_dir: str, dest: str) -> float:
-    """Run the one-time layout ingest in its own JVM and return its
-    internally-measured seconds. A separate process keeps the measuring
-    session's JVM pristine — the ingest's ten write jobs otherwise
-    leave driver-side state (shuffle/broadcast refs pending the context
-    cleaner) that showed up as multi-second GC noise in later queries.
-    """
+def _ingest_subprocess(pairs: "list[tuple[str, str]]") -> "list[float]":
+    """Run the one-time layout ingests in their own JVM and return the
+    internally-measured seconds per (sf_dir, dest) pair. A separate
+    process keeps the measuring session's JVM pristine — the ingest's
+    write jobs otherwise leave driver-side state (shuffle/broadcast
+    refs pending the context cleaner) that showed up as multi-second GC
+    noise in later queries. One subprocess for ALL pairs: JVM startup
+    (~12 s) amortizes across the scale-ramp ingests."""
     import subprocess
 
     code = (
@@ -75,17 +76,22 @@ def _ingest_subprocess(sf_dir: str, dest: str) -> float:
         "from document_vector_indexer_spark.session import get_spark\n"
         "spark = get_spark(app_name='dvi-bench-ingest', shuffle_partitions=8)\n"
         "spark.sparkContext.setLogLevel('ERROR')\n"
-        "t0 = time.perf_counter()\n"
-        "ingest_engine_layout(spark, %r, %r)\n"
-        "print('INGEST_SEC', round(time.perf_counter() - t0, 3))\n"
-    ) % (REPO_ROOT, sf_dir, dest)
+        "for src, dest in %r:\n"
+        "    t0 = time.perf_counter()\n"
+        "    ingest_engine_layout(spark, src, dest)\n"
+        "    print('INGEST_SEC', round(time.perf_counter() - t0, 3))\n"
+    ) % (REPO_ROOT, pairs)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     )
-    for line in out.stdout.splitlines():
-        if line.startswith("INGEST_SEC"):
-            return float(line.split()[1])
-    raise RuntimeError(f"ingest subprocess printed no timing: {out.stdout[-500:]}")
+    secs = [
+        float(line.split()[1])
+        for line in out.stdout.splitlines()
+        if line.startswith("INGEST_SEC")
+    ]
+    if len(secs) != len(pairs):
+        raise RuntimeError(f"ingest subprocess timings: {out.stdout[-500:]}")
+    return secs
 
 
 def main() -> None:
@@ -95,8 +101,24 @@ def main() -> None:
     from document_vector_indexer_spark.queries.registry import all_queries
     from document_vector_indexer_spark.session import get_spark
 
+    # Scale ramp (round-4 VERDICT item 2): the same headline queries at
+    # sf0.001 and sf0.01 in the same session, so the per-query
+    # scheduler floor (t at sf0.001, where data cost is negligible) and
+    # data cost (t at sf0.1 minus floor) are MEASURED, not argued.
+    ramp_dirs = [
+        d
+        for d in (
+            os.path.join(os.path.dirname(sf_dir.rstrip("/")), f"sf{s}")
+            for s in ("0.001", "0.01")
+        )
+        if os.path.isdir(d) and d != sf_dir.rstrip("/")
+    ]
     ingest_dir = tempfile.mkdtemp(prefix="dvi_bench_ingest_")
-    ingest_sec = _ingest_subprocess(sf_dir, ingest_dir)
+    ramp_ingest = {d: tempfile.mkdtemp(prefix="dvi_bench_ramp_") for d in ramp_dirs}
+    secs = _ingest_subprocess(
+        [(sf_dir, ingest_dir)] + [(d, ramp_ingest[d]) for d in ramp_dirs]
+    )
+    ingest_sec = secs[0]
 
     # Bench-scale tuning (measured, see BASELINE.md): 8 shuffle
     # partitions suit megabyte shuffles (32 is pure task overhead at
@@ -144,8 +166,29 @@ def main() -> None:
             # drain driver-side refs (shuffles/broadcasts) between
             # queries so the context cleaner runs now, not mid-query
             spark.sparkContext._jvm.System.gc()
+
+        # scale ramp: min-of-2 warm runs per query per smaller sf (the
+        # session and codegen are already warm from the headline loop;
+        # the plans differ only by input paths)
+        ramp: dict[str, dict[str, float]] = {}
+        for d in ramp_dirs:
+            label = os.path.basename(d.rstrip("/"))
+            ramp[label] = {}
+            for name in HEADLINE:
+                fn = specs[name].fn
+                runs = []
+                for _ in range(2):
+                    t1 = time.perf_counter()
+                    fn(spark, ramp_ingest[d]).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(time.perf_counter() - t1)
+                ramp[label][name] = round(min(runs), 3)
+            spark.sparkContext._jvm.System.gc()
     finally:
         shutil.rmtree(ingest_dir, ignore_errors=True)
+        for d in ramp_ingest.values():
+            shutil.rmtree(d, ignore_errors=True)
 
     print(
         json.dumps(
@@ -163,6 +206,28 @@ def main() -> None:
                     sum(timings.values()) + ingest_sec, 3
                 ),
                 "repeat_spread_sec": spreads,
+                # per-query timings at the smaller scale factors plus
+                # the derived decomposition: floor_sec = t(sf0.001)
+                # (data cost negligible there), data_cost_sec =
+                # t(headline sf) - floor. Negative data costs are
+                # clamped to 0 (timing noise at the floor).
+                "scale_ramp": {
+                    **ramp,
+                    "floor_sec": {
+                        q: ramp.get("sf0.001", {}).get(q) for q in HEADLINE
+                    },
+                    "data_cost_sec": {
+                        q: round(
+                            max(
+                                0.0,
+                                timings[q]
+                                - (ramp.get("sf0.001", {}).get(q) or 0.0),
+                            ),
+                            3,
+                        )
+                        for q in HEADLINE
+                    },
+                },
                 "layout": "multi-file engine ingest (io.ingest_engine_layout)",
             }
         )
