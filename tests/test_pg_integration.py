@@ -25,23 +25,36 @@ from document_vector_indexer_spark.sources.pgvector import (
 )
 
 
-def _have_pg() -> bool:
-    if not (shutil.which("psql") and shutil.which("pg_ctl") or shutil.which("initdb")):
-        return False
-    probe = subprocess.run(
-        ["runuser", "-u", "postgres", "--", "true"], capture_output=True
-    )
-    return probe.returncode == 0
+def _server_user() -> str | None:
+    """PostgreSQL refuses to run as root; pick the first system user we
+    can actually exec as (root-compatible fallback, round-4 VERDICT
+    item 3: this container has no 'postgres' user, but 'nobody' works
+    for a scratch trust-auth socket-only cluster)."""
+    for user in ("postgres", "nobody", "daemon"):
+        probe = subprocess.run(
+            ["runuser", "-u", user, "--", "true"], capture_output=True, cwd="/tmp"
+        )
+        if probe.returncode == 0:
+            return user
+    return None
 
+
+_PG_USER = _server_user() if (
+    shutil.which("psql") and (shutil.which("pg_ctl") or shutil.which("initdb"))
+) else None
 
 pytestmark = pytest.mark.skipif(
-    not _have_pg(), reason="no PostgreSQL server binaries / postgres user"
+    _PG_USER is None,
+    reason="no PostgreSQL server binaries / usable non-root user",
 )
 
 
 def _pg_user(args: list[str]) -> subprocess.CompletedProcess:
+    # cwd=/tmp: the scratch user can't read the repo cwd, and runuser
+    # warns (harmlessly) about it otherwise
     out = subprocess.run(
-        ["runuser", "-u", "postgres", "--", *args], capture_output=True, text=True
+        ["runuser", "-u", _PG_USER, "--", *args],
+        capture_output=True, text=True, cwd="/tmp",
     )
     if out.returncode != 0:
         raise RuntimeError(f"{args[0]} failed: {out.stderr[-800:]}")
@@ -51,7 +64,7 @@ def _pg_user(args: list[str]) -> subprocess.CompletedProcess:
 @pytest.fixture(scope="module")
 def pg_dsn():
     root = tempfile.mkdtemp(prefix="dvi_pg_")
-    subprocess.run(["chown", "postgres", root], check=True)
+    subprocess.run(["chown", _PG_USER, root], check=True)
     data = f"{root}/data"
     initdb = shutil.which("initdb") or "/usr/local/bin/initdb"
     pg_ctl = shutil.which("pg_ctl") or "/usr/local/bin/pg_ctl"
