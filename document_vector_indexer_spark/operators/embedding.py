@@ -119,6 +119,53 @@ def fit_word2vec_embedder(
     return pipe.fit(df)
 
 
+# Pinned vocabulary for the portable embedder: literal in the Spark
+# plan AND in the DuckDB oracle (the IVF/PQ pinned-literal trick
+# applied to the embedding tier, R9). 16 corpus-domain words -> dim 16.
+PORTABLE_VOCAB: tuple[str, ...] = (
+    "join", "hash", "row", "batch", "scan", "column", "filter", "merge",
+    "order", "vector", "data", "table", "key", "stream", "window", "query",
+)
+
+
+def embed_portable_tf(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    vocab: Sequence[str] = PORTABLE_VOCAB,
+) -> DataFrame:
+    """Library-free deterministic embedder: component ``i`` is the
+    exact term frequency of pinned ``vocab[i]`` (cast float — the
+    repo's embedding-column convention). Integer counts over literal
+    words reproduce bit-for-bit in any engine, so this is the ORACLED
+    sibling of the model-backed tiers (``embed_local`` MLlib TF-IDF,
+    ``embed_api_map_in_pandas``), sharing their dim/count contract
+    (``validate_dim`` passes vacuously; row count preserved).
+
+    Scale shape: ONE ``aggregate`` fold over the token array per row —
+    the token split is the HOF *input* (evaluated once per row, not
+    per element; the lambda body references only the accumulator, the
+    current word, and literals, so the lambda-boundary CSE trap does
+    not apply). Pure map-side: zero shuffles, zero Python, no fitted
+    state to broadcast."""
+    from document_vector_indexer_spark.functions import text as TX
+
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+    zeros = F.array_repeat(F.lit(0).cast("long"), len(vocab))
+    counts = F.aggregate(
+        TX.word_tokens(F.col(text_col)),
+        zeros,
+        lambda acc, w: F.zip_with(
+            acc,
+            vocab_arr,
+            lambda c, v: c + F.when(w == v, 1).otherwise(0),
+        ),
+    )
+    return df.withColumn(
+        out_col, F.transform(counts, lambda c: c.cast("float"))
+    )
+
+
 def deterministic_fake_embed(texts: Sequence[str], dim: int) -> list[list[float]]:
     """Offline stand-in for the remote embedding API: a seeded hash of
     the text drives a tiny LCG per component. Deterministic, so

@@ -851,6 +851,60 @@ ORDER BY s.component
 """
 
 
+def q_embed_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable deterministic embedder (operators/embedding.
+    embed_portable_tf): dim-16 exact-TF vectors over the pinned
+    PORTABLE_VOCAB, exploded to (doc_id, pos, tf) scalar rows for the
+    oracle hash. The oracled sibling of the model-backed embedding
+    tier (R9, reference index_documents.py:142-194) — same dim/count
+    contract as validate_dim, checked component-exactly here."""
+    from document_vector_indexer_spark.operators.embedding import (
+        embed_portable_tf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = embed_portable_tf(docs, text_col="text")
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("x").cast("long").alias("tf"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+def _sql_embed_portable() -> str:
+    """Oracle generated from the SAME pinned vocabulary literal
+    (single source of truth: operators/embedding.PORTABLE_VOCAB)."""
+    from document_vector_indexer_spark.operators.embedding import PORTABLE_VOCAB
+    from document_vector_indexer_spark.queries.textops import _DUCK_WORDS
+
+    values = ", ".join(
+        f"({i}, '{w}')" for i, w in enumerate(PORTABLE_VOCAB)
+    )
+    words = _DUCK_WORDS.format(col="text")
+    return f"""
+WITH v(pos, word) AS (VALUES {values}),
+w AS (
+  SELECT doc_id, unnest({words}) AS word FROM documents
+),
+c AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+  FROM w GROUP BY 1, 2
+)
+SELECT d.doc_id, CAST(v.pos AS BIGINT) AS pos,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS tf
+FROM documents d CROSS JOIN v
+LEFT JOIN c ON c.doc_id = d.doc_id AND c.word = v.word
+ORDER BY d.doc_id, pos
+"""
+
+
+SQL_EMBED_PORTABLE = _sql_embed_portable()
+
+
 def q_embed_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_vector_indexer_spark.operators.embedding import embed_local
 
@@ -1000,11 +1054,18 @@ QUERIES: dict[str, QuerySpec] = {
         "internal hash coefficients are not SQL-mirrorable; quality held "
         "by the recall-vs-portable-minhash pytest (tests/test_scale_ops.py)",
     ),
+    "q_embed_portable": QuerySpec(
+        q_embed_portable, SQL_EMBED_PORTABLE,
+        "dim-16 exact-TF embeddings over the pinned vocab, "
+        "component-exact vs the oracle — the oracled sibling of the "
+        "model-backed embedding tier",
+    ),
     "q_embed_local": QuerySpec(
         q_embed_local, None,
         "MLlib TF-IDF embeddings — ROWS-ONLY BY DESIGN: model-backed "
         "(hashing TF + fitted IDF weights); dim/nonzero contracts "
-        "checked in-query, full pipeline tested in tests/test_pipeline.py",
+        "checked in-query, full pipeline tested in tests/test_pipeline.py; "
+        "oracled sibling: q_embed_portable (r5)",
     ),
     "q_embed_pipeline": QuerySpec(
         q_embed_pipeline, None,

@@ -104,3 +104,33 @@ def test_simhash_expression_and_df_agree(spark):
     }
     dfed = {r.doc_id: r.simhash for r in simhash_df(docs).collect()}
     assert expr == dfed
+
+
+def test_embed_portable_contract_and_plan(spark):
+    """embed_portable_tf shares the model tier's dim/count contract
+    (embedding.validate_dim) and its components are exact vocab term
+    frequencies (pure-Python cross-check); the plan is pure map-side —
+    zero Exchanges, zero Python workers."""
+    from document_vector_indexer_spark.operators.embedding import (
+        PORTABLE_VOCAB,
+        embed_portable_tf,
+        validate_dim,
+    )
+    from tests.parity_util import formatted_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = embed_portable_tf(docs)
+    # shared dim/count contract (reference index_documents.py:181-185)
+    assert validate_dim(emb, dim=len(PORTABLE_VOCAB)).count() == 0
+    assert emb.count() == docs.count()
+
+    for r in emb.limit(8).collect():
+        toks = r.text.split()
+        expect = [float(toks.count(w)) for w in PORTABLE_VOCAB]
+        assert list(r.embedding) == expect, r.doc_id
+
+    plan = formatted_plan(spark, emb)
+    assert "Exchange" not in plan, "portable embedder must not shuffle"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
