@@ -7,10 +7,12 @@ distributed (path, modificationTime, length, content[binary]), then a
 ever passes through the driver, extraction parallelism == executor
 count, and downstream is the ordinary documents schema.
 
-Extraction kernels (pymupdf / python-docx, the reference's libs) are
-gated behind import-try: absent in this container, so extraction falls
-back to ``errors='replace'`` byte decoding for .txt-like content and
-raises a clear error for real PDF/DOCX until the libs are installed.
+Extraction kernels are tiered: pymupdf / python-docx (the reference's
+libs) when installed, else the pure-stdlib extractors in
+``sources/minidoc.py`` (literal/FlateDecode PDF streams, ECMA-376 DOCX
+containers) — so R1/R2 run for real even in this container. Files
+beyond the fallback tier's documented scope (encrypted PDFs, exotic
+filters) surface as error rows, never silent empty text.
 """
 
 from __future__ import annotations
@@ -52,7 +54,14 @@ def _extract_one(filename: str, content: bytes) -> tuple[str, str | None]:
         try:
             import fitz  # noqa: F401  (pymupdf — reference R1 kernel)
         except ImportError:
-            return "", "pymupdf not installed; PDF extraction stubbed"
+            # pure-stdlib fallback tier (sources/minidoc.py): literal +
+            # FlateDecode streams, standard encoding — real extraction,
+            # raises (-> error row) on files beyond its documented scope
+            from document_vector_indexer_spark.sources.minidoc import (
+                extract_pdf_text,
+            )
+
+            return extract_pdf_text(content), None
         doc = fitz.open(stream=content, filetype="pdf")
         try:
             return "\n".join(
@@ -66,7 +75,11 @@ def _extract_one(filename: str, content: bytes) -> tuple[str, str | None]:
 
             from docx import Document  # reference R2 kernel
         except ImportError:
-            return "", "python-docx not installed; DOCX extraction stubbed"
+            from document_vector_indexer_spark.sources.minidoc import (
+                extract_docx_text,
+            )
+
+            return extract_docx_text(content), None
         d = Document(io.BytesIO(content))
         return "\n".join(p.text for p in d.paragraphs if p.text), None
     if ext == ".txt":

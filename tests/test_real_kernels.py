@@ -56,14 +56,15 @@ def test_docx_extraction_real_kernel(spark, tmp_path):
     assert row.text == "First paragraph of a real docx.\nSecond paragraph."
 
 
-def test_pdf_without_kernel_reports_stub_error(spark, tmp_path):
-    """Inverse guard, always runs: with pymupdf ABSENT a .pdf row must
-    come back ok=False with the stub message — never a silent empty
-    text with ok=True."""
+def test_pdf_without_kernel_reports_error_not_empty_text(spark, tmp_path):
+    """Inverse guard, always runs: with pymupdf ABSENT an unparseable
+    .pdf row must come back ok=False with a clear error from the
+    pure-Python fallback tier — never a silent empty text with
+    ok=True."""
     try:
         import fitz  # noqa: F401
 
-        pytest.skip("pymupdf installed — stub path not reachable")
+        pytest.skip("pymupdf installed — fallback path not reachable")
     except ImportError:
         pass
 
@@ -73,4 +74,142 @@ def test_pdf_without_kernel_reports_stub_error(spark, tmp_path):
     out = read_documents(spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert not out[0].ok
-    assert "pymupdf not installed" in out[0].extract_error
+    assert "pdf:" in out[0].extract_error
+
+
+# --- pure-Python fallback kernels (round-4 VERDICT item 7) -----------
+#
+# These ALWAYS run in this container: the fixtures are valid documents
+# built from the public specs with the standard library (correct xref
+# offsets for the PDF, a real ECMA-376 zip for the DOCX), and the
+# extraction is sources/minidoc.py — a real parse, not a fake.
+
+
+def _build_pdf(text_ops: bytes, compress: bool) -> bytes:
+    """A valid single-page PDF around ``text_ops`` (a content-stream
+    body), with a correct xref table; optionally FlateDecode."""
+    import zlib
+
+    body = text_ops
+    extra = b""
+    if compress:
+        body = zlib.compress(text_ops)
+        extra = b" /Filter /FlateDecode"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(body), extra, body),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, obj in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, obj)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def _build_docx(paragraphs: list[str]) -> bytes:
+    import io
+    import zipfile
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    paras = "".join(
+        f"<w:p><w:r><w:t xml:space=\"preserve\">{p}</w:t></w:r></w:p>"
+        for p in paragraphs
+    )
+    document = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{W}"><w:body>{paras}</w:body></w:document>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/word/document.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'relationships"><Relationship Id="rId1" Type="http://schemas.'
+        "openxmlformats.org/officeDocument/2006/relationships/officeDocument"
+        '" Target="word/document.xml"/></Relationships>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("word/document.xml", document)
+    return buf.getvalue()
+
+
+def test_pdf_extraction_pure_python_kernel(spark, tmp_path):
+    """R1 runs end-to-end in-container: two valid generated PDFs (one
+    plain, one FlateDecode), full distributed path, exact text."""
+    ops = (
+        b"BT /F1 12 Tf 72 720 Td (Spark reads a real) Tj "
+        b"T* (PDF \\(escaped parens\\) and) Tj "
+        b"T* [(ker) -120 (ned TJ arrays)] TJ "
+        b"T* <53706172 6b21> Tj ET"
+    )
+    (tmp_path / "plain.pdf").write_bytes(_build_pdf(ops, compress=False))
+    (tmp_path / "flate.pdf").write_bytes(_build_pdf(ops, compress=True))
+
+    from document_vector_indexer_spark.sources.binary_docs import read_documents
+
+    rows = {r.filename: r for r in read_documents(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"plain.pdf", "flate.pdf"}
+    expect = (
+        "Spark reads a real\nPDF (escaped parens) and\nkerned TJ arrays\nSpark!"
+    )
+    for name, r in rows.items():
+        assert r.ok, f"{name}: {r.extract_error}"
+        assert r.text == expect, (name, r.text)
+
+
+def test_docx_extraction_pure_python_kernel(spark, tmp_path):
+    """R2 runs end-to-end in-container on a generated ECMA-376 zip."""
+    payload = _build_docx(
+        ["First paragraph of a real docx.", "", "Second paragraph."]
+    )
+    (tmp_path / "two_paras.docx").write_bytes(payload)
+
+    from document_vector_indexer_spark.sources.binary_docs import read_documents
+
+    out = read_documents(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.ok, f"extraction failed: {row.extract_error}"
+    # empty paragraphs dropped (reference index_documents.py:51-55)
+    assert row.text == "First paragraph of a real docx.\nSecond paragraph."
+
+
+def test_minidoc_rejects_out_of_scope_files():
+    """Scope limits raise (-> error rows), never return empty text."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import (
+        extract_docx_text,
+        extract_pdf_text,
+    )
+
+    with _pytest.raises(ValueError, match="missing %PDF header"):
+        extract_pdf_text(b"not a pdf at all")
+    with _pytest.raises(ValueError, match="no readable text"):
+        extract_pdf_text(b"%PDF-1.4\nnothing else")
+    with _pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_text(b"%PDF-1.4\n/Encrypt 1 0 R")
+    with _pytest.raises(ValueError, match="not a DOCX container"):
+        extract_docx_text(b"PK\x03\x04 broken zip")
