@@ -81,3 +81,140 @@ def test_corrupt_rows_do_not_fail_job(spark, media_df):
     n_images = media_df.filter(F.col("kind") == "image").count()
     out = MM.image_features(media_df)
     assert out.count() == n_images  # corrupt rows present as null-feature rows
+
+
+# --- golden drop-in contract (round-4 VERDICT item 8) -----------------
+#
+# The fake kernels' outputs over a FIXED literal input are pinned to
+# tests/golden/multimodal_golden.json. A future real decode backend
+# (multimodal.py _require_backend) must keep the mapInPandas signature,
+# output schema, null/corrupt-row rules, and batch-shape independence;
+# only pixel VALUES may change — regenerated deliberately via
+# tools/gen_multimodal_golden.py in its own commit.
+
+GOLDEN_PATH = __file__.rsplit("/", 1)[0] + "/golden/multimodal_golden.json"
+
+
+def golden_input_rows():
+    """Pinned literal media rows: every kind, a null-content image, an
+    empty-content image, mixed dims. Shared with the generator tool."""
+    return [
+        (1, "image", b"alpha-image-bytes" * 4, "image/x-fake", 16, 12, None),
+        (2, "image", b"beta", "image/x-fake", 8, 8, None),
+        (3, "image", None, "image/x-fake", 16, 12, None),
+        (4, "image", b"", "image/x-fake", 16, 12, None),
+        (5, "video", b"video-payload" * 3, "video/x-fake", 16, 12, 3500),
+        (6, "audio", b"audio-payload", "audio/x-fake", None, None, 2200),
+        (7, "video", b"clip", "video/x-fake", 8, 8, 900),
+    ]
+
+
+def run_golden_ops(spark, rows):
+    """The three kernel operators + stats over the pinned input, as
+    plain JSON-able dicts (floats kept exact: double arithmetic is
+    deterministic here and JSON round-trips shortest-repr doubles).
+    Shared with tools/gen_multimodal_golden.py."""
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = [
+        {
+            "media_id": r.media_id,
+            "n_bytes": r.n_bytes,
+            "thumbnail": list(r.thumbnail) if r.thumbnail is not None else None,
+            "mean_intensity": r.mean_intensity,
+        }
+        for r in MM.image_features(df, thumb=(4, 4)).orderBy("media_id").collect()
+    ]
+    resized = [
+        {
+            "media_id": r.media_id,
+            "width": r.width,
+            "height": r.height,
+            "pixels": list(r.pixels) if r.pixels is not None else None,
+        }
+        for r in MM.image_resize(df, target=(2, 2)).orderBy("media_id").collect()
+    ]
+    frames = [
+        {
+            "media_id": r.media_id,
+            "frame_idx": r.frame_idx,
+            "ts_ms": r.ts_ms,
+            "frame_digest": r.frame_digest,
+        }
+        for r in MM.frame_sample(df, every_ms=1000)
+        .orderBy("media_id", "frame_idx")
+        .collect()
+    ]
+    stats = [
+        {k: getattr(r, k) for k in r.__fields__}
+        for r in MM.media_stats(df).orderBy("kind").collect()
+    ]
+    return {
+        "image_features_4x4": feats,
+        "image_resize_2x2": resized,
+        "frame_sample_1000ms": frames,
+        "media_stats": stats,
+    }
+
+
+def test_golden_contract(spark):
+    import json
+
+    with open(GOLDEN_PATH) as f:
+        golden = json.load(f)
+    got = run_golden_ops(spark, golden_input_rows())
+    # exact match, floats included: the fake kernels are deterministic
+    # double arithmetic and the golden stores round-tripping reprs
+    assert got == golden
+
+
+def test_golden_batch_shape_independence(spark):
+    """The kernel contract must not depend on Arrow batch boundaries:
+    forcing 2-row batches (vs one batch for all 7 rows) yields
+    identical output."""
+    import json
+
+    with open(GOLDEN_PATH) as f:
+        golden = json.load(f)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        got = run_golden_ops(spark, golden_input_rows())
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == golden
+
+
+def test_golden_output_schemas_pinned(spark):
+    """Field names, types, and order of every kernel's output schema —
+    the part of the contract a real backend must not move."""
+    df = spark.createDataFrame(golden_input_rows(), MM.MEDIA_SCHEMA)
+    assert [
+        (f.name, f.dataType.simpleString())
+        for f in MM.image_features(df).schema.fields
+    ] == [
+        ("media_id", "bigint"),
+        ("n_bytes", "bigint"),
+        ("thumbnail", "array<float>"),
+        ("mean_intensity", "double"),
+    ]
+    assert [
+        (f.name, f.dataType.simpleString())
+        for f in MM.image_resize(df).schema.fields
+    ] == [
+        ("media_id", "bigint"),
+        ("width", "int"),
+        ("height", "int"),
+        ("pixels", "array<float>"),
+    ]
+    assert [
+        (f.name, f.dataType.simpleString())
+        for f in MM.frame_sample(df).schema.fields
+    ] == [
+        ("media_id", "bigint"),
+        ("frame_idx", "int"),
+        ("ts_ms", "bigint"),
+        ("frame_digest", "string"),
+    ]
