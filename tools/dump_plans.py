@@ -143,6 +143,46 @@ EXTRA = {
     "exact-ppm containment overlap",
     "q_markov": "one user-keyed lag exchange; tiny (cur,nxt) agg; broadcast "
     "row-total join; exact-ppm probabilities",
+    "q_embed_portable": "ONE aggregate-HOF fold per row over the token array "
+    "against the pinned vocab literal — pure map-side embedding, zero "
+    "shuffles before the presentation sort (r5)",
+}
+
+
+# Plans not reachable through a registry key: the registered q_pagerank
+# localCheckpoints each round, so its explain shows only the
+# post-barrier scan — the ITERATION body is the plan that matters at
+# scale and is dumped from a checkpoint-free single-iteration build.
+def _pagerank_one_iteration(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from document_vector_indexer_spark.operators.mining import pagerank
+    from document_vector_indexer_spark.queries.miningops import _event_k
+    from document_vector_indexer_spark.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id", "ts", "event_id", _event_k().alias("k")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.withColumn("src", F.lag("k").over(w)).filter(
+        F.col("src").isNotNull()
+    )
+    edges = trans.groupBy("src", F.col("k").alias("dst")).agg(
+        F.count("*").cast("long").alias("w")
+    )
+    nodes = ev.select(F.col("k").alias("node")).distinct()
+    return pagerank(edges, nodes, iterations=1, checkpoint=False)
+
+
+SPECIAL = {
+    "pagerank_single_iteration": (
+        _pagerank_one_iteration,
+        "the per-round body localCheckpoint hides in q_pagerank: rank "
+        "state (O(nodes)) joins edges on src, contribs long-sum on dst, "
+        "teleport base joins back left — edges shuffle once per round, "
+        "state never exceeds the node set",
+    ),
 }
 
 
@@ -163,8 +203,11 @@ def main() -> None:
         "properties so regressions fail before this file goes stale.",
         "",
     ]
-    for name in [*HEADLINE, *EXTRA]:
-        df = specs[name].fn(spark, "/root/testdata/sf0.01")
+    for name in [*HEADLINE, *EXTRA, *SPECIAL]:
+        if name in SPECIAL:
+            df = SPECIAL[name][0](spark)
+        else:
+            df = specs[name].fn(spark, "/root/testdata/sf0.01")
         plan = df._jdf.queryExecution().explainString(mode)
         tree = plan.split("\n\n")[0]
         scan_details = "\n".join(
@@ -172,7 +215,11 @@ def main() -> None:
             for l in plan.splitlines()
             if l.strip().startswith(("PushedFilters", "ReadSchema", "PartitionFilters"))
         )
-        note = NOTES.get(name) or EXTRA.get(name, "")
+        note = (
+            NOTES.get(name)
+            or EXTRA.get(name)
+            or (SPECIAL[name][1] if name in SPECIAL else "")
+        )
         out.append(f"## {name}\n\n*{note}*\n")
         out.append("```\n" + tree.strip() + "\n")
         if scan_details:
@@ -180,7 +227,7 @@ def main() -> None:
         out.append("```\n")
     with open(os.path.join(REPO_ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(HEADLINE) + len(EXTRA)} plans)")
+    print(f"wrote PLANS.md ({len(HEADLINE) + len(EXTRA) + len(SPECIAL)} plans)")
 
 
 if __name__ == "__main__":
