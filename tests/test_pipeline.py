@@ -103,9 +103,11 @@ def test_binary_docs_source(spark, tmp_path):
     by_name = {r.filename: r for r in got}
     assert by_name["a.txt"].ok and "Hello world" in by_name["a.txt"].text
     assert by_name["b.txt"].ok
-    # pymupdf absent in this container -> stubbed with explicit error
+    # unparseable PDF -> explicit error row (pymupdf absent here, so
+    # the pure-Python fallback tier rejects it; with pymupdf installed
+    # the message differs but ok must still be False)
     assert not by_name["c.pdf"].ok
-    assert "pymupdf" in by_name["c.pdf"].extract_error
+    assert by_name["c.pdf"].extract_error
 
 
 def test_pgvector_literal(spark):
