@@ -418,3 +418,50 @@ def test_load_input_bad_diagnostics_single_pass(spark, tmp_path, capsys,
     sample = [l for l in err.splitlines() if l.startswith("  bad_")]
     assert len(sample) == 10  # capped, not all 12
     assert good.count() == 1  # only good.txt survives
+
+
+def test_cli_index_then_query_real_pdf_docx(spark, tmp_path, capsys):
+    """The reference's ACTUAL user journey — index a directory of real
+    PDF/DOCX files, then query — end-to-end in this container via the
+    pure-stdlib extraction kernels (reference index_documents.py whole
+    pipeline: extract -> clean -> chunk -> embed -> sink -> top-k)."""
+    from tests.test_real_kernels import _build_docx, _build_pdf
+
+    d = tmp_path / "mixed_docs"
+    d.mkdir()
+    pdf_ops = (
+        b"BT /F1 12 Tf 72 720 Td (Sort merge join shuffles both sides "
+        b"by the join key before merging sorted runs.) Tj ET"
+    )
+    (d / "joins.pdf").write_bytes(_build_pdf(pdf_ops, compress=True))
+    (d / "cooking.docx").write_bytes(
+        _build_docx(
+            ["Slice the onions finely and caramelize them slowly in butter.",
+             "Deglaze the pan with a splash of white wine."]
+        )
+    )
+    (d / "duck.txt").write_text(
+        "DuckDB is an in-process analytical database with vectorized "
+        "execution over column batches."
+    )
+
+    out = str(tmp_path / "chunks_mixed")
+    main(
+        [
+            "index", str(d),
+            "--strategy", "fixed", "--chunk-size", "200", "--overlap", "40",
+            "--embedding-dim", "64", "--output", out,
+        ]
+    )
+    assert "Done. Indexed" in capsys.readouterr().out
+
+    chunks = spark.read.parquet(out)
+    assert {r.filename for r in chunks.select("filename").distinct().collect()} == {
+        "joins.pdf", "cooking.docx", "duck.txt"
+    }
+
+    main(["query", "--chunks", out, "--text",
+          "how does a sort merge join shuffle", "--k", "3"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("[")]
+    assert len(lines) == 3
+    assert "joins.pdf" in lines[0]  # the PDF's content must rank first
