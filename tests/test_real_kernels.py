@@ -213,3 +213,52 @@ def test_minidoc_rejects_out_of_scope_files():
         extract_pdf_text(b"%PDF-1.4\n/Encrypt 1 0 R")
     with _pytest.raises(ValueError, match="not a DOCX container"):
         extract_docx_text(b"PK\x03\x04 broken zip")
+
+
+# --- property-based round-trip for the stdlib PDF parser --------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _pdf_escape(s: str) -> bytes:
+    out = bytearray()
+    for ch in s.encode("latin-1"):
+        if ch in (0x28, 0x29, 0x5C):  # ( ) backslash
+            out += b"\\" + bytes([ch])
+        else:
+            out.append(ch)
+    return bytes(out)
+
+
+def _pdf_escape_octal(s: str) -> bytes:
+    # every byte as \ddd — exercises the octal-unescape path end-to-end
+    return b"".join(b"\\%03o" % ch for ch in s.encode("latin-1"))
+
+
+_line = (
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+        min_size=1,
+        max_size=40,
+    )
+    .map(lambda s: s.rstrip())  # extractor rstrips each line
+    .filter(lambda s: s)
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(lines=st.lists(_line, min_size=1, max_size=6), flate=st.booleans(),
+       octal=st.booleans())
+def test_pdf_text_round_trips(lines, flate, octal):
+    """For arbitrary latin-1 text lines: build a valid PDF (one Tj per
+    line, T* line moves; plain or FlateDecode; literal or all-octal
+    string encoding) -> extract_pdf_text returns the exact text."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    esc = _pdf_escape_octal if octal else _pdf_escape
+    ops = b"BT /F1 12 Tf 72 720 Td " + b" T* ".join(
+        b"(" + esc(l) + b") Tj" for l in lines
+    ) + b" ET"
+    pdf = _build_pdf(ops, compress=flate)
+    assert extract_pdf_text(pdf) == "\n".join(lines)
