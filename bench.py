@@ -119,6 +119,9 @@ def main() -> None:
         [(sf_dir, ingest_dir)] + [(d, ramp_ingest[d]) for d in ramp_dirs]
     )
     ingest_sec = secs[0]
+    ramp_ingest_sec = {
+        os.path.basename(d.rstrip("/")): s for d, s in zip(ramp_dirs, secs[1:])
+    }
 
     # Bench-scale tuning (measured, see BASELINE.md): 8 shuffle
     # partitions suit megabyte shuffles (32 is pure task overhead at
@@ -213,6 +216,10 @@ def main() -> None:
                 # clamped to 0 (timing noise at the floor).
                 "scale_ramp": {
                     **ramp,
+                    # one-time layout rewrites for the ramp dirs — cost
+                    # of the MEASUREMENT, reported so it can't read as
+                    # hidden query time
+                    "ramp_ingest_sec": ramp_ingest_sec,
                     "floor_sec": {
                         q: ramp.get("sf0.001", {}).get(q) for q in HEADLINE
                     },
