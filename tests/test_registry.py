@@ -95,3 +95,20 @@ def test_rotation_staleness_bound():
         f"keys not re-checked within {horizon} simulated rounds: "
         f"{[k for k in keys if checked_at.get(k, 0) <= now][:10]}"
     )
+
+
+def test_priority_order_fresh_clone_fallback():
+    """With no CORRECTNESS files (fresh clone), every key counts as
+    never-verified and the order degrades to plain registration order
+    (after the changed block)."""
+    from document_vector_indexer_spark.queries.registry import _priority_order
+
+    keys = ["a", "b", "c", "d"]
+    assert _priority_order(keys, [], {}) == keys
+    assert _priority_order(keys, ["c"], {}) == ["c", "a", "b", "d"]
+    # ages shuffle the rest, oldest first, registration tiebreak
+    assert _priority_order(keys, [], {"a": 3, "b": 1, "c": 2}) == [
+        "d", "b", "c", "a"
+    ]
+    # changed keys lead regardless of their age
+    assert _priority_order(keys, ["a"], {"a": 3, "b": 1}) == ["a", "c", "d", "b"]
