@@ -125,28 +125,42 @@ def _cdc_word_code(w: Column) -> Column:
     NEVER fire and CDC degrades to whole-doc chunks. Boundary
     diversity is load-bearing for a chunker in a way it is not for
     the fingerprint that code came from."""
+    # fold over split(w, "") rather than sequence+substring: per-char
+    # substring(w, i, 1) re-seeks the UTF8 string from the start (O(i)
+    # — quadratic per word on the chunking hot path, measured r5:
+    # chunk_cdc data cost 3.9 s -> 1.x s at sf0.1 with this + the
+    # window-hash rewrite). ascii(c) == ascii(substring(w, i, 1))
+    # codepoint-for-codepoint (probe-verified incl. non-ASCII), so the
+    # hash VALUE is bit-identical — the SQL mirror and the pure-Python
+    # test oracle are untouched.
     return F.aggregate(
-        F.sequence(F.lit(1), F.length(w)),
+        F.split(w, ""),
         F.lit(0).cast("long"),
-        lambda a, i: (a * 131 + F.ascii(F.substring(w, i, F.lit(1))))
-        % F.lit(CDC_MOD).cast("long"),
+        lambda a, c: (a * 131 + F.ascii(c)) % F.lit(CDC_MOD).cast("long"),
     )
 
 
 def _cdc_window_hash(codes: Column, i: Column) -> Column:
     """Integer hash of the ≤CDC_WINDOW word CODES ending at 1-based
     ``i`` — fold (acc*B + code) % M, bit-identical in any engine.
-    Operates on a PRECOMPUTED per-word code array: folding chars here
-    would recompute each word's O(len) hash once per window position
-    (caught in review — ~CDC_WINDOW× redundant character hashing on
-    the chunking hot path)."""
-    lo = F.greatest(F.lit(1), i - F.lit(CDC_WINDOW - 1))
-    sub = F.slice(codes, lo, i - lo + 1)
-    return F.aggregate(
-        sub,
-        F.lit(0).cast("long"),
-        lambda a, x: (a * CDC_BASE + x) % F.lit(CDC_MOD).cast("long"),
-    )
+    Unrolled to CDC_WINDOW O(1) ``element_at`` lookups on the
+    precomputed code array; out-of-range leading positions contribute
+    0, which is fold-identity ((0*B + 0) % M == 0), so short prefixes
+    hash exactly like a clamped-slice fold. The previous
+    slice+aggregate form allocated a sub-array per window POSITION —
+    the r5 scaling measurement put chunk_cdc's data cost at 3.9 s for
+    sf0.1 with most of it right here; hash VALUES are unchanged, so
+    the SQL mirror and the pure-Python oracle are untouched."""
+    mod = F.lit(CDC_MOD).cast("long")
+    h = F.lit(0).cast("long")
+    for back in range(CDC_WINDOW - 1, -1, -1):
+        code = (
+            F.when(i > back, F.element_at(codes, (i - back).cast("int")))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        h = (h * CDC_BASE + code) % mod
+    return h
 
 
 def chunk_cdc(

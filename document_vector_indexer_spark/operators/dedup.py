@@ -200,13 +200,16 @@ def ngram_jaccard_pairs(
 
 def _word_hash(w: Column) -> Column:
     """Portable char-fold hash: fold(chars, 0, a -> (a*131 + ascii) % M).
-    Pure integer arithmetic over substr/ascii — reproducible in any
-    engine, unlike murmur-based builtins."""
+    Pure integer arithmetic, reproducible in any engine, unlike
+    murmur-based builtins. Folds over ``split(w, '')`` — per-char
+    ``substring(w, i, 1)`` re-seeks the UTF8 string from the start
+    (O(i), quadratic per word; the r5 CDC scaling fix, applied to all
+    three char-fold sites). ascii(c) is codepoint-identical either
+    way, so hash VALUES — and every SQL mirror — are unchanged."""
     return F.aggregate(
-        F.sequence(F.lit(1), F.length(w)),
+        F.split(w, ""),
         F.lit(0).cast("long"),
-        lambda a, i: (a * 131 + F.ascii(F.substring(w, i, F.lit(1))))
-        % F.lit(_CHAR_MOD).cast("long"),
+        lambda a, c: (a * 131 + F.ascii(c)) % F.lit(_CHAR_MOD).cast("long"),
     )
 
 

@@ -41,11 +41,13 @@ def portable_hash_units(key: Column, salt: str = "") -> Column:
     cross-multiplied threshold tests (``h * q < p * M31`` keeps a
     probability-p decision in pure longs, no double ever)."""
     s = F.concat_ws(":", F.lit(salt), key.cast("string"))
+    # split-fold, not sequence+substring: per-char substring re-seeks
+    # the UTF8 string (O(i) each — the r5 CDC scaling fix); ascii(c)
+    # is codepoint-identical, hash values unchanged
     h = F.aggregate(
-        F.sequence(F.lit(1), F.length(s)),
+        F.split(s, ""),
         F.lit(0).cast("long"),
-        lambda a, i: (a * 131 + F.ascii(F.substring(s, i, F.lit(1))))
-        % F.lit(_M31).cast("long"),
+        lambda a, c: (a * 131 + F.ascii(c)) % F.lit(_M31).cast("long"),
     )
     for _ in range(3):
         h = (h * 48271) % F.lit(_M31).cast("long")
