@@ -87,6 +87,25 @@ _CHANGED_SINCE_VERIFIED = [
                    #     (round-4 ADVICE), oracle text changed
     "q_ks_drift",  # r5: ks_ppm zero guard + enforced 2^63 overflow
                    #     bound both sides (round-4 ADVICE)
+    # r5 hashing hot-path rewrite (split-fold char hashes + unrolled
+    # CDC window hash — VALUE-identical by construction, every key
+    # below re-verified oracle-green locally at sf0.01; re-fronted per
+    # protocol because their operators' code changed):
+    "q_chunk_cdc",
+    "q_dedup_cdc",
+    "q_dedup_simhash",
+    "q_dedup_minhash",
+    "q_dedup_near",       # alias of q_dedup_minhash
+    "q_dedup_cluster",
+    "q_dedup_apply",
+    "q_golden_record",
+    "q_dedup_substrings",
+    "q_sample_split",
+    "q_mix_sources",
+    "q_sample_stratified",
+    "q_corpus_shuffle",
+    "q_sample_tokens",
+    "q_curate_pipeline",
 ]
 # (The whole round-4 list — q_sample_split, q_pack_sequences,
 # q_mix_sources, q_decontaminate, q_sink_roundtrip, q_tpch_q17,
