@@ -397,3 +397,42 @@ def test_minhash_portable_rejects_bad_band_split(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="bands"):
         minhash_portable_pairs(df, bands=5)  # 5 does not divide k=16
+
+
+def test_embed_backoff_sequence_matches_reference(spark):
+    """The exact backoff contract (reference index_documents.py:191):
+    an unconditional sleep(min(2**attempt, 16)) after EVERY failure —
+    1, 2, 4, 8, 16, 16, ... Recorded executor-side via a list
+    accumulator injected as sleep_fn."""
+    from pyspark.accumulators import AccumulatorParam
+
+    from document_vector_indexer_spark.operators.embedding import (
+        deterministic_fake_embed,
+        embed_api_map_in_pandas,
+    )
+
+    class ListParam(AccumulatorParam):
+        def zero(self, v):
+            return []
+
+        def addInPlace(self, a, b):
+            a.extend(b)
+            return a
+
+    sleeps = spark.sparkContext.accumulator([], ListParam())
+
+    def flaky(texts, dim, _state={"calls": 0}):
+        _state["calls"] += 1
+        if _state["calls"] <= 6:  # six failures, then success
+            raise RuntimeError("transient")
+        return deterministic_fake_embed(texts, dim)
+
+    df = spark.createDataFrame(
+        [(1, "one text")], "id long, chunk_text string"
+    ).coalesce(1)
+    out = embed_api_map_in_pandas(
+        df, dim=8, embed_fn=flaky, max_retries=8,
+        sleep_fn=lambda s: sleeps.add([s]),
+    )
+    assert out.count() == 1
+    assert sleeps.value == [1, 2, 4, 8, 16, 16]
