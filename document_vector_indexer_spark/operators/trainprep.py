@@ -149,6 +149,36 @@ def word_ngrams(words: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _exploded_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, gram) rows — one per word ``n``-gram occurrence — built in
+    the EXPLODE-THEN-WINDOW shape: posexplode the token array, then
+    assemble each gram from ``n-1`` lag() values over the (id, pos)
+    window. The r5 finding that forced this shape: building gram
+    strings inside an array HOF runs INTERPRETED (ArrayAggregate/
+    ArrayTransform.eval — every concat/element_at a virtual call,
+    measured ~2 µs per gram, 8.6 of q_decontaminate's 9.2 s at sf0.1),
+    while window lags + concat run inside WindowExec/codegen at
+    per-row speed. The window needs NO exchange: rows arrive
+    hash-partitioned by id from the tokenizer barrier and the window
+    partitions by the same key (sort is partition-local)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy("_pos")
+    parts = [F.lag("_w", n - 1 - j).over(w) for j in range(n - 1)] + [F.col("_w")]
+    return (
+        df.repartition(F.col(id_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(TX.word_tokens(F.col(text_col))).alias("_pos", "_w"),
+        )
+        .select("_id", "_pos", F.concat_ws(" ", *parts).alias("gram"))
+        .filter(F.col("_pos") >= n - 1)  # incomplete leading windows
+        .select(F.col("_id").alias(id_col), "gram")
+    )
+
+
 def contamination_hits(
     df: DataFrame,
     bench_df: DataFrame,
@@ -165,37 +195,34 @@ def contamination_hits(
 
     Scale shape: the benchmark side is tiny compared to the corpus
     (thousands of eval rows vs billions of train docs), so its distinct
-    n-gram set is BROADCAST and the probe is a map-side hash join over
-    the exploded train n-grams — no shuffle of train data at all except
-    the final per-doc count keyed by ``id_col``. The train tokenizer
-    sits behind the usual Exchange barrier (lambda-boundary CSE).
+    n-gram set is BROADCAST and the probe is a map-side hash join —
+    no shuffle of train data at all: grams come from the codegen
+    explode+window shape (``_exploded_grams``), and the per-doc
+    distinct, the gram counts, the broadcast probe, and the final
+    doc-keyed aggregations ALL reuse the id partitioning laid down by
+    the tokenizer barrier (grouping keys superset the partitioning —
+    zero further exchanges; plan-pinned in tests/test_plans.py).
 
     Returns (``id_col``, n_contaminated, n_grams) for flagged docs only.
     """
     btext = bench_text_col or text_col
-    bench_words = bench_df.select(TX.word_tokens(F.col(btext)).alias("words"))
     bench_grams = (
-        bench_words.select(
-            F.explode(F.array_distinct(word_ngrams(F.col("words"), n))).alias("gram")
-        )
-        .distinct()
+        _exploded_grams(bench_df, btext, id_col, n).select("gram").distinct()
     )
-    words_df = df.repartition(F.col(id_col)).select(
-        F.col(id_col), TX.word_tokens(F.col(text_col)).alias("words")
+    dg = _exploded_grams(df, text_col, id_col, n).groupBy(id_col, "gram").agg(
+        F.lit(1).alias("_one")
     )
-    dg = words_df.select(
-        id_col, F.array_distinct(word_ngrams(F.col("words"), n)).alias("dg")
-    )
-    exploded = dg.select(
-        id_col, F.size("dg").alias("_ng"), F.explode("dg").alias("gram")
-    )
-    return (
-        exploded.join(F.broadcast(bench_grams), "gram")
+    counts = dg.groupBy(id_col).agg(F.count("*").cast("long").alias("n_grams"))
+    hits = (
+        dg.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_contaminated"),
-            F.max("_ng").cast("long").alias("n_grams"),
-        )
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    # merge-pinned: counts is one row per TRAIN doc — the Q17 rule, an
+    # unbounded frame never rides a broadcast; both sides already sit
+    # on the id partitioning, so the SMJ adds sorts, not exchanges
+    return hits.join(counts.hint("merge"), id_col).select(
+        id_col, "n_contaminated", "n_grams"
     )
 
 

@@ -106,6 +106,9 @@ _CHANGED_SINCE_VERIFIED = [
     "q_corpus_shuffle",
     "q_sample_tokens",
     "q_curate_pipeline",
+    "q_decontaminate",  # r5: explode+window codegen gram build (8x at
+                        #     sf0.1); same semantics, oracle text
+                        #     byte-identical to its r4 green form
 ]
 # (The whole round-4 list — q_sample_split, q_pack_sequences,
 # q_mix_sources, q_decontaminate, q_sink_roundtrip, q_tpch_q17,

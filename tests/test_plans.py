@@ -384,3 +384,26 @@ def test_unigram_logprob_weight_join_not_broadcast(spark):
     assert tree.count("BroadcastExchange") <= 1, (
         f"vocabulary weights were broadcast:\n{tree}"
     )
+
+
+def test_decontaminate_codegen_window_shape(spark):
+    """q_decontaminate's r5 shape: grams built by window lags over the
+    exploded tokens (codegen), NEVER inside an array HOF (interpreted
+    — the 8x regression this replaced); only the bench side's tiny
+    distinct re-shuffles; the final hits-counts join is merge-pinned
+    (counts is one row per train doc — unbroadcastable at scale)."""
+    p = _plan(spark, "q_decontaminate")
+    assert "lag(_w" in p, "grams must come from window lags"
+    # the final doc-keyed join must not broadcast the unbounded counts
+    # side: every BroadcastExchange in this plan carries the gram
+    # string set (bench side), none a bigint doc-id frame
+    import re
+
+    for m in re.finditer(r"BroadcastExchange HashedRelationBroadcastMode\(List\(([^)]*)\)", p):
+        assert "string" in m.group(1), f"unbounded broadcast: {m.group(0)}"
+    # train-side gram dedup and both final aggs reuse the tokenizer
+    # barrier's doc_id partitioning: exactly ONE hashpartitioning
+    # exchange keyed by a gram (the bench distinct), none by doc_id
+    # beyond the two REPARTITION_BY_COL barriers
+    ens = [l for l in p.splitlines() if "ENSURE_REQUIREMENTS" in l and "hashpartitioning" in l]
+    assert all("gram" in l for l in ens), ens
