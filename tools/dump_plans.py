@@ -146,6 +146,10 @@ EXTRA = {
     "q_embed_portable": "ONE aggregate-HOF fold per row over the token array "
     "against the pinned vocab literal — pure map-side embedding, zero "
     "shuffles before the presentation sort (r5)",
+    "q_decontaminate": "r5 codegen shape: grams from window lags over the "
+    "exploded tokens (array-HOF lambdas are interpreted — measured 8x "
+    "slower); distinct/count/probe aggs and the merge-pinned counts join "
+    "all reuse the tokenizer barrier's doc partitioning",
 }
 
 
