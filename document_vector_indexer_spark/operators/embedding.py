@@ -152,8 +152,13 @@ def embed_portable_tf(
 
     vocab_arr = F.array(*[F.lit(w) for w in vocab])
     zeros = F.array_repeat(F.lit(0).cast("long"), len(vocab))
+    # NULL text -> empty token array -> all-zero embedding (NOT a NULL
+    # vector): keeps the dim contract and matches the oracle's
+    # LEFT-JOIN/coalesce-0 shape, which emits zero rows for every doc
     counts = F.aggregate(
-        TX.word_tokens(F.col(text_col)),
+        F.coalesce(
+            TX.word_tokens(F.col(text_col)), F.array().cast("array<string>")
+        ),
         zeros,
         lambda acc, w: F.zip_with(
             acc,

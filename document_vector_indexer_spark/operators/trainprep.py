@@ -206,12 +206,17 @@ def contamination_hits(
     Returns (``id_col``, n_contaminated, n_grams) for flagged docs only.
     """
     btext = bench_text_col or text_col
+    # the bench side needs only a text column (an eval set often has no
+    # train-side id); synthesize a row id for the gram window if absent
+    bench = (
+        bench_df
+        if id_col in bench_df.columns
+        else bench_df.withColumn(id_col, F.monotonically_increasing_id())
+    )
     bench_grams = (
-        _exploded_grams(bench_df, btext, id_col, n).select("gram").distinct()
+        _exploded_grams(bench, btext, id_col, n).select("gram").distinct()
     )
-    dg = _exploded_grams(df, text_col, id_col, n).groupBy(id_col, "gram").agg(
-        F.lit(1).alias("_one")
-    )
+    dg = _exploded_grams(df, text_col, id_col, n).select(id_col, "gram").distinct()
     counts = dg.groupBy(id_col).agg(F.count("*").cast("long").alias("n_grams"))
     hits = (
         dg.join(F.broadcast(bench_grams), "gram")

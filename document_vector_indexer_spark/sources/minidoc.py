@@ -86,9 +86,16 @@ def _unescape_literal(body: bytes) -> bytes:
         if nxt in _ESCAPES:
             out += _ESCAPES[nxt]
             i += 2
-        elif nxt.isdigit():
+        elif nxt in (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"):
+            # octal digits only — \8 / \9 are invalid escapes some
+            # generators emit; they fall to the ignore branch below
+            # (spec: drop the reverse solidus) instead of aborting
             j = i + 1
-            while j < len(body) and j < i + 4 and body[j : j + 1].isdigit():
+            while (
+                j < len(body)
+                and j < i + 4
+                and body[j] in b"01234567"
+            ):
                 j += 1
             out.append(int(body[i + 1 : j], 8) & 0xFF)
             i = j
@@ -128,14 +135,22 @@ def _parse_text_ops(stream: bytes) -> list[str]:
                 j += 1
             pending.append(_unescape_literal(bytes(buf)).decode("latin-1"))
             i = j + 1
-        elif c == b"<" and stream[i + 1 : i + 2] != b"<":
+        elif c == b"<" and stream[i + 1 : i + 2] == b"<":
+            i += 2  # dictionary opener (BDC/DP property lists) — skip
+            # atomically so its second '<' can't read as a hex string
+        elif c == b"<":
             j = stream.find(b">", i)
             if j == -1:
                 break
             hexbody = re.sub(rb"\s", b"", stream[i + 1 : j])
             if len(hexbody) % 2:
                 hexbody += b"0"
-            pending.append(bytes.fromhex(hexbody.decode("ascii")).decode("latin-1"))
+            try:
+                pending.append(
+                    bytes.fromhex(hexbody.decode("ascii")).decode("latin-1")
+                )
+            except (ValueError, UnicodeDecodeError):
+                pass  # not a hex string after all — skip, don't abort
             i = j + 1
         elif c.isalpha() or c in (b"'", b'"', b"*"):
             j = i
@@ -164,6 +179,15 @@ def extract_pdf_text(content: bytes) -> str:
         raise ValueError("pdf: missing %PDF header")
     if b"/Encrypt" in content:
         raise ValueError("pdf: encrypted documents are not supported")
+    if b"/Identity-H" in content or b"/Type0" in content:
+        # composite/CID fonts store GLYPH INDICES in their show
+        # strings — latin-1 decoding them would return mojibake with
+        # ok=True, violating the error-rows-never-silent-garbage
+        # contract. Native kernels (pymupdf) handle these.
+        raise ValueError(
+            "pdf: composite/CID font encodings (Identity-H/Type0) are "
+            "not supported by the stdlib tier"
+        )
     pieces: list[str] = []
     for stream in _content_streams(content):
         if b"BT" not in stream:

@@ -262,3 +262,34 @@ def test_pdf_text_round_trips(lines, flate, octal):
     ) + b" ET"
     pdf = _build_pdf(ops, compress=flate)
     assert extract_pdf_text(pdf) == "\n".join(lines)
+
+
+def test_pdf_dict_in_content_stream_and_bad_escapes():
+    """Review findings (r5): a BDC property dict's '<<' inside a
+    content stream must not read as a hex string, and invalid \\8/\\9
+    escapes drop the backslash (spec: ignore) instead of aborting."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = (
+        b"/P <</MCID 0>> BDC BT /F1 12 Tf 0 0 Td "
+        b"(Hello \\8world\\9) Tj ET EMC"
+    )
+    pdf = _build_pdf(ops, compress=False)
+    assert extract_pdf_text(pdf) == "Hello 8world9"
+
+
+def test_pdf_cid_fonts_raise_not_mojibake():
+    """Composite/CID fonts (Identity-H/Type0) store glyph indices —
+    the stdlib tier must raise (-> error row), never return latin-1
+    mojibake with ok=True."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = b"BT /F1 12 Tf 0 0 Td <0048004F> Tj ET"
+    pdf = _build_pdf(ops, compress=False).replace(
+        b"/BaseFont /Helvetica",
+        b"/Subtype /Type0 /BaseFont /AAAAAA+Font /Encoding /Identity-H",
+    )
+    with _pytest.raises(ValueError, match="composite/CID"):
+        extract_pdf_text(pdf)

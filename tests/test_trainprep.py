@@ -272,3 +272,24 @@ def test_vocab_topk_orders_and_counts(spark):
     # 'the' in 3 docs; 'cat' in 2; 'ran' 1 doc but 2 occurrences beats
     # 'dog'/'sat' (1,1) on the tiebreak
     assert got == [("the", 3, 3), ("cat", 2, 2), ("ran", 1, 2)]
+
+
+def test_contamination_bench_side_needs_no_id_column(spark):
+    """Review finding (r5): the benchmark side is often a bare eval
+    set with only a text column — contamination_hits must accept it
+    (a synthetic row id is made for the gram window)."""
+    from document_vector_indexer_spark.operators.trainprep import (
+        contamination_hits,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",)], "text string"
+    )
+    got = {r.doc_id: (r.n_contaminated, r.n_grams)
+           for r in contamination_hits(train, bench, n=5).collect()}
+    assert got == {1: (1, 2)}

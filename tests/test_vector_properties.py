@@ -134,3 +134,21 @@ def test_embed_portable_contract_and_plan(spark):
     plan = formatted_plan(spark, emb)
     assert "Exchange" not in plan, "portable embedder must not shuffle"
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_embed_portable_null_text_yields_zero_vector(spark):
+    """Review finding (r5): NULL text must embed as the zero vector
+    (16 zero-tf rows in the exploded query), matching the oracle's
+    LEFT JOIN/coalesce(0) — not vanish via posexplode(NULL)."""
+    from document_vector_indexer_spark.operators.embedding import (
+        PORTABLE_VOCAB,
+        embed_portable_tf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "join the hash join"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: list(r.embedding)
+            for r in embed_portable_tf(df).collect()}
+    assert rows[2] == [0.0] * len(PORTABLE_VOCAB)
+    assert rows[1][PORTABLE_VOCAB.index("join")] == 2.0
