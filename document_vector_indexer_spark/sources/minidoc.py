@@ -13,8 +13,14 @@ error row, never as silent empty text):
   \\( \\) \\\\, octal \\ddd, line continuations) and hex ``<...>``
   strings; newline on Td/TD/T*/ET and the '/\" operators. Byte-to-text
   via latin-1 (identity map) — correct for the standard-encoding ASCII
-  range; custom font /Encoding and CID maps are native-kernel
-  territory, NOT re-implemented here.
+  range. Stream bodies are sliced by the dict's direct ``/Length``
+  when present (exact even when the data ends in EOL bytes), else by
+  an ``endstream`` scan with a decompress-retry over the ambiguous
+  EOL-strip variants. Simple-font ``/Encoding /Differences`` maps are
+  APPLIED when every glyph name is in the public Adobe-Glyph-List
+  subset below and the maps don't conflict across fonts; otherwise
+  the file raises (error row, never mojibake). CID/Type0 maps are
+  native-kernel territory, NOT re-implemented here.
 - DOCX (ECMA-376): ``word/document.xml`` out of the zip container,
   paragraphs = ``w:p``, runs' ``w:t`` text plus tab/br elements —
   mirroring python-docx's paragraph iteration so both kernel tiers
@@ -29,17 +35,192 @@ from __future__ import annotations
 
 import io
 import re
+import unicodedata
 import xml.etree.ElementTree as ElementTree
 import zipfile
 import zlib
+from typing import Callable, Optional
 
 _STREAM_DICT_RE = re.compile(rb"<<(.*?)>>\s*stream(?:\r\n|\n|\r)", re.S)
+
+# direct /Length only — "/Length 5 0 R" (indirect reference) must fall
+# back to the endstream scan
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 
 # PDF literal-string escapes (ISO 32000-1 §7.3.4.2)
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
     b"(": b"(", b")": b")", b"\\": b"\\",
 }
+
+
+# --- simple-font /Encoding /Differences support (round-6) -------------
+#
+# pdfTeX/LaTeX subset fonts remap byte codes via /Encoding <<
+# /Differences [code /name ...] >>. Decoding those bytes as latin-1 is
+# silent mojibake, so the tier either APPLIES the map (glyph names it
+# knows, one consistent map per file) or RAISES (unknown glyph names,
+# or conflicting per-font maps — per-font Tf tracking is native-kernel
+# territory). Glyph names per the public Adobe Glyph List.
+
+def _build_glyph_table() -> dict[str, str]:
+    t: dict[str, str] = {
+        "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+        "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+        "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+        "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+        "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+        "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+        "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+        "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+        "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+        "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+        "braceright": "}", "asciitilde": "~",
+        # typographic / latin-1 punctuation and symbols
+        "quoteleft": "‘", "quoteright": "’",
+        "quotedblleft": "“", "quotedblright": "”",
+        "quotesinglbase": "‚", "quotedblbase": "„",
+        "endash": "–", "emdash": "—", "bullet": "•",
+        "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+        "guillemotleft": "«", "guillemotright": "»",
+        "guilsinglleft": "‹", "guilsinglright": "›",
+        "exclamdown": "¡", "questiondown": "¿",
+        "cent": "¢", "sterling": "£", "currency": "¤",
+        "yen": "¥", "brokenbar": "¦", "section": "§",
+        "dieresis": "¨", "copyright": "©",
+        "ordfeminine": "ª", "logicalnot": "¬",
+        "registered": "®", "macron": "¯", "degree": "°",
+        "plusminus": "±", "twosuperior": "²",
+        "threesuperior": "³", "acute": "´", "micro": "µ",
+        "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+        "cedilla": "¸", "onesuperior": "¹",
+        "ordmasculine": "º", "onequarter": "¼",
+        "onehalf": "½", "threequarters": "¾",
+        "multiply": "×", "divide": "÷", "Euro": "€",
+        "florin": "ƒ", "trademark": "™", "minus": "−",
+        "fraction": "⁄", "perthousand": "‰",
+        "circumflex": "ˆ", "tilde": "˜", "caron": "ˇ",
+        "breve": "˘", "dotaccent": "˙", "ring": "˚",
+        "ogonek": "˛", "hungarumlaut": "˝",
+        # letters with no accent-compose name
+        "germandbls": "ß", "ae": "æ", "AE": "Æ",
+        "oe": "œ", "OE": "Œ", "oslash": "ø",
+        "Oslash": "Ø", "eth": "ð", "Eth": "Ð",
+        "thorn": "þ", "Thorn": "Þ", "dotlessi": "ı",
+        "lslash": "ł", "Lslash": "Ł",
+        # ligatures (pdfTeX subset fonts)
+        "fi": "ﬁ", "fl": "ﬂ", "ff": "ﬀ",
+        "ffi": "ﬃ", "ffl": "ﬄ",
+    }
+    for ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+        t[ch] = ch
+    accents = {
+        "grave": "\u0300", "acute": "\u0301", "circumflex": "\u0302",
+        "tilde": "\u0303", "macron": "\u0304", "breve": "\u0306",
+        "dotaccent": "\u0307", "dieresis": "\u0308", "ring": "\u030a",
+        "hungarumlaut": "\u030b", "caron": "\u030c",
+        "cedilla": "\u0327", "ogonek": "\u0328",
+    }
+    for base in (
+        "AaEeIiOoUuYyNnCcSsZzGgKkLlRrTtDdHhWw"
+    ):
+        for acc, comb in accents.items():
+            composed = unicodedata.normalize("NFC", base + comb)
+            if len(composed) == 1:
+                t[base + acc] = composed
+    return t
+
+
+_GLYPHS = _build_glyph_table()
+_DIFF_RE = re.compile(rb"/Differences\s*\[([^\]]*)\]")
+_DIFF_TOKEN_RE = re.compile(rb"(\d+)|/([A-Za-z0-9._]+)")
+
+
+def _glyph_to_char(name: str) -> Optional[str]:
+    if name in _GLYPHS:
+        return _GLYPHS[name]
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else None
+    return None
+
+
+def _differences_map(scan: bytes) -> dict[int, str]:
+    """One merged code->char map from every /Differences array found in
+    the raw file AND its decompressed streams (so encodings hidden in
+    object streams are still seen). Raises rather than guess: unknown
+    glyph names or two fonts remapping the same code differently would
+    both be silent mojibake under a merged map."""
+    mapping: dict[int, str] = {}
+    for dm in _DIFF_RE.finditer(scan):
+        code: Optional[int] = None
+        for tok in _DIFF_TOKEN_RE.finditer(dm.group(1)):
+            if tok.group(1) is not None:
+                code = int(tok.group(1))
+                continue
+            if code is None or not 0 <= code <= 255:
+                raise ValueError(
+                    "pdf: malformed /Differences array (glyph name "
+                    "without a preceding in-range code)"
+                )
+            name = tok.group(2).decode("ascii")
+            ch = _glyph_to_char(name)
+            if ch is None:
+                raise ValueError(
+                    f"pdf: /Differences glyph /{name} is outside the "
+                    "stdlib tier's glyph table (native-kernel territory)"
+                )
+            prev = mapping.get(code)
+            if prev is not None and prev != ch:
+                raise ValueError(
+                    "pdf: conflicting /Differences maps across fonts — "
+                    "per-font encoding tracking is native-kernel territory"
+                )
+            mapping[code] = ch
+            code += 1
+    return mapping
+
+
+def _body_candidates(sdict: bytes, data: bytes, start: int) -> list[bytes]:
+    """Possible stream bodies at ``start``, most-trustworthy first.
+
+    Primary: slice exactly /Length bytes when the dict carries a direct
+    length AND ``endstream`` really follows (after at most one EOL) —
+    this is exact even when the stream data itself ends in EOL bytes.
+    Fallback: scan to ``endstream`` and guess-strip the separator EOL.
+    The guess is ambiguous when the data's own last byte is 0x0d or
+    0x0a (≈1/128 of compressed streams), so the less-stripped variants
+    are kept as lower-priority candidates for a decompress-retry — the
+    zlib checksum arbitrates (round-5 verdict bug: the single-guess
+    version truncated valid FlateDecode streams ending in 0x0d)."""
+    cands: list[bytes] = []
+    lm = _LENGTH_RE.search(sdict)
+    if lm:
+        end = start + int(lm.group(1))
+        tail = data[end : end + 11]
+        if tail[:2] == b"\r\n":
+            tail = tail[2:]
+        elif tail[:1] in (b"\n", b"\r"):
+            tail = tail[1:]
+        if tail.startswith(b"endstream"):
+            cands.append(data[start:end])
+    end = data.find(b"endstream", start)
+    if end != -1:
+        raw = data[start:end]
+        stripped = raw
+        # spec: EOL before the endstream keyword is not stream data
+        if raw.endswith(b"\r\n"):
+            stripped = raw[:-2]
+        elif raw.endswith((b"\n", b"\r")):
+            stripped = raw[:-1]
+        for c in (stripped, raw[:-1] if len(raw) > len(stripped) + 1 else raw, raw):
+            if c not in cands:
+                cands.append(c)
+    return cands
 
 
 def _content_streams(data: bytes) -> list[bytes]:
@@ -49,27 +230,30 @@ def _content_streams(data: bytes) -> list[bytes]:
     out: list[bytes] = []
     for m in _STREAM_DICT_RE.finditer(data):
         sdict = m.group(1)
-        start = m.end()
-        end = data.find(b"endstream", start)
-        if end == -1:
+        cands = _body_candidates(sdict, data, m.end())
+        if not cands:
             continue
-        raw = data[start:end]
-        # spec: EOL before the endstream keyword is not stream data
-        if raw.endswith(b"\r\n"):
-            raw = raw[:-2]
-        elif raw.endswith((b"\n", b"\r")):
-            raw = raw[:-1]
         if b"/FlateDecode" in sdict:
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error as e:
-                raise ValueError(f"pdf: broken FlateDecode stream: {e}") from e
+            body = None
+            last_err: Exception | None = None
+            for c in cands:
+                try:
+                    body = zlib.decompress(c)
+                    break
+                except zlib.error as e:
+                    last_err = e
+            if body is None:
+                raise ValueError(
+                    f"pdf: broken FlateDecode stream: {last_err}"
+                ) from last_err
         elif b"/Filter" in sdict:
             # some other filter (DCTDecode images, LZW, ...) — not a
             # text content stream we can read; skip, don't fail: the
             # page text may live in a plain/Flate stream alongside
             continue
-        out.append(raw)
+        else:
+            body = cands[0]
+        out.append(body)
     return out
 
 
@@ -108,7 +292,13 @@ def _unescape_literal(body: bytes) -> bytes:
     return bytes(out)
 
 
-def _parse_text_ops(stream: bytes) -> list[str]:
+def _latin1(bs: bytes) -> str:
+    return bs.decode("latin-1")
+
+
+def _parse_text_ops(
+    stream: bytes, decode: Callable[[bytes], str] = _latin1
+) -> list[str]:
     """One linear scan of a content stream, collecting the strings fed
     to text-showing operators and newlines for line-moving ones."""
     pieces: list[str] = []
@@ -133,7 +323,7 @@ def _parse_text_ops(stream: bytes) -> list[str]:
                         break
                 buf += ch
                 j += 1
-            pending.append(_unescape_literal(bytes(buf)).decode("latin-1"))
+            pending.append(decode(_unescape_literal(bytes(buf))))
             i = j + 1
         elif c == b"<" and stream[i + 1 : i + 2] == b"<":
             i += 2  # dictionary opener (BDC/DP property lists) — skip
@@ -146,9 +336,7 @@ def _parse_text_ops(stream: bytes) -> list[str]:
             if len(hexbody) % 2:
                 hexbody += b"0"
             try:
-                pending.append(
-                    bytes.fromhex(hexbody.decode("ascii")).decode("latin-1")
-                )
+                pending.append(decode(bytes.fromhex(hexbody.decode("ascii"))))
             except (ValueError, UnicodeDecodeError):
                 pass  # not a hex string after all — skip, don't abort
             i = j + 1
@@ -179,7 +367,12 @@ def extract_pdf_text(content: bytes) -> str:
         raise ValueError("pdf: missing %PDF header")
     if b"/Encrypt" in content:
         raise ValueError("pdf: encrypted documents are not supported")
-    if b"/Identity-H" in content or b"/Type0" in content:
+    streams = _content_streams(content)
+    # guards + encoding discovery run over the raw bytes AND every
+    # decompressed stream body, so fonts serialized inside object
+    # streams (PDF 1.5 /ObjStm) are still seen by the linear scan
+    scan = b"\n".join([content, *streams])
+    if b"/Identity-H" in scan or b"/Type0" in scan:
         # composite/CID fonts store GLYPH INDICES in their show
         # strings — latin-1 decoding them would return mojibake with
         # ok=True, violating the error-rows-never-silent-garbage
@@ -188,11 +381,18 @@ def extract_pdf_text(content: bytes) -> str:
             "pdf: composite/CID font encodings (Identity-H/Type0) are "
             "not supported by the stdlib tier"
         )
+    diff_map = _differences_map(scan)
+    if diff_map:
+        decode = lambda bs: "".join(  # noqa: E731
+            diff_map.get(b, chr(b)) for b in bs
+        )
+    else:
+        decode = _latin1
     pieces: list[str] = []
-    for stream in _content_streams(content):
+    for stream in streams:
         if b"BT" not in stream:
             continue
-        pieces.extend(_parse_text_ops(stream))
+        pieces.extend(_parse_text_ops(stream, decode))
     if not pieces:
         raise ValueError("pdf: no readable text content streams")
     lines = [ln.rstrip() for ln in "".join(pieces).split("\n")]

@@ -217,7 +217,7 @@ def test_minidoc_rejects_out_of_scope_files():
 
 # --- property-based round-trip for the stdlib PDF parser --------------
 
-from hypothesis import given, settings  # noqa: E402
+from hypothesis import example, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 
@@ -250,6 +250,15 @@ _line = (
 @settings(max_examples=60, deadline=None)
 @given(lines=st.lists(_line, min_size=1, max_size=6), flate=st.booleans(),
        octal=st.booleans())
+@example(
+    lines=['2',
+     'W\x83',
+     '01²µó',
+     '017G\x82\x91\x97\x9cáâëñø',
+     '017G\x82\x91\x97\x9cáâëñø'],
+    flate=True,
+    octal=True,
+).via('discovered failure')
 def test_pdf_text_round_trips(lines, flate, octal):
     """For arbitrary latin-1 text lines: build a valid PDF (one Tj per
     line, T* line moves; plain or FlateDecode; literal or all-octal
@@ -293,3 +302,115 @@ def test_pdf_cid_fonts_raise_not_mojibake():
     )
     with _pytest.raises(ValueError, match="composite/CID"):
         extract_pdf_text(pdf)
+
+
+# --- round-6: stream-boundary + /Differences coverage -----------------
+
+
+# a latin-1 text whose one-line content stream compresses to zlib bytes
+# ending in 0x0d — the exact shape of the round-5 verdict bug (the
+# writer's \n separator made the old single-guess EOL-strip remove a
+# real data byte and truncate the stream)
+_CR_FINAL_TEXT = bytes(
+    [214, 235, 244, 210, 112, 248, 108, 220, 103, 239, 244, 32,
+     242, 221, 199, 193, 246, 104, 226, 249]
+).decode("latin-1")
+
+
+def test_pdf_flate_stream_with_cr_final_compressed_byte():
+    """Deterministic pin of the round-5 verdict bug: a FlateDecode
+    stream whose COMPRESSED bytes end in 0x0d must still extract."""
+    import zlib
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = (
+        b"BT /F1 12 Tf 72 720 Td ("
+        + _CR_FINAL_TEXT.encode("latin-1")
+        + b") Tj ET"
+    )
+    assert zlib.compress(ops).endswith(b"\r"), "fixture drifted"
+    pdf = _build_pdf(ops, compress=True)
+    assert extract_pdf_text(pdf) == _CR_FINAL_TEXT
+
+
+def test_pdf_indirect_length_falls_back_to_scan_with_retry():
+    """With /Length given as an indirect reference the exact-slice path
+    is unavailable; the endstream scan + decompress-retry must still
+    recover a CR-final compressed stream."""
+    import re as _re
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = (
+        b"BT /F1 12 Tf 72 720 Td ("
+        + _CR_FINAL_TEXT.encode("latin-1")
+        + b") Tj ET"
+    )
+    pdf = _build_pdf(ops, compress=True)
+    mangled = _re.sub(rb"/Length \d+", b"/Length 9 0 R", pdf, count=1)
+    assert b"/Length 9 0 R" in mangled
+    assert extract_pdf_text(mangled) == _CR_FINAL_TEXT
+
+
+def test_pdf_differences_encoding_applied():
+    """A simple font's /Encoding /Differences map (pdfTeX-style) is
+    applied: remapped byte codes decode through the Adobe-Glyph-List
+    table, sequential codes increment, unmapped bytes stay latin-1."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = b"BT /F1 12 Tf 72 720 Td (Xab YZ) Tj ET"
+    pdf = _build_pdf(ops, compress=False).replace(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /ABCDEF+Custom "
+        b"/Encoding << /Type /Encoding /Differences "
+        b"[ 88 /quoteright /adieresis 90 /fi ] >> >>",
+    )
+    # X(88)->quoteright, Y(89)->adieresis (sequential), Z(90)->fi
+    assert extract_pdf_text(pdf) == "’ab äﬁ"
+
+
+def test_pdf_differences_unknown_glyph_raises():
+    """Glyph names outside the table must raise (error row), never
+    decode as latin-1 mojibake with ok=True (ADVICE r5)."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = b"BT /F1 12 Tf 72 720 Td (Xab) Tj ET"
+    pdf = _build_pdf(ops, compress=False).replace(
+        b"/BaseFont /Helvetica",
+        b"/BaseFont /Sub+F /Encoding << /Differences [ 88 /g42 ] >>",
+    )
+    with _pytest.raises(ValueError, match="glyph table"):
+        extract_pdf_text(pdf)
+
+
+def test_pdf_differences_conflicting_maps_raise():
+    """Two fonts remapping the same code differently cannot be merged
+    without per-font Tf tracking — must raise, not guess."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = b"BT /F1 12 Tf 72 720 Td (XX) Tj ET"
+    pdf = _build_pdf(ops, compress=False).replace(
+        b"/BaseFont /Helvetica",
+        b"/BaseFont /Sub+F /Encoding << /Differences [ 88 /quoteright ] >>",
+    )
+    pdf += b"\n6 0 obj\n<< /Encoding << /Differences [ 88 /emdash ] >> >>\nendobj\n"
+    with _pytest.raises(ValueError, match="conflicting /Differences"):
+        extract_pdf_text(pdf)
+
+
+def test_pdf_uni_glyph_names_decode():
+    """uniXXXX / uXXXXXX glyph names decode via their code point."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = b"BT /F1 12 Tf 72 720 Td (AB) Tj ET"
+    pdf = _build_pdf(ops, compress=False).replace(
+        b"/BaseFont /Helvetica",
+        b"/BaseFont /Sub+F /Encoding "
+        b"<< /Differences [ 65 /uni0416 66 /u1F600 ] >>",
+    )
+    assert extract_pdf_text(pdf) == "Ж\U0001f600"
