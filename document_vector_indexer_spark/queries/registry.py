@@ -81,39 +81,14 @@ def all_queries() -> dict[str, QuerySpec]:
 # the back of the queue. tests/test_registry.py simulates the rotation
 # forward and asserts the staleness bound.
 
-# Changed in round 5: see rule 1 above.
-_CHANGED_SINCE_VERIFIED = [
-    "q_gini",      # r5: gini_ppm denominator zero-guarded both sides
-                   #     (round-4 ADVICE), oracle text changed
-    "q_ks_drift",  # r5: ks_ppm zero guard + enforced 2^63 overflow
-                   #     bound both sides (round-4 ADVICE)
-    # r5 hashing hot-path rewrite (split-fold char hashes + unrolled
-    # CDC window hash — VALUE-identical by construction, every key
-    # below re-verified oracle-green locally at sf0.01; re-fronted per
-    # protocol because their operators' code changed):
-    "q_chunk_cdc",
-    "q_dedup_cdc",
-    "q_dedup_simhash",
-    "q_dedup_minhash",
-    "q_dedup_near",       # alias of q_dedup_minhash
-    "q_dedup_cluster",
-    "q_dedup_apply",
-    "q_golden_record",
-    "q_dedup_substrings",
-    "q_sample_split",
-    "q_mix_sources",
-    "q_sample_stratified",
-    "q_corpus_shuffle",
-    "q_sample_tokens",
-    "q_curate_pipeline",
-    "q_decontaminate",  # r5: explode+window codegen gram build (8x at
-                        #     sf0.1); same semantics, oracle text
-                        #     byte-identical to its r4 green form
+# Changed in round 6: see rule 1 above.
+_CHANGED_SINCE_VERIFIED: list[str] = [
+    # (round-6 additions land here as operators are touched)
 ]
-# (The whole round-4 list — q_sample_split, q_pack_sequences,
-# q_mix_sources, q_decontaminate, q_sink_roundtrip, q_tpch_q17,
-# q_knn_ivf, q_lsh_buckets — got green rows in CORRECTNESS_r04.json and
-# rotates by age like everything else now.)
+# (The whole round-5 list — the gini/KS zero-guard pair and the
+# seventeen hashing-family keys re-fronted after the hot-path rewrite —
+# got green rows in CORRECTNESS_r05.json and rotates by age like
+# everything else now.)
 
 
 def _last_verified_rounds() -> dict[str, int]:
