@@ -161,19 +161,29 @@ def _exploded_grams(
     measured ~2 µs per gram, 8.6 of q_decontaminate's 9.2 s at sf0.1),
     while window lags + concat run inside WindowExec/codegen at
     per-row speed. The window needs NO exchange: rows arrive
-    hash-partitioned by id from the tokenizer barrier and the window
-    partitions by the same key (sort is partition-local)."""
+    hash-partitioned by id from the tokenizer barrier, and the window's
+    partition keys (id, _row) are a SUPERSET of that hash key, so the
+    existing distribution already clusters them (sort is
+    partition-local). ``_row`` is a synthesized per-row key: the window
+    must never merge two rows that happen to share ``id_col`` (round-5
+    ADVICE: duplicate ids interleaved tokens at equal positions and
+    produced silently wrong grams; per-row grams are what the n-gram
+    semantics mean). ``_row`` values are nondeterministic across
+    re-evaluations but only their per-row UNIQUENESS matters — the
+    emitted (id, gram) rows are identical for any assignment."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("_id").orderBy("_pos")
+    w = Window.partitionBy("_id", "_row").orderBy("_pos")
     parts = [F.lag("_w", n - 1 - j).over(w) for j in range(n - 1)] + [F.col("_w")]
     return (
-        df.repartition(F.col(id_col))
+        df.withColumn("_row", F.monotonically_increasing_id())
+        .repartition(F.col(id_col))
         .select(
             F.col(id_col).alias("_id"),
+            F.col("_row"),
             F.posexplode(TX.word_tokens(F.col(text_col))).alias("_pos", "_w"),
         )
-        .select("_id", "_pos", F.concat_ws(" ", *parts).alias("gram"))
+        .select("_id", "_row", "_pos", F.concat_ws(" ", *parts).alias("gram"))
         .filter(F.col("_pos") >= n - 1)  # incomplete leading windows
         .select(F.col("_id").alias(id_col), "gram")
     )

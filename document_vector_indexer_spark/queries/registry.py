@@ -83,7 +83,10 @@ def all_queries() -> dict[str, QuerySpec]:
 
 # Changed in round 6: see rule 1 above.
 _CHANGED_SINCE_VERIFIED: list[str] = [
-    # (round-6 additions land here as operators are touched)
+    "q_decontaminate",  # r6: per-row gram window key (_id, _row) —
+                        #     duplicate-id corruption fix (r5 ADVICE);
+                        #     oracle text unchanged, sf0.01 parity
+                        #     re-verified locally
 ]
 # (The whole round-5 list — the gini/KS zero-guard pair and the
 # seventeen hashing-family keys re-fronted after the hot-path rewrite —

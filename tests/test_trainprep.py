@@ -152,6 +152,37 @@ def test_contamination_finds_planted_overlap(spark):
     assert got == {1: (1, 2), 3: (1, 1)}
 
 
+def test_contamination_duplicate_ids_keep_per_row_grams(spark):
+    """Round-5 ADVICE: the gram window must never merge two rows that
+    share an id — duplicate ids used to interleave tokens at equal
+    positions and emit grams belonging to NEITHER row. Grams are
+    per-row; duplicate-id rows contribute the union of their own
+    grams."""
+    from document_vector_indexer_spark.operators.trainprep import (
+        _exploded_grams,
+        contamination_hits,
+    )
+
+    dup = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma"),
+            (1, "delta epsilon zeta"),
+        ],
+    )
+    grams = {r.gram for r in _exploded_grams(dup, "text", "doc_id", 3).collect()}
+    # ONLY each row's own trigram — never a cross-row interleaving like
+    # "beta epsilon gamma" (the verified pre-fix corruption)
+    assert grams == {"alpha beta gamma", "delta epsilon zeta"}
+
+    bench = _docs(spark, [(100, "delta epsilon zeta")])
+    got = {
+        r.doc_id: (r.n_contaminated, r.n_grams)
+        for r in contamination_hits(dup, bench, n=3).collect()
+    }
+    assert got == {1: (1, 2)}
+
+
 def test_contamination_short_docs_have_no_grams(spark):
     from document_vector_indexer_spark.operators.trainprep import contamination_hits
 
