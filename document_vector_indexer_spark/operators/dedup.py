@@ -62,6 +62,55 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_projection(
+    df: DataFrame,
+    block_cols: tuple[str, ...] = ("source",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(block_cols..., id, shingles) — each doc's DISTINCT word
+    ``n``-gram set as an array column. This is the derived projection
+    the engine-layout ingest materializes once
+    (``io.ingest_engine_layout``): tokenization + gram assembly are the
+    per-row-CPU half of every near-dup query, and like any index they
+    belong in the write-once path, amortized over every query ever run
+    on the table. Same tokenizer + gram expression as the inline path
+    in ``ngram_jaccard_pairs`` — this function IS that path, factored
+    out so the two can't drift.
+
+    ``num_partitions`` pins the tokenizer barrier's width (and hence
+    the written file count when the result is stored): AQE coalesces
+    small shuffles to ONE partition, which would serialize both the
+    ingest-side tokenization and every later scan of the projection."""
+    words_df = (
+        df.repartition(num_partitions, F.col(id_col))
+        if num_partitions
+        else df.repartition(F.col(id_col))
+    ).select(
+        *block_cols,
+        F.col(id_col).alias("id"),
+        TX.word_tokens(F.col(text_col)).alias("words"),
+    )
+    grams = F.when(
+        F.size("words") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("words"), (i + j + 1).cast("int"))
+                    for j in range(n)
+                ],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return words_df.select(
+        *block_cols, "id", F.array_distinct(grams).alias("shingles")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     block_cols: tuple[str, ...],
@@ -69,6 +118,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_df: int = 20,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity of *discriminative* word n-gram sets for
     candidate pairs inside a blocking key.
@@ -98,27 +148,41 @@ def ngram_jaccard_pairs(
     # also parallelizes tokenization when the input is a single
     # file/row group, and hash(id) distribution is what downstream
     # wants anyway.
-    words_df = df.repartition(F.col(id_col)).select(
-        *block_cols,
-        F.col(id_col).alias("id"),
-        TX.word_tokens(F.col(text_col)).alias("words"),
-    )
-    grams = F.when(
-        F.size("words") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size("words") - n),
-            lambda i: F.concat_ws(
-                " ",
-                *[
-                    F.element_at(F.col("words"), (i + j + 1).cast("int"))
-                    for j in range(n)
-                ],
+    if shingles_df is not None:
+        # Engine-layout fast path: ``shingles_df`` is the materialized
+        # ``shingle_projection`` read back from storage (ingest wrote
+        # it once). Scan attributes carry no lambda-CSE hazard and the
+        # multi-file scan parallelizes on its own, so neither the
+        # tokenizer barrier exchange nor the per-query gram build
+        # exists in this plan — the query starts at the explode.
+        exploded = shingles_df.select(
+            *block_cols, "id", F.explode("shingles").alias("shingle")
+        )
+    else:
+        # Raw-fixture path: build inline. No per-doc distinct /
+        # dropDuplicates before the explode: the collect_set below
+        # dedups (id, shingle) repeats as part of the same aggregation.
+        words_df = df.repartition(F.col(id_col)).select(
+            *block_cols,
+            F.col(id_col).alias("id"),
+            TX.word_tokens(F.col(text_col)).alias("words"),
+        )
+        grams = F.when(
+            F.size("words") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("words") - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(F.col("words"), (i + j + 1).cast("int"))
+                        for j in range(n)
+                    ],
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # no per-doc distinct / dropDuplicates: the collect_set below
-    # dedups (id, shingle) repeats as part of the same aggregation
-    exploded = words_df.select(*block_cols, "id", F.explode(grams).alias("shingle"))
+        ).otherwise(F.array().cast("array<string>"))
+        exploded = words_df.select(
+            *block_cols, "id", F.explode(grams).alias("shingle")
+        )
     # One aggregation builds the inverted index AND dedups repeats
     # (collect_set), replacing the dropDuplicates + count-window +
     # self-join chain: candidate pairs are generated row-locally from
@@ -177,23 +241,36 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("cnt"))
     )
-    sizes = counted.filter(F.col("id_b") == -1).select(
-        F.col("id_a").alias("id"), F.col("cnt").alias("n_ret")
-    )
-    pairs = counted.filter(F.col("id_b") != -1).withColumnRenamed("cnt", "inter")
+    # Attach the per-doc retained-set sizes with two WINDOW passes over
+    # the one counted frame instead of the old sizes/pairs split + two
+    # self-joins (r6 plan-depth cut: the splits and SMJ joins cost ~8
+    # scheduled stages of pure per-stage floor; the two windows cost 2).
+    # It works because the singleton marker (x, -1) lands in the same
+    # hash partition as the pair rows that need x's size: window 1 keys
+    # on id_a (markers carry id_a = x); window 2 keys on id_b with the
+    # markers REMAPPED onto their own doc id, so doc b's marker meets
+    # the (a, b) pair rows. No artificial -1 key partition ever holds
+    # more than one doc's rows — no skew — and each exchange carries
+    # the already-combined distinct pairs.
+    is_single = F.col("id_b") == -1
+    size_here = F.max(F.when(is_single, F.col("cnt")))
     out = (
-        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_ret": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_ret": "n_b"}), "id_b")
+        counted.withColumn("n_a", size_here.over(Window.partitionBy("id_a")))
+        .withColumn(
+            "_k2", F.when(is_single, F.col("id_a")).otherwise(F.col("id_b"))
+        )
+        .withColumn("n_b", size_here.over(Window.partitionBy("_k2")))
+        .filter(~is_single)
     )
     return out.select(
         "id_a",
         "id_b",
-        "inter",
+        F.col("cnt").alias("inter"),
         "n_a",
         "n_b",
         (
-            F.col("inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            F.col("cnt").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("cnt"))
         ).alias("jaccard"),
     )
 

@@ -87,6 +87,12 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                         #     duplicate-id corruption fix (r5 ADVICE);
                         #     oracle text unchanged, sf0.01 parity
                         #     re-verified locally
+    "q_dedup_ngram",    # r6: ngram_jaccard_pairs tail rewritten
+    "q_dedup_contain",  #     (window size-attach replaces the
+                        #     sizes/pairs diamond) + optional ingest
+                        #     shingle sidecar; oracle text unchanged,
+                        #     sf0.01 parity re-verified on BOTH the
+                        #     inline and sidecar paths locally
 ]
 # (The whole round-5 list — the gini/KS zero-guard pair and the
 # seventeen hashing-family keys re-fronted after the hot-path rewrite —

@@ -177,7 +177,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_vector_indexer_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, block_cols=("source",))
+    from document_vector_indexer_spark.io import load_derived
+
+    shingles = load_derived(spark, sf_dir, "documents__shingles3")
+    pairs = ngram_jaccard_pairs(docs, block_cols=("source",), shingles_df=shingles)
     return (
         pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
         .limit(20)
@@ -233,7 +236,10 @@ def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_vector_indexer_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, block_cols=("source",))
+    from document_vector_indexer_spark.io import load_derived
+
+    shingles = load_derived(spark, sf_dir, "documents__shingles3")
+    pairs = ngram_jaccard_pairs(docs, block_cols=("source",), shingles_df=shingles)
     scored = pairs.select(
         "id_a",
         "id_b",
