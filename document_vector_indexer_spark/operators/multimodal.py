@@ -2,13 +2,18 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` operators.
 
-The container ships no image/audio libraries, so the *decode kernels*
-are stubbed: ``decode_backend="fake"`` (default) runs a deterministic
-pure-Python stand-in; ``decode_backend="pil"``/``"ffmpeg"`` raise
-``NotImplementedError`` until the real libs are present. Everything
+The container ships no image/audio libraries. Image kernels have a
+REAL in-container tier anyway: ``decode_backend="stdlib"`` decodes
+PNG/BMP/PNM from the public specs with nothing but ``zlib``/``struct``
+(``sources.miniimage`` — same tier policy as the stdlib PDF parser,
+never silent garbage). ``decode_backend="fake"`` (default) runs a
+deterministic pure-Python stand-in whose outputs are pinned by
+tests/golden/multimodal_golden.json; ``"pil"``/``"ffmpeg"`` raise
+``NotImplementedError`` until the real libs are present (video has no
+stdlib tier — codecs are not stdlib-implementable). Everything
 Spark-side — schema, partition sizing, UDF signatures, batch shapes,
-null/corrupt-row handling — is real and tested
-(tests/test_multimodal.py).
+null/corrupt-row handling — is identical across backends and tested
+(tests/test_multimodal.py, incl. real-bytes golden drop-in).
 
 Scale design: media bytes ride in their own column so column pruning
 skips them unless a kernel needs pixels; operators are mapInPandas
@@ -41,11 +46,11 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-Backend = Literal["fake", "pil", "ffmpeg"]
+Backend = Literal["fake", "stdlib", "pil", "ffmpeg"]
 
 
 def _require_backend(backend: Backend) -> None:
-    if backend == "fake":
+    if backend in ("fake", "stdlib"):
         return
     raise NotImplementedError(
         f"decode backend {backend!r} needs media libraries not present in "
@@ -64,6 +69,29 @@ def _fake_pixels(content: bytes, w: int, h: int) -> list[int]:
         out.extend(hashlib.sha256(seed + counter.to_bytes(4, "big")).digest())
         counter += 1
     return list(out[:need])
+
+
+def _decode_pixels(
+    backend: Backend, content: bytes, meta_w: int, meta_h: int
+) -> "tuple[int, int, list[int]] | None":
+    """(w, h, grayscale pixels) or None for not-decodable content.
+
+    ``fake``: sha256 stand-in at the METADATA dims (pinned by
+    tests/golden/multimodal_golden.json). ``stdlib``: real PNG/BMP/PNM
+    decode (``sources.miniimage``, public specs, zlib only) at the
+    dims the IMAGE declares — metadata dims are advisory at ingest
+    time and the pixels are the truth. Decode failures return None
+    (corrupt media must never kill a 100 TB job; the operators emit a
+    null-feature row, same rule the golden contract pins for
+    null/empty content)."""
+    if backend == "fake":
+        return meta_w, meta_h, _fake_pixels(content, meta_w, meta_h)
+    from document_vector_indexer_spark.sources import miniimage
+
+    try:
+        return miniimage.decode_image(content)
+    except ValueError:
+        return None
 
 
 def image_features(
@@ -96,9 +124,13 @@ def image_features(
                 if content is None or len(content) == 0:
                     rows.append((r.media_id, 0, None, None))
                     continue
-                w = int(r.width or tw)
-                h = int(r.height or th)
-                px = _fake_pixels(bytes(content), w, h)
+                decoded = _decode_pixels(
+                    backend, bytes(content), int(r.width or tw), int(r.height or th)
+                )
+                if decoded is None:  # undecodable != job failure
+                    rows.append((r.media_id, len(content), None, None))
+                    continue
+                w, h, px = decoded
                 # mean-pool to thumb grid
                 tn = []
                 for ty in range(th):
@@ -146,9 +178,13 @@ def image_resize(
                 if r.content is None or len(r.content) == 0:
                     rows.append((r.media_id, tw, th, None))
                     continue
-                w = int(r.width or tw)
-                h = int(r.height or th)
-                px = _fake_pixels(bytes(r.content), w, h)
+                decoded = _decode_pixels(
+                    backend, bytes(r.content), int(r.width or tw), int(r.height or th)
+                )
+                if decoded is None:
+                    rows.append((r.media_id, tw, th, None))
+                    continue
+                w, h, px = decoded
                 resized = []
                 for ty in range(th):
                     for tx in range(tw):
@@ -173,6 +209,11 @@ def frame_sample(
     never sees per-frame rows until after the map."""
     import pandas as pd
 
+    if backend == "stdlib":  # no public-spec stdlib video decode exists
+        raise NotImplementedError(
+            "frame_sample has no stdlib decode tier (video codecs are not "
+            "stdlib-implementable); use backend='fake' or 'ffmpeg'."
+        )
     _require_backend(backend)
     out_schema = T.StructType(
         [
