@@ -87,6 +87,10 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                         #     duplicate-id corruption fix (r5 ADVICE);
                         #     oracle text unchanged, sf0.01 parity
                         #     re-verified locally
+    "q_source_binary",  # r6: minidoc stream-boundary fix +
+                        #     /Differences + ToUnicode CID decoding —
+                        #     extraction kernel changed; fixture
+                        #     round-trips re-verified in pytest
     "q_dedup_ngram",    # r6: ngram_jaccard_pairs tail rewritten
     "q_dedup_contain",  #     (window size-attach replaces the
                         #     sizes/pairs diamond) + optional ingest

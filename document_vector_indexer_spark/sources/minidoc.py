@@ -19,8 +19,13 @@ error row, never as silent empty text):
   EOL-strip variants. Simple-font ``/Encoding /Differences`` maps are
   APPLIED when every glyph name is in the public Adobe-Glyph-List
   subset below and the maps don't conflict across fonts; otherwise
-  the file raises (error row, never mojibake). CID/Type0 maps are
-  native-kernel territory, NOT re-implemented here.
+  the file raises (error row, never mojibake). Composite/CID (Type0,
+  Identity-H) fonts are decoded through the writer's embedded
+  ``/ToUnicode`` CMap (ISO 32000-1 §9.10.3: bfchar/bfrange to
+  UTF-16BE) under the same policy — one consistent merged map, every
+  code used must be mapped; mixed code widths or Type0+Differences
+  files raise. Type0 WITHOUT a ToUnicode CMap stays native-kernel
+  territory (the bytes are arbitrary glyph indices).
 - DOCX (ECMA-376): ``word/document.xml`` out of the zip container,
   paragraphs = ``w:p``, runs' ``w:t`` text plus tab/br elements —
   mirroring python-docx's paragraph iteration so both kernel tiers
@@ -185,6 +190,139 @@ def _differences_map(scan: bytes) -> dict[int, str]:
     return mapping
 
 
+# --- Type0/CID fonts via /ToUnicode CMaps (round-6) -------------------
+#
+# Composite fonts (Identity-H) store GLYPH CODES in their show strings;
+# the bytes mean nothing without a map. When the writer embedded a
+# /ToUnicode CMap (ISO 32000-1 §9.10.3 — pdfTeX, LibreOffice, Chrome
+# print-to-PDF all do), the map IS the public decoding: bfchar/bfrange
+# entries from code to UTF-16BE text. Same merged-map policy as
+# /Differences: one consistent map per file, every code used must be
+# mapped, or raise — never silent garbage. Files with Type0 fonts and
+# NO ToUnicode stay native-kernel territory.
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CMAP_TOKEN_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>|(\[)|(\])")
+
+
+def _utf16be(hexbody: bytes) -> str:
+    raw = bytes.fromhex(re.sub(rb"\s", b"", hexbody).decode("ascii"))
+    if len(raw) % 2:
+        raise ValueError("pdf: odd-length UTF-16BE value in ToUnicode CMap")
+    return raw.decode("utf-16-be")
+
+
+def _tounicode_map(scan: bytes) -> "tuple[dict[int, str], int]":
+    """(merged code->text map, source code width in bytes) from every
+    bfchar/bfrange section in the raw file and its decompressed
+    streams. Raises on conflicting entries, mixed code widths, or
+    malformed sections — each would decode to wrong text silently."""
+    mapping: dict[int, str] = {}
+    width: Optional[int] = None
+
+    def note_width(hexbody: bytes) -> int:
+        nonlocal width
+        digits = len(re.sub(rb"\s", b"", hexbody))
+        if digits == 0 or digits % 2:
+            raise ValueError("pdf: malformed hex code in ToUnicode CMap")
+        w = digits // 2
+        if width is None:
+            width = w
+        elif width != w:
+            raise ValueError(
+                "pdf: mixed source code widths across ToUnicode CMaps — "
+                "per-font decoding is native-kernel territory"
+            )
+        return w
+
+    def put(code: int, text: str) -> None:
+        prev = mapping.get(code)
+        if prev is not None and prev != text:
+            raise ValueError(
+                "pdf: conflicting ToUnicode maps across fonts — "
+                "per-font decoding is native-kernel territory"
+            )
+        mapping[code] = text
+
+    for sec in _BFCHAR_RE.finditer(scan):
+        toks = [
+            t.group(1)
+            for t in _CMAP_TOKEN_RE.finditer(sec.group(1))
+            if t.group(1) is not None
+        ]
+        if len(toks) % 2:
+            raise ValueError("pdf: malformed bfchar section (odd token count)")
+        for k in range(0, len(toks), 2):
+            note_width(toks[k])
+            put(int(toks[k], 16), _utf16be(toks[k + 1]))
+
+    for sec in _BFRANGE_RE.finditer(scan):
+        toks = [
+            t.group(1) if t.group(1) is not None else t.group(0)
+            for t in _CMAP_TOKEN_RE.finditer(sec.group(1))
+        ]
+        i = 0
+        while i < len(toks):
+            if i + 2 >= len(toks) or toks[i] in (b"[", b"]") or toks[i + 1] in (b"[", b"]"):
+                raise ValueError("pdf: malformed bfrange section")
+            note_width(toks[i])
+            lo, hi = int(toks[i], 16), int(toks[i + 1], 16)
+            if hi < lo:
+                raise ValueError("pdf: malformed bfrange (hi < lo)")
+            dst = toks[i + 2]
+            if dst == b"[":  # one explicit value per code
+                j = i + 3
+                code = lo
+                while j < len(toks) and toks[j] != b"]":
+                    put(code, _utf16be(toks[j]))
+                    code += 1
+                    j += 1
+                if j >= len(toks) or code != hi + 1:
+                    raise ValueError(
+                        "pdf: bfrange array length does not match range"
+                    )
+                i = j + 1
+            else:
+                # scalar start value: consecutive codes increment the
+                # LAST UTF-16 code unit (spec §9.10.3)
+                base_raw = bytes.fromhex(
+                    re.sub(rb"\s", b"", dst).decode("ascii")
+                )
+                if len(base_raw) % 2:
+                    raise ValueError(
+                        "pdf: odd-length UTF-16BE value in ToUnicode CMap"
+                    )
+                last = int.from_bytes(base_raw[-2:], "big")
+                for off in range(hi - lo + 1):
+                    raw = base_raw[:-2] + ((last + off) & 0xFFFF).to_bytes(2, "big")
+                    put(lo + off, raw.decode("utf-16-be"))
+                i += 3
+    return mapping, (width or 0)
+
+
+def _cid_decoder(cmap: dict[int, str], width: int) -> Callable[[bytes], str]:
+    def decode(bs: bytes) -> str:
+        if len(bs) % width:
+            raise ValueError(
+                "pdf: CID show string length is not a multiple of the "
+                f"{width}-byte code width"
+            )
+        out: list[str] = []
+        for k in range(0, len(bs), width):
+            code = int.from_bytes(bs[k : k + width], "big")
+            text = cmap.get(code)
+            if text is None:
+                raise ValueError(
+                    f"pdf: code {code:#06x} missing from the ToUnicode "
+                    "map — decoding would be silent garbage"
+                )
+            out.append(text)
+        return "".join(out)
+
+    return decode
+
+
 def _body_candidates(sdict: bytes, data: bytes, start: int) -> list[bytes]:
     """Possible stream bodies at ``start``, most-trustworthy first.
 
@@ -336,9 +474,14 @@ def _parse_text_ops(
             if len(hexbody) % 2:
                 hexbody += b"0"
             try:
-                pending.append(decode(bytes.fromhex(hexbody.decode("ascii"))))
+                raw = bytes.fromhex(hexbody.decode("ascii"))
             except (ValueError, UnicodeDecodeError):
-                pass  # not a hex string after all — skip, don't abort
+                raw = None  # not a hex string after all — skip, don't
+                # abort (decode() errors below DO propagate: a CID
+                # decoder raising on unmapped codes is the error-row
+                # contract, not a malformed token)
+            if raw is not None:
+                pending.append(decode(raw))
             i = j + 1
         elif c.isalpha() or c in (b"'", b'"', b"*"):
             j = i
@@ -373,21 +516,33 @@ def extract_pdf_text(content: bytes) -> str:
     # streams (PDF 1.5 /ObjStm) are still seen by the linear scan
     scan = b"\n".join([content, *streams])
     if b"/Identity-H" in scan or b"/Type0" in scan:
-        # composite/CID fonts store GLYPH INDICES in their show
-        # strings — latin-1 decoding them would return mojibake with
-        # ok=True, violating the error-rows-never-silent-garbage
-        # contract. Native kernels (pymupdf) handle these.
-        raise ValueError(
-            "pdf: composite/CID font encodings (Identity-H/Type0) are "
-            "not supported by the stdlib tier"
-        )
-    diff_map = _differences_map(scan)
-    if diff_map:
-        decode = lambda bs: "".join(  # noqa: E731
-            diff_map.get(b, chr(b)) for b in bs
-        )
+        # composite/CID fonts store GLYPH CODES in their show strings —
+        # latin-1 decoding them would return mojibake with ok=True,
+        # violating the error-rows-never-silent-garbage contract. The
+        # writer's embedded /ToUnicode CMap, when present and complete,
+        # IS the public decoding (ISO 32000-1 §9.10.3); without one
+        # the file stays native-kernel territory.
+        cmap, cid_width = _tounicode_map(scan)
+        if not cmap:
+            raise ValueError(
+                "pdf: composite/CID font encodings (Identity-H/Type0) "
+                "without a /ToUnicode CMap are not supported by the "
+                "stdlib tier"
+            )
+        if _differences_map(scan):
+            raise ValueError(
+                "pdf: mixed Type0 and /Differences simple fonts — "
+                "per-font decoding is native-kernel territory"
+            )
+        decode = _cid_decoder(cmap, cid_width)
     else:
-        decode = _latin1
+        diff_map = _differences_map(scan)
+        if diff_map:
+            decode = lambda bs: "".join(  # noqa: E731
+                diff_map.get(b, chr(b)) for b in bs
+            )
+        else:
+            decode = _latin1
     pieces: list[str] = []
     for stream in streams:
         if b"BT" not in stream:

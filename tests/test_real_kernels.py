@@ -414,3 +414,145 @@ def test_pdf_uni_glyph_names_decode():
         b"<< /Differences [ 65 /uni0416 66 /u1F600 ] >>",
     )
     assert extract_pdf_text(pdf) == "Ж\U0001f600"
+
+
+# --- round-6: Type0/CID fonts via /ToUnicode CMaps ---------------------
+
+
+def _cmap_pdf(text_ops: bytes, cmap_body: bytes, compress_cmap: bool = False) -> bytes:
+    """_build_pdf output with the font swapped to Type0/Identity-H and
+    a /ToUnicode CMap stream object appended (the linear scan finds it
+    without xref entries, like real incremental-update objects)."""
+    import zlib as _zlib
+
+    pdf = _build_pdf(text_ops, compress=False).replace(
+        b"/BaseFont /Helvetica",
+        b"/Subtype /Type0 /BaseFont /AAAAAA+Font /Encoding /Identity-H "
+        b"/ToUnicode 6 0 R",
+    )
+    body, extra = cmap_body, b""
+    if compress_cmap:
+        body, extra = _zlib.compress(cmap_body), b" /Filter /FlateDecode"
+    obj = b"6 0 obj\n<< /Length %d%s >>\nstream\n%s\nendstream\nendobj\n" % (
+        len(body),
+        extra,
+        body,
+    )
+    at = pdf.rindex(b"xref\n")
+    return pdf[:at] + obj + pdf[at:]
+
+
+_CMAP_PREAMBLE = (
+    b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+    b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+)
+
+
+def test_pdf_type0_tounicode_bfchar_and_ranges():
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    cmap = _CMAP_PREAMBLE + (
+        b"2 beginbfchar\n<0001> <0048>\n<0002> <0065>\nendbfchar\n"
+        # scalar range: 0x10..0x12 -> l, m, n
+        b"2 beginbfrange\n<0010> <0012> <006C>\n"
+        # array range: 0x20..0x21 -> '!', '?'
+        b"<0020> <0021> [<0021> <003F>]\nendbfrange\nendcmap\n"
+    )
+    # hex show string + TJ array with kerning numbers between strings
+    ops = (
+        b"BT /F1 12 Tf 0 0 Td <00010002> Tj "
+        b"[<0010> -120 <00110012>] TJ "
+        b"<00200021> Tj ET"
+    )
+    assert extract_pdf_text(_cmap_pdf(ops, cmap)) == "Helmn!?"
+
+
+def test_pdf_type0_tounicode_flate_cmap_and_literal_string():
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    cmap = _CMAP_PREAMBLE + (
+        b"3 beginbfchar\n<0003> <0057>\n<0004> <006F>\n"
+        # multi-char target: one code expands to a ligature's parts
+        b"<0005> <006600660069>\nendbfchar\nendcmap\n"
+    )
+    # literal-string show: raw 2-byte codes inside (...)
+    ops = b"BT /F1 12 Tf 0 0 Td (\x00\x03\x00\x04\x00\x05) Tj ET"
+    assert (
+        extract_pdf_text(_cmap_pdf(ops, cmap, compress_cmap=True)) == "Woffi"
+    )
+
+
+def test_pdf_type0_tounicode_surrogate_pair():
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    cmap = _CMAP_PREAMBLE + (
+        b"1 beginbfchar\n<0007> <D83DDE00>\nendbfchar\nendcmap\n"
+    )
+    ops = b"BT /F1 12 Tf 0 0 Td <0007> Tj ET"
+    assert extract_pdf_text(_cmap_pdf(ops, cmap)) == "\U0001f600"
+
+
+def test_pdf_type0_unmapped_code_raises():
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    cmap = _CMAP_PREAMBLE + b"1 beginbfchar\n<0001> <0048>\nendbfchar\nendcmap\n"
+    ops = b"BT /F1 12 Tf 0 0 Td <00010099> Tj ET"
+    with _pytest.raises(ValueError, match="missing from the ToUnicode"):
+        extract_pdf_text(_cmap_pdf(ops, cmap))
+
+
+def test_pdf_type0_odd_length_show_string_raises():
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    cmap = _CMAP_PREAMBLE + b"1 beginbfchar\n<0001> <0048>\nendbfchar\nendcmap\n"
+    ops = b"BT /F1 12 Tf 0 0 Td <000100> Tj ET"
+    with _pytest.raises(ValueError, match="code width"):
+        extract_pdf_text(_cmap_pdf(ops, cmap))
+
+
+def test_pdf_type0_conflicting_cmaps_raise():
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    cmap = _CMAP_PREAMBLE + (
+        b"2 beginbfchar\n<0001> <0048>\n<0001> <0058>\nendbfchar\nendcmap\n"
+    )
+    ops = b"BT /F1 12 Tf 0 0 Td <0001> Tj ET"
+    with _pytest.raises(ValueError, match="conflicting ToUnicode"):
+        extract_pdf_text(_cmap_pdf(ops, cmap))
+
+
+def test_pdf_type0_mixed_with_differences_raises():
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    cmap = _CMAP_PREAMBLE + b"1 beginbfchar\n<0001> <0048>\nendbfchar\nendcmap\n"
+    ops = b"BT /F1 12 Tf 0 0 Td <0001> Tj ET"
+    pdf = _cmap_pdf(ops, cmap).replace(
+        b"/Type /Page ",
+        b"/Type /Page /X << /Encoding << /Differences [65 /aacute] >> >> ",
+    )
+    with _pytest.raises(ValueError, match="mixed Type0"):
+        extract_pdf_text(pdf)
+
+
+def test_pdf_type0_without_tounicode_still_raises():
+    """The original guard survives: glyph indices with NO map stay
+    native-kernel territory (error row, never mojibake)."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = b"BT /F1 12 Tf 0 0 Td <0048004F> Tj ET"
+    pdf = _build_pdf(ops, compress=False).replace(
+        b"/BaseFont /Helvetica",
+        b"/Subtype /Type0 /BaseFont /AAAAAA+Font /Encoding /Identity-H",
+    )
+    with _pytest.raises(ValueError, match="without a /ToUnicode"):
+        extract_pdf_text(pdf)
