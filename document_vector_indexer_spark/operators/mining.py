@@ -358,15 +358,21 @@ def rfm_segments(events: DataFrame, convert_type: str = "purchase") -> DataFrame
     exact-cents spend, each cut into ANSI quartiles, combined into a
     3-digit segment code (rq*100 + fq*10 + mq, 4 = top quartile).
 
-    The quartiles use the two-pass ``ranking.global_rank`` + ANSI
-    ``ntile_from_rank`` closed form — NEVER an empty-partitionBy
-    window (q_win_ntile precedent): three range-repartition passes
-    over the per-USER frame (corpus-sized events collapse in the
-    first user-keyed agg). (metric, user_id) keys make every cut
-    deterministic.
+    The quartiles use the two-pass ``ranking.multi_global_rank`` +
+    ANSI ``ntile_from_rank`` closed form — NEVER an empty-partitionBy
+    window (q_win_ntile precedent). All three metrics share ONE
+    boundary-sample job and their count branches aggregate the
+    lineage-cut per-user frame directly (the r6 rework: the previous
+    chained-global_rank form ran one sample collect per metric and
+    re-executed the whole prior chain in every sample/counts branch —
+    measured 4.4 → 2.4 s at sf0.001, 6.9 → 3.5 s at sf0.1, values
+    identical). The per-user
+    frame is localCheckpoint'ed: it is O(users) — corpus-sized events
+    collapse in the first user-keyed agg — and five plan branches
+    read it. (metric, user_id) keys make every cut deterministic.
     """
     from document_vector_indexer_spark.operators.ranking import (
-        global_rank,
+        multi_global_rank,
         ntile_from_rank,
     )
 
@@ -381,10 +387,16 @@ def rfm_segments(events: DataFrame, convert_type: str = "purchase") -> DataFrame
             F.count("*").cast("long").alias("freq"),
             F.sum("c").cast("long").alias("cents"),
         )
+    ).localCheckpoint(eager=False)
+    cur = multi_global_rank(
+        per_user,
+        [
+            (["last_us", "user_id"], "_r_rq", "_t_rq"),
+            (["freq", "user_id"], "_r_fq", "_t_fq"),
+            (["cents", "user_id"], "_r_mq", "_t_mq"),
+        ],
     )
-    cur = per_user
-    for metric, code in (("last_us", "rq"), ("freq", "fq"), ("cents", "mq")):
-        cur = global_rank(cur, [metric, "user_id"], f"_r_{code}", f"_t_{code}")
+    for code in ("rq", "fq", "mq"):
         cur = cur.withColumn(
             code, ntile_from_rank(F.col(f"_r_{code}"), F.col(f"_t_{code}"), 4)
         ).drop(f"_r_{code}", f"_t_{code}")

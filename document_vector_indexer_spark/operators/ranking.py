@@ -150,6 +150,116 @@ def global_rank(
     )
 
 
+def multi_global_rank(
+    df: DataFrame,
+    specs: "list[tuple[list[str], str, str]]",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Several independent global ranks over the SAME frame in one
+    pass structure: ``specs`` is a list of (order_cols, rank_col,
+    total_col), each getting the :func:`global_rank` contract
+    (order_cols a unique key; NULLs rank first, never dropped).
+
+    Why not chained ``global_rank`` calls: each call re-samples and
+    re-counts its INPUT — which for call k is the chain of k-1 window
+    stages — so the driver runs one collect job per ordering and every
+    sample/counts branch re-executes the whole prior chain (measured:
+    ~45% of q_rfm's wall-clock was this recomputation). Here:
+
+    - ONE bounded sample job serves every ordering (the same sampled
+      rows are re-sorted client-side by each ordering's key),
+    - every bucket id is a map-side literal comparison on the INPUT
+      frame, so all counts branches aggregate ``df`` directly and
+      never see the window chain,
+    - the per-ordering row_number windows chain map-side (one
+      exchange+sort each — the sorts are the irreducible work).
+
+    Callers should hand in a lineage-cut frame (``localCheckpoint``)
+    when ``df`` is itself expensive: the counts branches scan it once
+    per ordering."""
+    if num_partitions is not None:
+        n_part = num_partitions
+    else:
+        try:
+            n_part = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:
+            n_part = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+    all_cols: list[str] = []
+    for order_cols, _r, _t in specs:
+        for c in order_cols:
+            if c not in all_cols:
+                all_cols.append(c)
+
+    # Pass 0: ONE sample job covering every ordering's key columns.
+    cap = n_part * _SAMPLE_PER_BUCKET
+    sample = (
+        df.select(*[F.col(c) for c in all_cols])
+        .withColumn(
+            "_h",
+            F.md5(
+                F.concat_ws("\x1f", *[F.col(c).cast("string") for c in all_cols])
+            ),
+        )
+        .orderBy("_h", *all_cols)
+        .limit(cap)
+        .drop("_h")
+        .collect()
+    )
+    rows = [tuple(r[c] for c in all_cols) for r in sample]
+    idx = {c: i for i, c in enumerate(all_cols)}
+
+    cur = df
+    joins = []
+    for k, (order_cols, rank_col, total_col) in enumerate(specs):
+        cols_i = [idx[c] for c in order_cols]
+        # client-side sort, NULLS FIRST asc — the same order the
+        # per-bucket row_number window uses
+        keys = sorted(
+            (tuple(t[i] for i in cols_i) for t in rows),
+            key=lambda tup: tuple((v is not None, v) for v in tup),
+        )
+        bounds = []
+        if len(keys) > 1:
+            seen = set()
+            for j in range(1, n_part):
+                b = keys[(j * len(keys)) // n_part]
+                if b not in seen:
+                    seen.add(b)
+                    bounds.append(b)
+        key_cols = [F.col(c) for c in order_cols]
+        bkt = F.lit(0)
+        for b in bounds:
+            bkt = bkt + _tuple_gt(key_cols, b).cast("int")
+        bname, lname = f"_bkt_{k}", f"_lrn_{k}"
+        cur = cur.withColumn(bname, bkt)
+        counts = (
+            df.withColumn(bname, bkt).groupBy(bname).agg(F.count("*").alias("_cnt"))
+        )
+        w_ofs = Window.orderBy(bname).rowsBetween(Window.unboundedPreceding, -1)
+        w_tot = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = counts.select(
+            bname,
+            F.coalesce(F.sum("_cnt").over(w_ofs), F.lit(0)).alias(f"_ofs_{k}"),
+            F.sum("_cnt").over(w_tot).alias(total_col),
+        )
+        cur = cur.withColumn(
+            lname,
+            F.row_number().over(Window.partitionBy(bname).orderBy(*key_cols)),
+        )
+        joins.append((bname, lname, rank_col, f"_ofs_{k}", offsets))
+    for bname, lname, rank_col, ofs, offsets in joins:
+        cur = (
+            cur.join(F.broadcast(offsets), bname)
+            .withColumn(rank_col, F.col(ofs) + F.col(lname))
+            .drop(bname, lname, ofs)
+        )
+    return cur
+
+
 def global_id(
     df: DataFrame,
     order_cols: list[str],

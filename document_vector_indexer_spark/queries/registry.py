@@ -91,6 +91,11 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                         #     /Differences + ToUnicode CID decoding —
                         #     extraction kernel changed; fixture
                         #     round-trips re-verified in pytest
+    "q_rfm",            # r6: chained global_rank -> multi_global_rank
+                        #     (one shared sample job, map-side counts,
+                        #     checkpointed per-user frame); oracle text
+                        #     unchanged, parity re-verified at
+                        #     sf0.001/0.01/0.1 locally
     "q_dedup_ngram",    # r6: ngram_jaccard_pairs tail rewritten
     "q_dedup_contain",  #     (window size-attach replaces the
                         #     sizes/pairs diamond) + optional ingest

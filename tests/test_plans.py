@@ -228,8 +228,9 @@ def _assert_no_global_window(plan: str, name: str) -> None:
     for input_line, args in _global_window_nodes(plan):
         # structural allow: ranking.py's cumulative-offsets window runs
         # over the per-bucket counts frame (#rows <= #buckets by
-        # construction — driver-sized, provably bounded)
-        if "_bkt#" in input_line and "_cnt#" in input_line:
+        # construction — driver-sized, provably bounded). Matches both
+        # global_rank's `_bkt` and multi_global_rank's `_bkt_<k>`.
+        if re.search(r"_bkt(_\d+)?#", input_line) and "_cnt#" in input_line:
             continue
         raise AssertionError(
             f"{name}: empty-partitionBy Window over non-bounded input "
