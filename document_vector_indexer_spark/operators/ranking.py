@@ -126,14 +126,18 @@ def global_rank(
     bkt = F.lit(0)
     for b in bounds:
         bkt = bkt + _tuple_gt(key_cols, b).cast("int")
-    local = df.withColumn("_bkt", bkt).withColumn(
+    bucketed = df.withColumn("_bkt", bkt)
+    local = bucketed.withColumn(
         "_lrn",
         F.row_number().over(Window.partitionBy("_bkt").orderBy(*key_cols)),
     )
     # counts is one row per bucket — driver-sized by construction, so
     # the single-partition cumulative window over it is bounded (this is
     # the one allow-listed empty-partitionBy window: #rows <= n_part).
-    counts = local.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+    # Aggregated from the PRE-window frame: the bucket id is map-side,
+    # so the counts branch never re-executes the row_number
+    # exchange+sort (r6: q_gini dropped 2 of its 4 WindowExecs).
+    counts = bucketed.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
     w_ofs = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     w_tot = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

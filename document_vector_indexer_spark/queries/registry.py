@@ -91,6 +91,11 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                         #     /Differences + ToUnicode CID decoding —
                         #     extraction kernel changed; fixture
                         #     round-trips re-verified in pytest
+    "q_gini",           # r6: global_rank counts branch now aggregates
+    "q_win_ntile",      #     the PRE-window bucketed frame (values
+    "q_corpus_shuffle", #     identical, one less window execution per
+    "q_sink_roundtrip", #     consumer plan); parity re-verified at
+                        #     sf0.01 locally for all four
     "q_rfm",            # r6: chained global_rank -> multi_global_rank
                         #     (one shared sample job, map-side counts,
                         #     checkpointed per-user frame); oracle text
