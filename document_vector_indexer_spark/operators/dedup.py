@@ -747,22 +747,34 @@ def connected_components(
 
     Returns (id, component) for every vertex in ``pairs``.
     """
+    # Both loop inputs are checkpointed ALREADY PARTITIONED on their
+    # join keys — localCheckpoint preserves output partitioning, so no
+    # round ever re-shuffles the edge list (the big side at corpus
+    # scale); each round's only full-size exchange is the neighbor-min
+    # aggregation by src (r6: was re-exchanging edges+labels per round).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition(F.col("dst"))
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("component")
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .repartition(F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    labels = labels.localCheckpoint(eager=True)
-    edges = edges.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # carry the convergence flag inside the same frame: the changed
+        # probe then scans the just-materialized checkpoint instead of
+        # running a second join job per round (r6)
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -770,17 +782,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_min") < F.col("component"), F.lit(False))
+                ).alias("_chg"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     else:  # pragma: no cover - defensive
