@@ -91,6 +91,10 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                         #     /Differences + ToUnicode CID decoding —
                         #     extraction kernel changed; fixture
                         #     round-trips re-verified in pytest
+    "q_dedup_cluster",  # r6: connected_components loop reworked
+    "q_dedup_apply",    #     (co-partitioned checkpoints, fused
+    "q_golden_record",  #     convergence probe); values identical,
+                        #     parity re-verified at sf0.01 locally
     "q_gini",           # r6: global_rank counts branch now aggregates
     "q_win_ntile",      #     the PRE-window bucketed frame (values
     "q_corpus_shuffle", #     identical, one less window execution per
