@@ -159,6 +159,17 @@ def pagerank(
     base = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", F.expr(f"CAST({scale} AS BIGINT) DIV cnt").alias("share")
     )
+    if checkpoint:
+        # materialize the two loop-invariant frames ONCE, already
+        # partitioned on their join keys (localCheckpoint preserves
+        # output partitioning — connected_components precedent): every
+        # iteration previously re-executed the out_w build and
+        # re-shuffled the edge list (the big side), 10× each. With
+        # ew hash(src), base hash(node), and the contrib sum emitting
+        # hash(dst), each iteration runs exactly ONE full-size
+        # exchange (the dst aggregation).
+        ew = ew.repartition(F.col("src")).localCheckpoint(eager=False)
+        base = base.repartition(F.col("node")).localCheckpoint(eager=False)
     ranks = base.select("node", F.col("share").alias("rank_units"))
     for _ in range(iterations):
         incoming = (

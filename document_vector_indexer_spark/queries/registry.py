@@ -91,6 +91,11 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                         #     /Differences + ToUnicode CID decoding —
                         #     extraction kernel changed; fixture
                         #     round-trips re-verified in pytest
+    "q_pagerank",       # r6: loop-invariant ew/base frames checkpointed
+                        #     pre-partitioned — one exchange per
+                        #     iteration; bit-exact integer rule
+                        #     unchanged, parity re-verified at
+                        #     sf0.01 and sf0.1 locally
     "q_dedup_cluster",  # r6: connected_components loop reworked
     "q_dedup_apply",    #     (co-partitioned checkpoints, fused
     "q_golden_record",  #     convergence probe); values identical,
