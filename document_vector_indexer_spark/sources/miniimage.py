@@ -275,6 +275,11 @@ def _decode_pnm(data: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("PNM invalid dimensions")
     if not (0 < maxval <= 255):
         raise ValueError(f"PNM maxval {maxval} unsupported (1..255)")
+    if data[pos : pos + 2] == b"\r\n":
+        # spec: exactly ONE whitespace byte after maxval, so a CRLF
+        # writer's \n would silently decode as the first pixel —
+        # reject the ambiguity instead of guessing
+        raise ValueError("PNM CRLF after maxval is ambiguous (spec: one byte)")
     pos += 1  # exactly ONE whitespace byte after maxval (spec)
     ch = 1 if magic == b"P5" else 3
     need = width * height * ch

@@ -307,3 +307,10 @@ def test_stdlib_video_still_raises(spark):
     df = spark.createDataFrame(real_image_rows(), MM.MEDIA_SCHEMA)
     with pytest.raises(NotImplementedError):
         MM.frame_sample(df, backend="stdlib")
+
+
+def test_pnm_crlf_after_maxval_rejected():
+    good = MI.encode_pnm(2, 1, [9, 9], gray=True)
+    bad = good.replace(b"255\n", b"255\r\n")
+    with pytest.raises(ValueError, match="CRLF"):
+        MI.decode_image(bad)
