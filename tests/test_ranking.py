@@ -188,3 +188,59 @@ def test_ensure_doc_id_keeps_null_order_rows(spark, tmp_path):
     assert out.count() == 302
     ids = [r.doc_id for r in out.select("doc_id").collect()]
     assert sorted(ids) == list(range(1, 303)), "ids not dense 1..n"
+
+
+def test_multi_global_rank_matches_independent_global_ranks(spark):
+    """multi_global_rank's shared-sample form must produce exactly the
+    ranks three independent global_rank runs produce (boundary CHOICE
+    may differ — only balance, never rank values)."""
+    from document_vector_indexer_spark.operators.ranking import (
+        global_rank,
+        multi_global_rank,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"),
+        (F.col("id") * 37 % 101).alias("a"),
+        (F.col("id") * 53 % 89).alias("b"),
+        F.concat(F.lit("s"), (F.col("id") * 11 % 7).cast("string")).alias("s"),
+    )
+    got = multi_global_rank(
+        df,
+        [
+            (["a", "id"], "ra", "ta"),
+            (["b", "id"], "rb", "tb"),
+            (["s", "id"], "rs", "ts"),
+        ],
+        num_partitions=8,
+    )
+    rows = {r.id: r for r in got.collect()}
+    assert len(rows) == 500
+    for cols, rcol, tcol in (
+        (["a", "id"], "ra", "ta"),
+        (["b", "id"], "rb", "tb"),
+        (["s", "id"], "rs", "ts"),
+    ):
+        want = {
+            r.id: (r._grank, r._gtotal)
+            for r in global_rank(df, cols, num_partitions=8).collect()
+        }
+        for rid, r in rows.items():
+            assert (getattr(r, rcol), getattr(r, tcol)) == want[rid], (
+                rcol,
+                rid,
+            )
+
+
+def test_multi_global_rank_null_keys_not_dropped(spark):
+    from document_vector_indexer_spark.operators.ranking import multi_global_rank
+
+    df = spark.range(40).select(
+        F.col("id"),
+        F.when(F.col("id") < 3, F.lit(None)).otherwise(F.col("id") % 5).alias("a"),
+    )
+    got = multi_global_rank(df, [(["a", "id"], "ra", "ta")], num_partitions=4)
+    rows = got.collect()
+    assert len(rows) == 40  # NULL keys rank, never dropped
+    by_rank = sorted(rows, key=lambda r: r.ra)
+    assert [r.id for r in by_rank[:3]] == [0, 1, 2]  # NULLs first, id tiebreak
