@@ -156,6 +156,7 @@ def main() -> None:
     specs = all_queries()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    constructs: dict[str, float] = {}
     try:
         for name in HEADLINE:
             fn = specs[name].fn
@@ -172,7 +173,13 @@ def main() -> None:
             # that a Scala/SQL client or a reused handle never pays.
             # The DuckDB comparator's re-execute likewise re-plans
             # natively in-process.
+            # The construction cost itself is REPORTED per query
+            # (construct_sec) so both readings are in the JSON:
+            # prepared-form per-execution time AND what a client
+            # paying expression assembly every time would add.
+            t0 = time.perf_counter()
             df = fn(spark, ingest_dir)
+            constructs[name] = round(time.perf_counter() - t0, 3)
             df.write.format("noop").mode("overwrite").save()
             # q_dedup_ngram sits inside the host's ±0.4 s noise band
             # (round-3 VERDICT item 7): 5 warm repeats instead of 3 so
@@ -229,6 +236,11 @@ def main() -> None:
                     sum(timings.values()) + ingest_sec, 3
                 ),
                 "repeat_spread_sec": spreads,
+                # py4j expression-assembly cost of building each
+                # query's DataFrame (client-side, paid once per
+                # prepared statement — NOT in the per-query numbers;
+                # reported so both readings are available)
+                "construct_sec": constructs,
                 # per-query timings at the smaller scale factors plus
                 # the derived decomposition: floor_sec = t(sf0.001)
                 # (data cost negligible there), data_cost_sec =
