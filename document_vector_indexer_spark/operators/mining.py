@@ -532,7 +532,10 @@ def gini_concentration(events: DataFrame) -> DataFrame:
         events.select("event_type", "user_id", cents.alias("c"))
         .groupBy("event_type", "user_id")
         .agg(F.sum("c").cast("long").alias("x"))
-    )
+    ).localCheckpoint(eager=False)
+    # lineage cut (rfm precedent): global_rank's sample and counts
+    # branches would otherwise each re-run the corpus-sized events
+    # scan+agg — three full executions for one O(users) frame
     ranked = global_rank(per_user, ["event_type", "x", "user_id"])
     return (
         ranked.groupBy("event_type")
