@@ -180,6 +180,17 @@ def main() -> None:
             t0 = time.perf_counter()
             df = fn(spark, ingest_dir)
             constructs[name] = round(time.perf_counter() - t0, 3)
+            # Enforce the invariant the construct-once form relies on:
+            # a query whose construction pins state (localCheckpoint /
+            # persisted RDDs — they show as LogicalRDD scans) would
+            # have its dominant work amortized OUT of the timed
+            # repeats, which must fail loudly, not flatter the number.
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            assert "LogicalRDD" not in plan and "ExistingRDD" not in plan, (
+                f"{name}: construct-once timing is invalid for plans "
+                "with checkpointed/persisted state — time it "
+                "construct-per-run instead"
+            )
             df.write.format("noop").mode("overwrite").save()
             # q_dedup_ngram sits inside the host's ±0.4 s noise band
             # (round-3 VERDICT item 7): 5 warm repeats instead of 3 so

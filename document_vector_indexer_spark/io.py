@@ -152,15 +152,22 @@ def table_path(sf_dir: str, name: str) -> str:
 _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _session_cache(spark: SparkSession) -> dict:
+    """The per-session (sf_dir, name) -> DataFrame cache, shared by
+    ``load_table`` and ``load_derived`` (one cache protocol, one
+    implementation)."""
     global _TABLE_CACHE
-    if name not in TABLES:
-        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if _TABLE_CACHE is None:
         import weakref
 
         _TABLE_CACHE = weakref.WeakKeyDictionary()
-    per_session = _TABLE_CACHE.setdefault(spark, {})
+    return _TABLE_CACHE.setdefault(spark, {})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    per_session = _session_cache(spark)
     got = per_session.get((sf_dir, name))
     if got is not None:
         return got
@@ -290,15 +297,10 @@ def load_derived(
     computing the projection inline. Local-path existence probe only:
     this harness always reads local dirs; an object-store deployment
     would track projections in the catalog instead."""
-    global _TABLE_CACHE
     p = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(p):
         return None
-    if _TABLE_CACHE is None:
-        import weakref
-
-        _TABLE_CACHE = weakref.WeakKeyDictionary()
-    per_session = _TABLE_CACHE.setdefault(spark, {})
+    per_session = _session_cache(spark)
     got = per_session.get((sf_dir, name))
     if got is None:
         got = spark.read.parquet(p)

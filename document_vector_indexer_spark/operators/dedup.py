@@ -148,41 +148,21 @@ def ngram_jaccard_pairs(
     # also parallelizes tokenization when the input is a single
     # file/row group, and hash(id) distribution is what downstream
     # wants anyway.
-    if shingles_df is not None:
-        # Engine-layout fast path: ``shingles_df`` is the materialized
-        # ``shingle_projection`` read back from storage (ingest wrote
-        # it once). Scan attributes carry no lambda-CSE hazard and the
-        # multi-file scan parallelizes on its own, so neither the
-        # tokenizer barrier exchange nor the per-query gram build
-        # exists in this plan — the query starts at the explode.
-        exploded = shingles_df.select(
-            *block_cols, "id", F.explode("shingles").alias("shingle")
+    # Engine-layout fast path: ``shingles_df`` is the materialized
+    # ``shingle_projection`` read back from storage (ingest wrote it
+    # once) — scan attributes carry no lambda-CSE hazard and the
+    # multi-file scan parallelizes on its own, so neither the tokenizer
+    # barrier exchange nor the per-query gram build exists in that
+    # plan. Raw-fixture path: the SAME projection computed inline
+    # (single source of truth — the stored and inline forms cannot
+    # drift).
+    if shingles_df is None:
+        shingles_df = shingle_projection(
+            df, block_cols=block_cols, text_col=text_col, id_col=id_col, n=n
         )
-    else:
-        # Raw-fixture path: build inline. No per-doc distinct /
-        # dropDuplicates before the explode: the collect_set below
-        # dedups (id, shingle) repeats as part of the same aggregation.
-        words_df = df.repartition(F.col(id_col)).select(
-            *block_cols,
-            F.col(id_col).alias("id"),
-            TX.word_tokens(F.col(text_col)).alias("words"),
-        )
-        grams = F.when(
-            F.size("words") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("words") - n),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at(F.col("words"), (i + j + 1).cast("int"))
-                        for j in range(n)
-                    ],
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        exploded = words_df.select(
-            *block_cols, "id", F.explode(grams).alias("shingle")
-        )
+    exploded = shingles_df.select(
+        *block_cols, "id", F.explode("shingles").alias("shingle")
+    )
     # One aggregation builds the inverted index AND dedups repeats
     # (collect_set), replacing the dropDuplicates + count-window +
     # self-join chain: candidate pairs are generated row-locally from

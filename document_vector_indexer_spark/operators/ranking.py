@@ -82,75 +82,14 @@ def global_rank(
     rank nondeterministic — same contract as any order-based id).
     NULL key components are allowed and rank first (Spark's asc
     nulls-first order); rows are never dropped for NULL keys.
+
+    Thin wrapper over :func:`multi_global_rank` (one algorithm, one
+    place for NULL/boundary semantics — the r6 review's dedup).
     """
-    if num_partitions is not None:
-        n_part = num_partitions
-    else:
-        # sparkContext is absent under Spark Connect (round-2 ADVICE);
-        # fall back to the shuffle-partition conf there.
-        try:
-            n_part = df.sparkSession.sparkContext.defaultParallelism
-        except Exception:
-            n_part = int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-            )
-    key_cols = [F.col(c) for c in order_cols]
-
-    # Pass 0: ONE bounded sample job -> literal boundaries. md5 of the
-    # key selects a uniform pseudo-random subset via TakeOrdered
-    # (distributed, driver receives <= cap rows); key columns break md5
-    # ties so the sample itself is deterministic.
-    cap = n_part * _SAMPLE_PER_BUCKET
-    sample = (
-        df.select(*key_cols)
-        .withColumn(
-            "_h",
-            F.md5(F.concat_ws("\x1f", *[c.cast("string") for c in key_cols])),
-        )
-        .orderBy("_h", *key_cols)
-        .limit(cap)
-        .drop("_h")
-        .orderBy(*key_cols)
-        .collect()
-    )
-    keys = [tuple(r) for r in sample]
-    bounds = []
-    if len(keys) > 1:
-        seen = set()
-        for j in range(1, n_part):
-            b = keys[(j * len(keys)) // n_part]
-            if b not in seen:  # duplicate boundaries would make dead buckets
-                seen.add(b)
-                bounds.append(b)
-
-    bkt = F.lit(0)
-    for b in bounds:
-        bkt = bkt + _tuple_gt(key_cols, b).cast("int")
-    bucketed = df.withColumn("_bkt", bkt)
-    local = bucketed.withColumn(
-        "_lrn",
-        F.row_number().over(Window.partitionBy("_bkt").orderBy(*key_cols)),
-    )
-    # counts is one row per bucket — driver-sized by construction, so
-    # the single-partition cumulative window over it is bounded (this is
-    # the one allow-listed empty-partitionBy window: #rows <= n_part).
-    # Aggregated from the PRE-window frame: the bucket id is map-side,
-    # so the counts branch never re-executes the row_number
-    # exchange+sort (r6: q_gini dropped 2 of its 4 WindowExecs).
-    counts = bucketed.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
-    w_ofs = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    w_tot = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = counts.select(
-        "_bkt",
-        F.coalesce(F.sum("_cnt").over(w_ofs), F.lit(0)).alias("_ofs"),
-        F.sum("_cnt").over(w_tot).alias(total_col),
-    )
-    return (
-        local.join(F.broadcast(offsets), "_bkt")
-        .withColumn(rank_col, F.col("_ofs") + F.col("_lrn"))
-        .drop("_bkt", "_lrn", "_ofs")
+    return multi_global_rank(
+        df,
+        [(order_cols, rank_col, total_col)],
+        num_partitions=num_partitions,
     )
 
 

@@ -285,7 +285,9 @@ def _tounicode_map(scan: bytes) -> "tuple[dict[int, str], int]":
                 i = j + 1
             else:
                 # scalar start value: consecutive codes increment the
-                # LAST UTF-16 code unit (spec §9.10.3)
+                # LAST UTF-16 code unit (spec §9.10.3) and shall not
+                # overflow it — wrapping would silently map trailing
+                # codes to U+0000.. (raise-never-guess)
                 base_raw = bytes.fromhex(
                     re.sub(rb"\s", b"", dst).decode("ascii")
                 )
@@ -294,8 +296,13 @@ def _tounicode_map(scan: bytes) -> "tuple[dict[int, str], int]":
                         "pdf: odd-length UTF-16BE value in ToUnicode CMap"
                     )
                 last = int.from_bytes(base_raw[-2:], "big")
+                if last + (hi - lo) > 0xFFFF:
+                    raise ValueError(
+                        "pdf: bfrange increments past U+FFFF (spec "
+                        "§9.10.3 forbids overflowing the last code unit)"
+                    )
                 for off in range(hi - lo + 1):
-                    raw = base_raw[:-2] + ((last + off) & 0xFFFF).to_bytes(2, "big")
+                    raw = base_raw[:-2] + (last + off).to_bytes(2, "big")
                     put(lo + off, raw.decode("utf-16-be"))
                 i += 3
     return mapping, (width or 0)
@@ -438,9 +445,15 @@ def _parse_text_ops(
     stream: bytes, decode: Callable[[bytes], str] = _latin1
 ) -> list[str]:
     """One linear scan of a content stream, collecting the strings fed
-    to text-showing operators and newlines for line-moving ones."""
+    to text-showing operators and newlines for line-moving ones.
+
+    Strings stay RAW until a show operator consumes them: non-show
+    string operands (BDC /ActualText values, Tf names' neighbors, ...)
+    are cleared, never decoded — eager decoding fed them to the CID
+    decoder, which rightly raises on non-width-aligned bytes and
+    turned decodable Type0 files into error rows (r6 review)."""
     pieces: list[str] = []
-    pending: list[str] = []
+    pending: list[bytes] = []
     i, n = 0, len(stream)
     while i < n:
         c = stream[i : i + 1]
@@ -461,7 +474,7 @@ def _parse_text_ops(
                         break
                 buf += ch
                 j += 1
-            pending.append(decode(_unescape_literal(bytes(buf))))
+            pending.append(_unescape_literal(bytes(buf)))
             i = j + 1
         elif c == b"<" and stream[i + 1 : i + 2] == b"<":
             i += 2  # dictionary opener (BDC/DP property lists) — skip
@@ -477,11 +490,11 @@ def _parse_text_ops(
                 raw = bytes.fromhex(hexbody.decode("ascii"))
             except (ValueError, UnicodeDecodeError):
                 raw = None  # not a hex string after all — skip, don't
-                # abort (decode() errors below DO propagate: a CID
-                # decoder raising on unmapped codes is the error-row
-                # contract, not a malformed token)
+                # abort (decode() errors at SHOW time DO propagate: a
+                # CID decoder raising on unmapped codes is the
+                # error-row contract, not a malformed token)
             if raw is not None:
-                pending.append(decode(raw))
+                pending.append(raw)
             i = j + 1
         elif c.isalpha() or c in (b"'", b'"', b"*"):
             j = i
@@ -489,10 +502,10 @@ def _parse_text_ops(
                 j += 1
             op = stream[i:j]
             if op in (b"Tj", b"TJ"):
-                pieces.extend(pending)
+                pieces.extend(decode(p) for p in pending)
             elif op in (b"'", b'"'):
                 pieces.append("\n")
-                pieces.extend(pending)
+                pieces.extend(decode(p) for p in pending)
             elif op in (b"Td", b"TD", b"T*", b"ET"):
                 pieces.append("\n")
             pending.clear()
@@ -538,6 +551,22 @@ def extract_pdf_text(content: bytes) -> str:
     else:
         diff_map = _differences_map(scan)
         if diff_map:
+            # the merged map is applied file-wide, which is only sound
+            # when EVERY font carries a /Differences encoding — a
+            # default-encoded font alongside one would have its
+            # latin-1 bytes silently remapped (r6 review: '(café)' in
+            # a second font extracting as 'cafä' with ok=True).
+            # Per-font Tf tracking is native-kernel territory, so the
+            # mixed case raises instead.
+            n_fonts = len(set(re.findall(rb"/BaseFont\s*/([^\s/<>\[\]()]+)", scan)))
+            n_diff = len(_DIFF_RE.findall(scan))
+            if n_fonts > n_diff:
+                raise ValueError(
+                    "pdf: /Differences present but not on every font — "
+                    "per-font encoding tracking is native-kernel "
+                    "territory (a merged map would silently remap the "
+                    "default-encoded fonts' text)"
+                )
             decode = lambda bs: "".join(  # noqa: E731
                 diff_map.get(b, chr(b)) for b in bs
             )

@@ -85,6 +85,13 @@ def _luma(r: int, g: int, b: int) -> int:
 # color type -> samples per pixel (before palette expansion)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# per-image pixel cap for every format: the decoders build Python int
+# lists (~28 B/pixel), so a declared-huge header must raise (-> null
+# row) instead of exhausting executor memory. 64 MP covers any
+# plausible document image; a real media pipeline swaps in a native
+# kernel long before this matters.
+_MAX_PIXELS = 1 << 26
+
 
 def _png_chunks(data: bytes):
     pos = len(_PNG_SIG)
@@ -139,12 +146,24 @@ def _decode_png(data: bytes) -> tuple[int, int, list[int]]:
     if color_type == 3 and (plte is None or len(plte) % 3):
         raise ValueError("PNG indexed image missing/bad PLTE")
     ch = _PNG_CHANNELS[color_type]
+    if width * height > _MAX_PIXELS:
+        raise ValueError(
+            f"PNG {width}x{height} exceeds the stdlib tier's "
+            f"{_MAX_PIXELS}-pixel cap"
+        )
+    stride = width * ch
+    expected = (stride + 1) * height
+    # bounded inflate: a corrupt/adversarial IDAT must raise ValueError
+    # (-> null-feature row), never allocate unbounded memory and OOM
+    # the executor ("corrupt media must never kill a 100 TB job")
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        # max_length = expected + 1: an overlong stream shows up as one
+        # extra byte instead of a multi-GB allocation
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as e:  # truncated/corrupt IDAT
         raise ValueError(f"PNG broken IDAT stream: {e}") from e
-    stride = width * ch
-    if len(raw) != (stride + 1) * height:
+    if len(raw) != expected:
         raise ValueError("PNG decompressed size mismatch")
 
     # unfilter scanlines (spec §9: filters operate on the raw bytes of
@@ -220,6 +239,11 @@ def _decode_bmp(data: bytes) -> tuple[int, int, list[int]]:
     if width <= 0 or raw_h == 0:
         raise ValueError("BMP invalid dimensions")
     height = abs(raw_h)
+    if width * height > _MAX_PIXELS:
+        raise ValueError(
+            f"BMP {width}x{height} exceeds the stdlib tier's "
+            f"{_MAX_PIXELS}-pixel cap"
+        )
     top_down = raw_h < 0
     nbytes = bpp // 8
     stride = (width * nbytes + 3) & ~3  # rows pad to 4-byte boundary
@@ -273,6 +297,11 @@ def _decode_pnm(data: bytes) -> tuple[int, int, list[int]]:
     width, height, maxval = w_h_max
     if width <= 0 or height <= 0:
         raise ValueError("PNM invalid dimensions")
+    if width * height > _MAX_PIXELS:
+        raise ValueError(
+            f"PNM {width}x{height} exceeds the stdlib tier's "
+            f"{_MAX_PIXELS}-pixel cap"
+        )
     if not (0 < maxval <= 255):
         raise ValueError(f"PNM maxval {maxval} unsupported (1..255)")
     if data[pos : pos + 2] == b"\r\n":

@@ -314,3 +314,42 @@ def test_pnm_crlf_after_maxval_rejected():
     bad = good.replace(b"255\n", b"255\r\n")
     with pytest.raises(ValueError, match="CRLF"):
         MI.decode_image(bad)
+
+
+def test_png_decompression_bomb_bounded():
+    """A tiny IDAT inflating far past the declared dims must raise
+    ValueError (null row) without allocating the inflated size."""
+    bomb_raw = b"\x00" * 10_000_000  # inflates to 10 MB for a 2x2 gray image
+    idat = zlib.compress(bomb_raw)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        MI.decode_image(bad)
+
+
+def test_huge_declared_dims_rejected():
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="pixel cap"):
+        MI.decode_image(bad)
+    with pytest.raises(ValueError, match="pixel cap"):
+        MI.decode_image(b"P5\n100000 100000\n255\n")

@@ -556,3 +556,57 @@ def test_pdf_type0_without_tounicode_still_raises():
     )
     with _pytest.raises(ValueError, match="without a /ToUnicode"):
         extract_pdf_text(pdf)
+
+
+# --- round-6 review fixes: CID/Differences decode boundaries -----------
+
+
+def test_pdf_differences_with_default_encoded_font_raises():
+    """A /Differences map from one font must NOT silently remap bytes
+    shown by a second, default-encoded font ('(café)' extracting as
+    'cafä' with ok=True) — the mixed case raises (error row)."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = b"BT /F1 12 Tf 72 720 Td (caf\xe9) Tj ET"
+    pdf = _build_pdf(ops, compress=False).replace(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"
+        b"endobj\n7 0 obj\n<< /Type /Font /Subtype /TrueType "
+        b"/BaseFont /ABCDEF+Sub /Encoding << /Differences "
+        b"[ 233 /adieresis ] >> >>",
+    )
+    with _pytest.raises(ValueError, match="not on every font"):
+        extract_pdf_text(pdf)
+
+
+def test_pdf_cid_nonshow_string_not_decoded():
+    """Strings that no show operator consumes (BDC /ActualText values)
+    must not reach the CID decoder — eager decoding turned decodable
+    Type0 files into error rows on width-unaligned property strings."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    cmap = _CMAP_PREAMBLE + (
+        b"2 beginbfchar\n<0001> <0048>\n<0002> <0069>\nendbfchar\nendcmap\n"
+    )
+    ops = (
+        b"BT /Span << /ActualText (odd) >> BDC "
+        b"<00010002> Tj EMC ET"
+    )
+    assert extract_pdf_text(_cmap_pdf(ops, cmap)) == "Hi"
+
+
+def test_pdf_bfrange_overflow_raises():
+    """bfrange increments only the last UTF-16 code unit and must not
+    wrap past U+FFFF into U+0000 garbage (spec 9.10.3)."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    cmap = _CMAP_PREAMBLE + (
+        b"1 beginbfrange\n<0001> <0003> <FFFE>\nendbfrange\nendcmap\n"
+    )
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    with _pytest.raises(ValueError, match="past U"):
+        extract_pdf_text(_cmap_pdf(ops, cmap))
