@@ -654,16 +654,24 @@ def embedding_near_dup_pairs(
     (``embedding_lsh_blocks`` — requires ``dim``). There is no
     all-pairs path: a crossJoin fallback is quadratic and unrunnable at
     scale, so it does not exist here. Returns (id_a, id_b, sim)."""
+    # Per-ROW norms are hoisted BEFORE the pair join (r6): cosine per
+    # candidate pair ran three interpreted array folds (dot + both
+    # norms); the norm is a row property, so computing it once per side
+    # and dividing per pair is the identical expression tree per value
+    # — bit-identical sims (oracle untouched) at one fold per pair.
+    norm = F.sqrt(V.dot(F.col(vec_col), F.col(vec_col)))
     if block_col is not None:
         a = df.select(
             F.col(block_col).alias("blk"),
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("vec_a"),
+            norm.alias("n_a"),
         )
         b = df.select(
             F.col(block_col).alias("blk"),
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("vec_b"),
+            norm.alias("n_b"),
         )
         cand = a.join(b, on="blk", how="inner").filter(F.col("id_a") < F.col("id_b"))
     else:
@@ -680,23 +688,32 @@ def embedding_near_dup_pairs(
             "bucket",
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("vec_a"),
+            norm.alias("n_a"),
         )
         b = blocks.select(
             "band",
             "bucket",
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("vec_b"),
+            norm.alias("n_b"),
         )
         # equi-join on (band, bucket); a pair found in several bands is
-        # collapsed to one row (vectors are identical per id, so any
-        # surviving copy is the same pair)
+        # collapsed to one row BEFORE scoring (vectors are identical
+        # per id, so any surviving copy is the same pair). Measured
+        # dead-end (r6): scoring per band copy and deduping the narrow
+        # (id_a, id_b, sim) survivors instead is ~35% SLOWER here —
+        # near-dup candidates match in most bands, so the duplicated
+        # folds outweigh the narrower exchange.
         cand = (
             a.join(b, on=["band", "bucket"], how="inner")
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
     return (
-        cand.withColumn("sim", V.cosine(F.col("vec_a"), F.col("vec_b")))
+        cand.withColumn(
+            "sim",
+            V.dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

@@ -91,6 +91,10 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                         #     /Differences + ToUnicode CID decoding —
                         #     extraction kernel changed; fixture
                         #     round-trips re-verified in pytest
+    "q_dedup_embed",    # r6: per-row norms hoisted before the pair
+    "q_cross_cosine",   #     join (bit-identical sims, one fold per
+                        #     pair instead of three); parity
+                        #     re-verified at sf0.001/0.01/0.1 locally
     "q_pagerank",       # r6: loop-invariant ew/base frames checkpointed
                         #     pre-partitioned — one exchange per
                         #     iteration; bit-exact integer rule
