@@ -44,16 +44,25 @@ def knn_brute(
     on query_id — with q queries the shuffle carries q*k rows per
     partition at most once AQE coalesces.
     """
+    # per-ROW norms hoisted out of the per-(row, query) scoring: the
+    # same bit-identical split as dedup.embedding_near_dup_pairs (r6)
+    # — dot/(n_v*n_q) is the identical expression tree per value, but
+    # each norm folds once per row/query instead of once per pair
     sim = (
-        V.cosine(F.col(vec_col), F.col("q_vec"))
+        V.dot(F.col(vec_col), F.col("q_vec")) / (F.col("_n_v") * F.col("_n_q"))
         if metric == "cosine"
         else -V.l2_distance(F.col(vec_col), F.col("q_vec"))
     )
+    norm = lambda c: F.sqrt(V.dot(F.col(c), F.col(c)))  # noqa: E731
     q = query.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.sqrt(V.dot(F.col(vec_col), F.col(vec_col))).alias("_n_q"),
     )
-    scored = vectors.join(F.broadcast(q)).select(
-        "query_id", F.col(id_col).alias("id"), sim.alias("sim")
+    scored = (
+        vectors.withColumn("_n_v", norm(vec_col))
+        .join(F.broadcast(q))
+        .select("query_id", F.col(id_col).alias("id"), sim.alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id"))
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
@@ -190,10 +199,27 @@ def knn_ivf_pinned(
             )["cell"]
         ).alias("cell"),
     )
-    scored = assigned.join(F.broadcast(probes), "cell").select(
-        "query_id",
-        "id",
-        V.cosine(F.col(vec_col), F.col("q_vec")).alias("sim"),
+    # hoisted per-row/per-probe norms (knn_brute r6 note): same values
+    scored = (
+        assigned.withColumn(
+            "_n_v", F.sqrt(V.dot(F.col(vec_col), F.col(vec_col)))
+        )
+        .join(
+            F.broadcast(
+                probes.withColumn(
+                    "_n_q", F.sqrt(V.dot(F.col("q_vec"), F.col("q_vec")))
+                )
+            ),
+            "cell",
+        )
+        .select(
+            "query_id",
+            "id",
+            (
+                V.dot(F.col(vec_col), F.col("q_vec"))
+                / (F.col("_n_v") * F.col("_n_q"))
+            ).alias("sim"),
+        )
     )
     w_top = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id"))
     return scored.withColumn("rk", F.row_number().over(w_top).cast("long")).filter(
@@ -288,10 +314,25 @@ def knn_lsh_pinned(
         "band",
         "bucket",
     )
-    cand = cb.join(F.broadcast(qb), ["band", "bucket"]).select(
-        "query_id",
-        F.col(id_col).alias("id"),
-        V.cosine(F.col(vec_col), F.col("q_vec")).alias("sim"),
+    # hoisted per-row/per-query norms (knn_brute r6 note): same values
+    cand = (
+        cb.withColumn("_n_v", F.sqrt(V.dot(F.col(vec_col), F.col(vec_col))))
+        .join(
+            F.broadcast(
+                qb.withColumn(
+                    "_n_q", F.sqrt(V.dot(F.col("q_vec"), F.col("q_vec")))
+                )
+            ),
+            ["band", "bucket"],
+        )
+        .select(
+            "query_id",
+            F.col(id_col).alias("id"),
+            (
+                V.dot(F.col(vec_col), F.col("q_vec"))
+                / (F.col("_n_v") * F.col("_n_q"))
+            ).alias("sim"),
+        )
     )
     uniq = cand.groupBy("query_id", "id").agg(F.max("sim").alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id"))

@@ -91,6 +91,11 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                         #     /Differences + ToUnicode CID decoding —
                         #     extraction kernel changed; fixture
                         #     round-trips re-verified in pytest
+    "q_knn_brute",      # r6: same norm hoist in the kNN family
+    "q_knn_per_query",  #     (knn_brute / knn_ivf_pinned /
+    "q_knn_ivf",        #     knn_lsh_pinned); bit-identical sims,
+    "q_knn_lsh_pinned", #     parity re-verified at sf0.01 locally
+    "q_hybrid_rrf",     #     (hybrid consumes knn_brute's top-50)
     "q_dedup_embed",    # r6: per-row norms hoisted before the pair
     "q_cross_cosine",   #     join (bit-identical sims, one fold per
                         #     pair instead of three); parity
