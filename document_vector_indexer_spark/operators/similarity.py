@@ -53,14 +53,14 @@ def knn_brute(
         if metric == "cosine"
         else -V.l2_distance(F.col(vec_col), F.col("q_vec"))
     )
-    norm = lambda c: F.sqrt(V.dot(F.col(c), F.col(c)))  # noqa: E731
+    norm = F.sqrt(V.dot(F.col(vec_col), F.col(vec_col)))
     q = query.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.sqrt(V.dot(F.col(vec_col), F.col(vec_col))).alias("_n_q"),
+        norm.alias("_n_q"),
     )
     scored = (
-        vectors.withColumn("_n_v", norm(vec_col))
+        vectors.withColumn("_n_v", norm)
         .join(F.broadcast(q))
         .select("query_id", F.col(id_col).alias("id"), sim.alias("sim"))
     )
