@@ -610,3 +610,54 @@ def test_pdf_bfrange_overflow_raises():
     ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
     with _pytest.raises(ValueError, match="past U"):
         extract_pdf_text(_cmap_pdf(ops, cmap))
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_pdf_type0_tounicode_round_trips(data):
+    """Property: ANY code->text map expressible as bfchar entries
+    round-trips exactly through a Type0 PDF (hex show strings, Flate
+    or plain CMap stream)."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    n = data.draw(st.integers(1, 12))
+    codes = data.draw(
+        st.lists(
+            st.integers(1, 0xFFFF), min_size=n, max_size=n, unique=True
+        )
+    )
+    # BMP text only, excluding surrogates and the chars the extractor
+    # normalizes away at line level (\r treated as text char is fine;
+    # avoid \n which the parser emits for line moves, and NULs which
+    # rstrip keeps — keep it printable-ish)
+    texts = data.draw(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=0x21,
+                    max_codepoint=0xD700,
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    flate = data.draw(st.booleans())
+    bfchars = b"".join(
+        b"<%04X> <%s>\n" % (c, t.encode("utf-16-be").hex().upper().encode())
+        for c, t in zip(codes, texts)
+    )
+    cmap = _CMAP_PREAMBLE + (
+        b"%d beginbfchar\n%s endbfchar\nendcmap\n" % (len(codes), bfchars)
+    )
+    shown = data.draw(
+        st.lists(st.sampled_from(codes), min_size=1, max_size=20)
+    )
+    ops = b"BT /F1 12 Tf 0 0 Td <%s> Tj ET" % (
+        "".join(f"{c:04X}" for c in shown).encode()
+    )
+    expected = "".join(dict(zip(codes, texts))[c] for c in shown).rstrip()
+    got = extract_pdf_text(_cmap_pdf(ops, cmap, compress_cmap=flate))
+    assert got == expected
