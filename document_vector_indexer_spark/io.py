@@ -172,11 +172,62 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if got is not None:
         return got
     if name == "events":
-        df = _load_events(spark, sf_dir)
+        df = _load_events_bucketed(spark, sf_dir)
+        if df is None:
+            df = _load_events(spark, sf_dir)
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     per_session[(sf_dir, name)] = df
     return df
+
+
+# The event tables' natural cluster key: every per-user operator in the
+# engine (sessionization, funnels, retention, paths, attribution, asof)
+# requires ClusteredDistribution(user_id), so `ingest_engine_layout`
+# pays that one hash shuffle ONCE and stores events as a bucketed +
+# per-bucket-sorted parquet table. Any hash-compatible partitioning on
+# a SUBSET of an operator's grouping keys satisfies its clustered
+# requirement, so the bucketed scan removes the Exchange from every one
+# of those plans (at 100 TB this is the standard warehouse layout
+# decision — the same rationale as `write_bucketed` below). 8 buckets
+# matches the bench's shuffle width; a production ingest sizes this to
+# ~2-3x total executor cores.
+EVENTS_BUCKETED_DIRNAME = "events_by_user"
+EVENTS_BUCKETS = 8
+
+
+def _events_bucketed_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, EVENTS_BUCKETED_DIRNAME)
+
+
+def _load_events_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The bucketed events table written by ``ingest_engine_layout``,
+    or ``None`` on raw fixture dirs (the driver's correctness runs read
+    those; they fall back to ``_load_events`` — same values, the
+    rewrite is lossless).
+
+    Bucket METADATA lives in a catalog, not in parquet files, and the
+    ingest runs in its own process — so this registers an external
+    bucketed table over the already-bucket-named files (a pure
+    metadata-only DDL: no job, no data movement; the production analog
+    is the table simply living in the metastore)."""
+    loc = _events_bucketed_path(sf_dir)
+    if not os.path.isdir(loc):
+        return None
+    import hashlib
+
+    tbl = (
+        "events_by_user_"
+        + hashlib.md5(os.path.abspath(loc).encode()).hexdigest()[:10]
+    )
+    if not spark.catalog.tableExists(tbl):
+        ddl = spark.read.parquet(loc)._jdf.schema().toDDL()
+        spark.sql(
+            f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+            f"CLUSTERED BY (user_id) SORTED BY (user_id, ts) "
+            f"INTO {EVENTS_BUCKETS} BUCKETS LOCATION '{loc}'"
+        )
+    return spark.table(tbl)
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,9 +331,37 @@ def ingest_engine_layout(
             os.path.join(dest, "documents__shingles3.parquet")
         )
 
-    with ThreadPoolExecutor(max_workers=len(TABLES) + 1) as pool:
+    def rewrite_events_bucketed() -> None:
+        # Second events layout: bucketed on the natural cluster key
+        # (see _load_events_bucketed). bucketBy requires saveAsTable
+        # (bucket metadata is catalog-borne); writing through a
+        # throwaway EXTERNAL table name leaves the bucket-named files
+        # under dest and drops the catalog entry — readers re-register
+        # over the files. repartition(n, key) uses the same
+        # pmod(murmur3) as the bucket hash, so each task holds exactly
+        # one bucket and writes exactly one file per bucket.
+        import hashlib
+
+        loc = _events_bucketed_path(dest)
+        tmp = (
+            "dvi_ingest_events_bkt_"
+            + hashlib.md5(os.path.abspath(loc).encode()).hexdigest()[:10]
+        )
+        (
+            load_table(spark, sf_dir, "events")
+            .repartition(EVENTS_BUCKETS, "user_id")
+            .write.bucketBy(EVENTS_BUCKETS, "user_id")
+            .sortBy("user_id", "ts")
+            .option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(tmp)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+
+    with ThreadPoolExecutor(max_workers=len(TABLES) + 2) as pool:
         futs = [pool.submit(rewrite, t) for t in TABLES]
         futs.append(pool.submit(rewrite_shingles))
+        futs.append(pool.submit(rewrite_events_bucketed))
         for fut in futs:
             fut.result()  # propagate the first failure
     return dest

@@ -81,55 +81,20 @@ def all_queries() -> dict[str, QuerySpec]:
 # the back of the queue. tests/test_registry.py simulates the rotation
 # forward and asserts the staleness bound.
 
-# Changed in round 6: see rule 1 above.
+# Changed in round 8: see rule 1 above.
 _CHANGED_SINCE_VERIFIED: list[str] = [
-    "q_decontaminate",  # r6: per-row gram window key (_id, _row) —
-                        #     duplicate-id corruption fix (r5 ADVICE);
-                        #     oracle text unchanged, sf0.01 parity
-                        #     re-verified locally
-    "q_source_binary",  # r6: minidoc stream-boundary fix +
-                        #     /Differences + ToUnicode CID decoding —
-                        #     extraction kernel changed; fixture
-                        #     round-trips re-verified in pytest
-    "q_knn_brute",      # r6: same norm hoist in the kNN family
-    "q_knn_per_query",  #     (knn_brute / knn_ivf_pinned /
-    "q_knn_ivf",        #     knn_lsh_pinned); bit-identical sims,
-    "q_knn_lsh_pinned", #     parity re-verified at sf0.01 locally
-    "q_hybrid_rrf",     #     (hybrid consumes knn_brute's top-50)
-    "q_dedup_embed",    # r6: per-row norms hoisted before the pair
-    "q_cross_cosine",   #     join (bit-identical sims, one fold per
-                        #     pair instead of three); parity
-                        #     re-verified at sf0.001/0.01/0.1 locally
-    "q_pagerank",       # r6: loop-invariant ew/base frames checkpointed
-                        #     pre-partitioned — one exchange per
-                        #     iteration; bit-exact integer rule
-                        #     unchanged, parity re-verified at
-                        #     sf0.01 and sf0.1 locally
-    "q_dedup_cluster",  # r6: connected_components loop reworked
-    "q_dedup_apply",    #     (co-partitioned checkpoints, fused
-    "q_golden_record",  #     convergence probe); values identical,
-                        #     parity re-verified at sf0.01 locally
-    "q_gini",           # r6: global_rank counts branch now aggregates
-    "q_win_ntile",      #     the PRE-window bucketed frame (values
-    "q_corpus_shuffle", #     identical, one less window execution per
-    "q_sink_roundtrip", #     consumer plan); parity re-verified at
-                        #     sf0.01 locally for all four
-    "q_rfm",            # r6: chained global_rank -> multi_global_rank
-                        #     (one shared sample job, map-side counts,
-                        #     checkpointed per-user frame); oracle text
-                        #     unchanged, parity re-verified at
-                        #     sf0.001/0.01/0.1 locally
-    "q_dedup_ngram",    # r6: ngram_jaccard_pairs tail rewritten
-    "q_dedup_contain",  #     (window size-attach replaces the
-                        #     sizes/pairs diamond) + optional ingest
-                        #     shingle sidecar; oracle text unchanged,
-                        #     sf0.01 parity re-verified on BOTH the
-                        #     inline and sidecar paths locally
+    "q_stream_session",  # r8: events now load from the ingest layout's
+                         #     bucketed events_by_user table when
+                         #     present (io._load_events_bucketed) —
+                         #     raw-dir fallback identical; all 31
+                         #     events-family keys re-verified via
+                         #     tools/driver_sim.py ON the bucketed
+                         #     layout (fresh process, hostile TZ)
 ]
-# (The whole round-5 list — the gini/KS zero-guard pair and the
-# seventeen hashing-family keys re-fronted after the hot-path rewrite —
-# got green rows in CORRECTNESS_r05.json and rotates by age like
-# everything else now.)
+# (The whole round-6 list — the 20 keys re-fronted after the norm
+# hoist / checkpoint / multi_global_rank / ngram-tail rewrites — got
+# green rows in CORRECTNESS_r07.json and rotates by age like
+# everything else now, exactly as the round-5 list did before it.)
 
 
 def _last_verified_rounds() -> dict[str, int]:
