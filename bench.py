@@ -158,6 +158,17 @@ def main() -> None:
     spreads: dict[str, float] = {}
     constructs: dict[str, float] = {}
     try:
+        # Warm the table catalog before anything is measured: the FIRST
+        # construction of a query over a given sf_dir pays one-time
+        # driver-side scan setup (file listing, parquet footer schema
+        # read, bucketed-table registration) that a warm engine — and
+        # the DuckDB comparator, whose views are registered up front —
+        # never pays per query. Constructing each frame once here moves
+        # that cost out of construct_sec AND lets the job-delta guard
+        # below assert the strict invariant: a MEASURED construction
+        # runs zero Spark jobs.
+        for name in HEADLINE:
+            specs[name].fn(spark, ingest_dir)
         for name in HEADLINE:
             fn = specs[name].fn
             # Construct the DataFrame ONCE and measure repeated
@@ -177,6 +188,8 @@ def main() -> None:
             # (construct_sec) so both readings are in the JSON:
             # prepared-form per-execution time AND what a client
             # paying expression assembly every time would add.
+            tracker = spark.sparkContext.statusTracker()
+            jobs_before = max(tracker.getJobIdsForGroup(None), default=-1)
             t0 = time.perf_counter()
             df = fn(spark, ingest_dir)
             constructs[name] = round(time.perf_counter() - t0, 3)
@@ -190,6 +203,23 @@ def main() -> None:
                 f"{name}: construct-once timing is invalid for plans "
                 "with checkpointed/persisted state — time it "
                 "construct-per-run instead"
+            )
+            # Second leg of the same invariant (r7 ADVICE): plan-shape
+            # checks can't see construct-time DRIVER JOBS that leave no
+            # scan behind (a boundary-sample collect whose literals are
+            # baked into the plan). Job IDs are monotonic and the bench
+            # never sets a job group, so any job id above the
+            # pre-construction high-water mark means construction ran
+            # Spark work that the timed repeats would amortize away.
+            new_jobs = [
+                j
+                for j in tracker.getJobIdsForGroup(None)
+                if j > jobs_before
+            ]
+            assert not new_jobs, (
+                f"{name}: construction ran {len(new_jobs)} Spark "
+                "job(s) — its work would be amortized out of the timed "
+                "repeats; time it construct-per-run instead"
             )
             df.write.format("noop").mode("overwrite").save()
             # q_dedup_ngram sits inside the host's ±0.4 s noise band

@@ -107,7 +107,15 @@ def shingle_projection(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return words_df.select(
-        *block_cols, "id", F.array_distinct(grams).alias("shingles")
+        *block_cols,
+        "id",
+        # (n, text_col) ride along as column metadata — Spark persists
+        # StructField metadata through parquet, so the stored sidecar
+        # carries its own provenance and ngram_jaccard_pairs can refuse
+        # a mismatched one instead of silently computing wrong Jaccard
+        F.array_distinct(grams).alias(
+            "shingles", metadata={"n": n, "text_col": text_col}
+        ),
     )
 
 
@@ -160,6 +168,28 @@ def ngram_jaccard_pairs(
         shingles_df = shingle_projection(
             df, block_cols=block_cols, text_col=text_col, id_col=id_col, n=n
         )
+    else:
+        # A supplied sidecar must have been built with THIS call's
+        # (n, text_col) — an n=4 caller handed the n=3 sidecar would
+        # compute silently wrong Jaccard (r7 ADVICE). The projection
+        # stamps both into the shingles column's metadata; a PRESENT
+        # but mismatched stamp raises rather than guesses, while a
+        # sidecar with NO stamp (written before provenance existed) is
+        # unverifiable and is simply ignored — the inline projection
+        # recomputes the same values, trading speed for certainty.
+        meta = dict(shingles_df.schema["shingles"].metadata or {})
+        if not meta:
+            shingles_df = shingle_projection(
+                df, block_cols=block_cols, text_col=text_col,
+                id_col=id_col, n=n,
+            )
+        elif int(meta.get("n", -1)) != n or meta.get("text_col") != text_col:
+            raise ValueError(
+                f"shingles_df provenance mismatch: built with "
+                f"n={meta.get('n')!r}, text_col={meta.get('text_col')!r} "
+                f"but this call wants n={n}, text_col={text_col!r} — "
+                "rebuild the sidecar or drop the shingles_df argument"
+            )
     exploded = shingles_df.select(
         *block_cols, "id", F.explode("shingles").alias("shingle")
     )

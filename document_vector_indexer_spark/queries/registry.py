@@ -90,6 +90,16 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                          #     events-family keys re-verified via
                          #     tools/driver_sim.py ON the bucketed
                          #     layout (fresh process, hostile TZ)
+    "q_source_binary",   # r8: minidoc mixed-font guard now counts font
+                         #     DICTIONARIES (shared-BaseFont mojibake
+                         #     hole closed) + bfrange hi-token width
+                         #     check; pinned tests green, fixture
+                         #     round-trips re-verified in pytest
+    "q_dedup_ngram",     # r8: shingle_projection stamps (n, text_col)
+    "q_dedup_contain",   #     provenance metadata; ngram_jaccard_pairs
+                         #     validates supplied sidecars — values
+                         #     unchanged, sf0.01 parity re-verified on
+                         #     both inline and sidecar paths locally
 ]
 # (The whole round-6 list — the 20 keys re-fronted after the norm
 # hoist / checkpoint / multi_global_rank / ngram-tail rewrites — got

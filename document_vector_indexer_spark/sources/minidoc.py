@@ -267,6 +267,9 @@ def _tounicode_map(scan: bytes) -> "tuple[dict[int, str], int]":
             if i + 2 >= len(toks) or toks[i] in (b"[", b"]") or toks[i + 1] in (b"[", b"]"):
                 raise ValueError("pdf: malformed bfrange section")
             note_width(toks[i])
+            note_width(toks[i + 1])  # hi must match lo's width — a
+            # narrower hi token reads as a smaller code and silently
+            # truncates the range (bfchar-path strictness, r7 ADVICE)
             lo, hi = int(toks[i], 16), int(toks[i + 1], 16)
             if hi < lo:
                 raise ValueError("pdf: malformed bfrange (hi < lo)")
@@ -557,8 +560,19 @@ def extract_pdf_text(content: bytes) -> str:
             # latin-1 bytes silently remapped (r6 review: '(café)' in
             # a second font extracting as 'cafä' with ok=True).
             # Per-font Tf tracking is native-kernel territory, so the
-            # mixed case raises instead.
-            n_fonts = len(set(re.findall(rb"/BaseFont\s*/([^\s/<>\[\]()]+)", scan)))
+            # mixed case raises instead. Count font DICTIONARIES, not
+            # distinct /BaseFont names: two font objects sharing one
+            # BaseFont (one /Differences-encoded, one default) would
+            # collapse to a single name and slip the guard, remapping
+            # the default font's bytes (r7 ADVICE: '(café)' in the
+            # shared-name second font extracting as 'cafä' with
+            # ok=True). max() of both counters fails toward raising —
+            # an over-count can only turn silent garbage into an error
+            # row, never the reverse.
+            n_fonts = max(
+                len(re.findall(rb"/Type\s*/Font\b", scan)),
+                len(re.findall(rb"/BaseFont\s*/", scan)),
+            )
             n_diff = len(_DIFF_RE.findall(scan))
             if n_fonts > n_diff:
                 raise ValueError(

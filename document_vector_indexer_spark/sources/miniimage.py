@@ -86,11 +86,14 @@ def _luma(r: int, g: int, b: int) -> int:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 # per-image pixel cap for every format: the decoders build Python int
-# lists (~28 B/pixel), so a declared-huge header must raise (-> null
-# row) instead of exhausting executor memory. 64 MP covers any
-# plausible document image; a real media pipeline swaps in a native
-# kernel long before this matters.
-_MAX_PIXELS = 1 << 26
+# lists (~28 B/pixel PER CHANNEL, so an RGB image costs ~84 B/pixel,
+# and mapInPandas batches hold SEVERAL rows' lists concurrently), so a
+# declared-huge header must raise (-> null row) instead of exhausting
+# executor memory. 16 MP keeps the worst batch-resident footprint near
+# ~1.3 GB/row-in-flight instead of the ~5 GB the old 64 MP cap allowed
+# (r7 ADVICE); it still covers any plausible document image — a real
+# media pipeline swaps in a native kernel long before this matters.
+_MAX_PIXELS = 1 << 24
 
 
 def _png_chunks(data: bytes):

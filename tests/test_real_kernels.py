@@ -581,6 +581,29 @@ def test_pdf_differences_with_default_encoded_font_raises():
         extract_pdf_text(pdf)
 
 
+def test_pdf_differences_shared_basefont_name_raises():
+    """Two font DICTIONARIES sharing one /BaseFont name (one with
+    /Differences, one default-encoded) must still trip the guard —
+    counting distinct BaseFont names collapses them to 1 and the merged
+    map silently remaps the default font's bytes ('(café)' -> 'cafä'
+    with ok=True; r7 ADVICE medium). Fonts are counted as dictionaries
+    (/Type /Font occurrences), not names."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = b"BT /F1 12 Tf 72 720 Td (caf\xe9) Tj ET"
+    pdf = _build_pdf(ops, compress=False).replace(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"
+        b"endobj\n7 0 obj\n<< /Type /Font /Subtype /TrueType "
+        b"/BaseFont /Helvetica /Encoding << /Differences "
+        b"[ 233 /adieresis ] >> >>",
+    )
+    with _pytest.raises(ValueError, match="not on every font"):
+        extract_pdf_text(pdf)
+
+
 def test_pdf_cid_nonshow_string_not_decoded():
     """Strings that no show operator consumes (BDC /ActualText values)
     must not reach the CID decoder — eager decoding turned decodable
@@ -609,6 +632,22 @@ def test_pdf_bfrange_overflow_raises():
     )
     ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
     with _pytest.raises(ValueError, match="past U"):
+        extract_pdf_text(_cmap_pdf(ops, cmap))
+
+
+def test_pdf_bfrange_hi_width_mismatch_raises():
+    """A bfrange hi token narrower than lo (<0001> <FF> ...) reads as a
+    smaller code and silently truncates the range — width is checked on
+    BOTH endpoints, mirroring the bfchar path (r7 ADVICE)."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    cmap = _CMAP_PREAMBLE + (
+        b"1 beginbfrange\n<0001> <FF> <0041>\nendbfrange\nendcmap\n"
+    )
+    ops = b"BT /F1 12 Tf 0 0 Td <0001> Tj ET"
+    with _pytest.raises(ValueError, match="mixed source code widths"):
         extract_pdf_text(_cmap_pdf(ops, cmap))
 
 

@@ -151,6 +151,54 @@ def test_minhash_finds_exact_near_dups(spark):
     assert recall >= 0.7, f"MinHash recall of exact near-dups: {recall}"
 
 
+def test_ngram_pairs_rejects_mismatched_sidecar(spark):
+    """A caller-supplied shingles_df built with different (n, text_col)
+    must raise, not compute silently wrong Jaccard (r7 ADVICE): the
+    projection stamps both into column metadata and the operator
+    checks them — including after a parquet round-trip."""
+    from document_vector_indexer_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_projection,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sidecar = shingle_projection(docs, block_cols=("source",), n=3)
+    assert dict(sidecar.schema["shingles"].metadata) == {
+        "n": 3,
+        "text_col": "text",
+    }
+    with pytest.raises(ValueError, match="provenance mismatch"):
+        ngram_jaccard_pairs(
+            docs, block_cols=("source",), n=4, shingles_df=sidecar
+        )
+    with pytest.raises(ValueError, match="provenance mismatch"):
+        ngram_jaccard_pairs(
+            docs,
+            block_cols=("source",),
+            text_col="lang",
+            shingles_df=sidecar,
+        )
+    # matching provenance is accepted (the bench/ingest fast path)
+    assert ngram_jaccard_pairs(
+        docs, block_cols=("source",), shingles_df=sidecar
+    ).columns == ["id_a", "id_b", "inter", "n_a", "n_b", "jaccard"]
+    # a pre-provenance sidecar (no metadata stamp) is unverifiable:
+    # ignored in favor of the inline projection, same values, no error
+    import pyspark.sql.functions as _F
+
+    legacy = sidecar.select(
+        "source", "id", _F.col("shingles").alias("shingles", metadata={})
+    )
+    assert not dict(legacy.schema["shingles"].metadata or {})
+    got = ngram_jaccard_pairs(
+        docs, block_cols=("source",), shingles_df=legacy
+    )
+    want = ngram_jaccard_pairs(docs, block_cols=("source",))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_minhash_mllib_recall_vs_portable(spark):
     """q_dedup_minhash_mllib is rows-only by design (MLlib's hash
     coefficients are not SQL-mirrorable), so its quality contract lives
