@@ -100,6 +100,11 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                          #     validates supplied sidecars — values
                          #     unchanged, sf0.01 parity re-verified on
                          #     both inline and sidecar paths locally
+    "q_stream_stateful", # r8: GroupState.get property fix (cross-batch
+                         #     state read crashed — latent, single-flush
+                         #     runs never hit it) + idle-timeout
+                         #     eviction; multi-flush + eviction tests
+                         #     pinned, fresh-process sim green
 ]
 # (The whole round-6 list — the 20 keys re-fronted after the norm
 # hoist / checkpoint / multi_global_rank / ngram-tail rewrites — got

@@ -32,31 +32,77 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _update_user(key, pdfs: Iterator, state: GroupState) -> Iterable:
-    import pandas as pd
+def make_user_totals_updater(idle_timeout_ms: int = 0):
+    """The per-group update function, parameterized by the idle
+    timeout. A closure (pickled BY VALUE by cloudpickle) rather than a
+    module global, so two streams with different timeouts can coexist
+    in one session."""
 
-    n, cents = state.get() if state.exists else (0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        # per-ROW exact cents (2dp data), never round a batch sum:
-        # batch-level rounding would make the state depend on
-        # micro-batch boundaries
-        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
-    state.update((n, cents))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
-    )
+    def update(key, pdfs: Iterator, state: GroupState) -> Iterable:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            # idle-eviction path (idle_timeout_ms > 0): the group saw
+            # no data for the configured duration — drop its 16-byte
+            # state row and emit nothing. The NEXT event for this user
+            # restarts its running totals from zero (documented
+            # semantics: the timeout bounds state by ACTIVE keys,
+            # trading history for memory).
+            state.remove()
+            return
+        # GroupState.get is a PROPERTY (raises when absent) — calling
+        # it as a method only ever worked while no flush carried prior
+        # state; the multi-flush test pinned the cross-batch path
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # per-ROW exact cents (2dp data), never round a batch sum:
+            # batch-level rounding would make the state depend on
+            # micro-batch boundaries
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        if idle_timeout_ms > 0:
+            # re-armed on every batch that touches the key, so the
+            # clock measures IDLE time, not lifetime
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    return update
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+# default updater: module-level name kept for test/back-compat imports
+_update_user = make_user_totals_updater()
+
+
+def running_user_totals(
+    events: DataFrame, idle_timeout_ms: int = 0
+) -> DataFrame:
     """Streaming DataFrame -> per-user running totals, one output row
-    per user per micro-batch (update mode)."""
+    per user per micro-batch (update mode).
+
+    State: one (long, long) row per user — 16 bytes + key + store
+    overhead, bounded by key CARDINALITY, not stream length. With
+    ``idle_timeout_ms`` > 0 the bound tightens to keys active within
+    the window: a user idle that long has their state evicted
+    (processing-time timeout; the next event restarts from zero). At
+    100 TB/day this is the knob that keeps the state store flat when
+    the key space grows without bound (drive-by user_ids)."""
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_user,
+        make_user_totals_updater(idle_timeout_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms > 0
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
