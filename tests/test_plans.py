@@ -61,6 +61,48 @@ def test_asof_join_is_join_free(spark):
     assert "Window" in p
 
 
+def test_bucketed_events_layout_removes_session_exchange(spark, tmp_path):
+    """The r8 layout contract: over an ingested dir, the bucketed
+    events_by_user table satisfies ClusteredDistribution(user_id) from
+    the SCAN, so the session-window plan must carry NO Exchange — the
+    user_id shuffle was paid once at ingest. Over a raw fixture dir the
+    same query keeps its one exchange (fallback path)."""
+    from document_vector_indexer_spark.io import ingest_engine_layout, load_table
+    from document_vector_indexer_spark.queries.registry import all_queries
+    from document_vector_indexer_spark.streaming import windows as W
+
+    dest = str(tmp_path / "ingested")
+    ingest_engine_layout(spark, "/root/testdata/sf0.001", dest)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    bucketed = (
+        W.session_aggregates(load_table(spark, dest, "events"))
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert "Exchange" not in bucketed, "bucketed scan must elide the shuffle"
+    assert "Bucketed: true" in bucketed
+    raw = _plan(spark, "q_stream_session")  # raw fixture dir (SF)
+    assert "Exchange" in raw, "raw-dir fallback keeps its one exchange"
+    # values identical across layouts (lossless rewrite)
+    a = sorted(
+        map(
+            tuple,
+            all_queries()["q_stream_session"].fn(spark, dest).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            all_queries()["q_stream_session"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .collect(),
+        )
+    )
+    assert a == b
+
+
 def test_blocked_similarity_join_is_hash_join(spark):
     """Embedding near-dup with label blocking must plan an equi hash
     join — never CartesianProduct/BroadcastNestedLoopJoin."""
