@@ -104,7 +104,14 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                          #     state read crashed — latent, single-flush
                          #     runs never hit it) + idle-timeout
                          #     eviction; multi-flush + eviction tests
-                         #     pinned, fresh-process sim green
+                         #     pinned, fresh-process sim green. ALSO r8:
+                         #     read_events_stream now handles ingest-
+                         #     layout dirs where events.parquet is a
+                         #     table DIRECTORY (the symlink staging
+                         #     listed zero files there — caught by the
+                         #     layout driver-sim, pinned in
+                         #     test_streaming.py); sim green on BOTH
+                         #     layouts
 ]
 # (The whole round-6 list — the 20 keys re-fronted after the norm
 # hoist / checkpoint / multi_global_rank / ngram-tail rewrites — got

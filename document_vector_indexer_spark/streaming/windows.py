@@ -142,10 +142,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The file source wants a *directory*, and the testdata dir mixes all
     ten tables — so stage a symlink to events.parquet in a temp dir.
+    On an ingested dir (``io.ingest_engine_layout``) ``events.parquet``
+    is itself a Spark-written table DIRECTORY (part-files + _SUCCESS);
+    the streaming file source lists a directory's immediate files only
+    and silently yields ZERO files through a symlinked subdirectory
+    (r8 driver-sim catch: q_stream_stateful returned 0 rows on the
+    ingest layout) — so the directory case streams the table dir
+    directly, which is already single-table.
     """
     import hashlib
     import os
     import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        raw = spark.readStream.schema(_RAW_STREAM_SCHEMA).parquet(src)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
     # md5 of the path, not hash(): Python string hashing is randomized
     # per process (PYTHONHASHSEED), which would leak one stage dir per
@@ -157,7 +169,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(src, link)
 
     raw = spark.readStream.schema(_RAW_STREAM_SCHEMA).parquet(stage)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

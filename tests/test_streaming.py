@@ -99,3 +99,32 @@ def test_interval_join_batch_stream_parity(spark):
     pd.testing.assert_frame_equal(
         _normalize(got), _normalize(batch), check_dtype=False
     )
+
+
+def test_events_stream_reads_ingested_table_dir(spark, tmp_path):
+    """r8 regression: on an ingest_engine_layout dir, events.parquet is
+    a Spark-written table DIRECTORY — the streaming source must read it
+    (the old symlink staging listed zero files through a symlinked
+    subdirectory, so every readStream-backed key silently emitted
+    nothing on the ingest layout). Pinned as batch/stream row parity on
+    BOTH layouts."""
+    from document_vector_indexer_spark.io import ingest_engine_layout
+
+    dest = str(tmp_path / "ingested")
+    ingest_engine_layout(spark, SF_DIR, dest)
+
+    n_batch = load_table(spark, SF_DIR, "events").count()
+    for d in (SF_DIR, dest):
+        got = W.read_events_stream(spark, d)
+        q = (
+            got.groupBy()
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("t_ingested_stream_count")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("SELECT * FROM t_ingested_stream_count").collect()
+        assert rows and rows[0]["count"] == n_batch, (d, rows)
