@@ -189,6 +189,42 @@ SPECIAL = {
     ),
 }
 
+# The per-user events family dumped a SECOND time, against an ingested
+# engine-layout dir (io.ingest_engine_layout): the bucketed+sorted
+# events_by_user table's scan provides HashPartitioning(user_id), which
+# satisfies each of these plans' ClusteredDistribution(user_id) — so
+# the Exchange visible in the raw-dir plans above must be ABSENT here
+# (the shuffle was paid once at ingest). tests/test_plans.py pins the
+# contract for the session plan; this section is the reviewable
+# evidence for the whole family.
+INGEST_LAYOUT = {
+    "q_stream_session": "session_window agg straight off the bucketed "
+    "scan — ZERO exchanges",
+    "q_sessionize": "both windows + the (user,session) rollup run "
+    "scan-local; the one exchange is the presentation sort",
+    "q_funnel": "every per-user stage agg sits directly on a bucketed "
+    "scan; the exchanges are broadcasts of tiny stage frames + the "
+    "final rollup",
+    "q_retention": "cohort assignment and activity aggs all scan-local; "
+    "exchanges are cohort-sized rollups + broadcasts, never the stream",
+    "q_paths": "depth lags run on the scan; only the path-string agg "
+    "shuffles",
+    "q_attribution": "touch/conversion self-join plans as a CO-LOCATED "
+    "ShuffledHashJoin — no exchange under either side (both are the "
+    "bucketed scan); remaining exchanges are conversion-keyed credit "
+    "frames",
+    "q_join_asof": "the one remaining corpus-sized exchange in the "
+    "family: UnionExec reports UnknownPartitioning even when both "
+    "children share the bucketed layout, so the union re-shuffles — a "
+    "Spark planner limit, same cost as the raw-dir plan, documented "
+    "not hidden",
+    "q_markov": "transition window runs on the scan; exchanges are the "
+    "tiny (cur,nxt)/context aggs, a 1-row broadcast, and the "
+    "presentation sort",
+    "q_scd2": "gaps-and-islands flags, run aggs, and the closing "
+    "lead() all scan-local; the one exchange is the presentation sort",
+}
+
 
 def main() -> None:
     from document_vector_indexer_spark.queries.registry import all_queries
@@ -229,9 +265,41 @@ def main() -> None:
         if scan_details:
             out.append("-- scan details --\n" + scan_details)
         out.append("```\n")
+
+    # Second pass: the per-user events family on the ingested layout.
+    import tempfile
+    import shutil
+
+    from document_vector_indexer_spark.io import ingest_engine_layout
+
+    ingest_dir = tempfile.mkdtemp(prefix="dvi_plans_ingest_")
+    try:
+        ingest_engine_layout(spark, "/root/testdata/sf0.01", ingest_dir)
+        out.append(
+            "# Events family on the ingest layout (bucketed events_by_user)\n\n"
+            "Same queries, run over an `io.ingest_engine_layout` dir: the\n"
+            "bucketed+sorted scan provides HashPartitioning(user_id), so the\n"
+            "user-keyed Exchange present in the raw-dir plans above is gone —\n"
+            "paid once at ingest, amortized across every per-user operator.\n"
+        )
+        for name, note in INGEST_LAYOUT.items():
+            df = specs[name].fn(spark, ingest_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
+            tree = plan.split("\n\n")[0]
+            n_ex = tree.count("Exchange")
+            out.append(
+                f"## {name} (ingest layout)\n\n*{note} — {n_ex} Exchange(s)*\n"
+            )
+            out.append("```\n" + tree.strip() + "\n```\n")
+    finally:
+        shutil.rmtree(ingest_dir, ignore_errors=True)
+
     with open(os.path.join(REPO_ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(HEADLINE) + len(EXTRA) + len(SPECIAL)} plans)")
+    print(
+        f"wrote PLANS.md ({len(HEADLINE) + len(EXTRA) + len(SPECIAL)}"
+        f" + {len(INGEST_LAYOUT)} ingest-layout plans)"
+    )
 
 
 if __name__ == "__main__":
