@@ -94,7 +94,15 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                          #     DICTIONARIES (shared-BaseFont mojibake
                          #     hole closed) + bfrange hi-token width
                          #     check; pinned tests green, fixture
-                         #     round-trips re-verified in pytest
+                         #     round-trips re-verified in pytest.
+                         #     ALSO r8: Type0/CID without /ToUnicode
+                         #     now decodes through the embedded sfnt
+                         #     font program's own cmap table (closes
+                         #     VERDICT missing #1 for the /FontFile2
+                         #     case); guards raise for non-Identity
+                         #     CIDToGIDMap / named CMaps / conflicting
+                         #     programs; property + pinned tests,
+                         #     fresh-process sim green
     "q_dedup_ngram",     # r8: shingle_projection stamps (n, text_col)
     "q_dedup_contain",   #     provenance metadata; ngram_jaccard_pairs
                          #     validates supplied sidecars — values

@@ -311,6 +311,159 @@ def _tounicode_map(scan: bytes) -> "tuple[dict[int, str], int]":
     return mapping, (width or 0)
 
 
+# --- Type0/CID fonts WITHOUT /ToUnicode: the embedded font's own
+# 'cmap' table (round-8). An Identity-H Type0 font's show strings
+# carry GLYPH IDS (CID == GID when /CIDToGIDMap is Identity); when the
+# writer embedded the TrueType/OpenType font program (/FontFile2, an
+# sfnt container — also found via an /ObjStm-free linear scan since
+# sfnt magic starts the stream body), the font's own unicode cmap
+# (OpenType 'cmap' table, subtable formats 4/12/6/0) maps
+# unicode -> gid, and its inverse is the decoding the reference
+# reaches through pymupdf's font machinery (index_documents.py:38-47).
+# Same merged-map never-silent-garbage policy as /Differences and
+# /ToUnicode: guards raise for non-Identity CIDToGIDMap, named CMap
+# encodings beyond Identity-H/V, conflicting glyph maps across
+# multiple embedded programs, and unmapped gids at decode time.
+# Glyphs reachable from several code points (space/nbsp-style
+# unification) invert to the SMALLEST code point, deterministically —
+# the single normalization every text extractor must make.
+
+_SFNT_MAGIC = (b"\x00\x01\x00\x00", b"true", b"OTTO")
+_SFNT_CMAP_BUDGET = 1 << 17  # mapped-codepoint cap for hostile fonts
+
+
+def _sfnt_cmap_unicode_to_gid(font: bytes) -> dict[int, int]:
+    """unicode code point -> glyph id from an sfnt font program's best
+    unicode 'cmap' subtable. Raises on missing/era-exotic subtables or
+    malformed/oversized tables — never guesses."""
+    import struct
+
+    def u16(o: int) -> int:
+        return struct.unpack_from(">H", font, o)[0]
+
+    def u32(o: int) -> int:
+        return struct.unpack_from(">I", font, o)[0]
+
+    try:
+        cmap_off = None
+        for i in range(u16(4)):
+            rec = 12 + 16 * i
+            if font[rec : rec + 4] == b"cmap":
+                cmap_off = u32(rec + 8)
+                break
+        if cmap_off is None:
+            raise ValueError("pdf: embedded font program has no cmap table")
+        best, best_rank = None, 0
+        for i in range(u16(cmap_off + 2)):
+            rec = cmap_off + 4 + 8 * i
+            plat, enc = u16(rec), u16(rec + 2)
+            # unicode subtables only; full-repertoire first
+            rank = {
+                (3, 10): 4, (0, 6): 4, (0, 4): 4,  # UCS-4
+                (3, 1): 3, (0, 3): 3,              # BMP
+                (0, 0): 2, (0, 1): 2, (0, 2): 2,   # legacy unicode
+            }.get((plat, enc), 0)
+            if rank > best_rank:
+                best_rank, best = rank, cmap_off + u32(rec + 4)
+        if best is None:
+            raise ValueError(
+                "pdf: embedded font cmap has no unicode subtable — "
+                "symbol-encoded fonts are native-kernel territory"
+            )
+        fmt = u16(best)
+        out: dict[int, int] = {}
+        budget = _SFNT_CMAP_BUDGET
+
+        def add(cp: int, gid: int) -> None:
+            nonlocal budget
+            if gid == 0 or 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+                return
+            budget -= 1
+            if budget < 0:
+                raise ValueError(
+                    "pdf: embedded font cmap exceeds the stdlib tier's "
+                    "size bound"
+                )
+            out[cp] = gid
+
+        if fmt == 4:
+            segx2 = u16(best + 6)
+            seg = segx2 // 2
+            starts_base = best + 16 + segx2  # past endCodes + reservedPad
+            ro_base = starts_base + 2 * segx2  # past startCodes + idDeltas
+            for i in range(seg):
+                end = u16(best + 14 + 2 * i)
+                start = u16(starts_base + 2 * i)
+                delta = struct.unpack_from(
+                    ">h", font, starts_base + segx2 + 2 * i
+                )[0]
+                ro = u16(ro_base + 2 * i)
+                for c in range(start, end + 1):
+                    if c == 0xFFFF:
+                        continue
+                    if ro == 0:
+                        gid = (c + delta) & 0xFFFF
+                    else:
+                        gid = u16(ro_base + 2 * i + ro + 2 * (c - start))
+                        if gid:
+                            gid = (gid + delta) & 0xFFFF
+                    add(c, gid)
+        elif fmt == 12:
+            for g in range(u32(best + 12)):
+                go = best + 16 + 12 * g
+                sc, ec, sg = u32(go), u32(go + 4), u32(go + 8)
+                if ec < sc or ec - sc > _SFNT_CMAP_BUDGET:
+                    raise ValueError(
+                        "pdf: malformed embedded font cmap group"
+                    )
+                for k in range(ec - sc + 1):
+                    add(sc + k, sg + k)
+        elif fmt == 6:
+            first, cnt = u16(best + 6), u16(best + 8)
+            for k in range(cnt):
+                add(first + k, u16(best + 10 + 2 * k))
+        elif fmt == 0:
+            for c in range(256):
+                add(c, font[best + 6 + c])
+        else:
+            raise ValueError(
+                f"pdf: embedded font cmap subtable format {fmt} is "
+                "native-kernel territory"
+            )
+        return out
+    except (struct.error, IndexError) as e:
+        raise ValueError("pdf: malformed embedded font program") from e
+
+
+def _fontprogram_gid_map(streams: "list[bytes]") -> "Optional[dict[int, str]]":
+    """Merged gid -> text map from every embedded sfnt font program
+    among the decoded stream bodies, or None when the file embeds no
+    parsable font program. Conflicting maps across programs raise
+    (per-font Tf tracking is native-kernel territory, exactly like the
+    merged /Differences and /ToUnicode policies)."""
+    merged: "Optional[dict[int, str]]" = None
+    for body in streams:
+        if body[:4] not in _SFNT_MAGIC:
+            continue
+        u2g = _sfnt_cmap_unicode_to_gid(body)
+        inv: dict[int, str] = {}
+        for cp in sorted(u2g):  # smallest code point wins, deterministic
+            inv.setdefault(u2g[cp], chr(cp))
+        if merged is None:
+            merged = inv
+        else:
+            for gid, ch in inv.items():
+                prev = merged.get(gid)
+                if prev is not None and prev != ch:
+                    raise ValueError(
+                        "pdf: conflicting glyph maps across embedded "
+                        "font programs — per-font decoding is "
+                        "native-kernel territory"
+                    )
+                merged[gid] = ch
+    return merged
+
+
 def _cid_decoder(cmap: dict[int, str], width: int) -> Callable[[bytes], str]:
     def decode(bs: bytes) -> str:
         if len(bs) % width:
@@ -540,11 +693,31 @@ def extract_pdf_text(content: bytes) -> str:
         # the file stays native-kernel territory.
         cmap, cid_width = _tounicode_map(scan)
         if not cmap:
-            raise ValueError(
-                "pdf: composite/CID font encodings (Identity-H/Type0) "
-                "without a /ToUnicode CMap are not supported by the "
-                "stdlib tier"
-            )
+            # no writer-supplied ToUnicode: fall back to the embedded
+            # font program's own unicode cmap (gids == show-string
+            # codes only under Identity encodings with an Identity
+            # CIDToGIDMap — anything else raises, never guesses)
+            gid_map = _fontprogram_gid_map(streams)
+            if gid_map is None:
+                raise ValueError(
+                    "pdf: composite/CID font encodings (Identity-H/"
+                    "Type0) without a /ToUnicode CMap or an embedded "
+                    "sfnt font program are not supported by the "
+                    "stdlib tier"
+                )
+            for m in re.finditer(rb"/CIDToGIDMap\s*(/?[A-Za-z0-9]*)", scan):
+                if m.group(1) != b"/Identity":
+                    raise ValueError(
+                        "pdf: non-Identity /CIDToGIDMap — the gid "
+                        "indirection stream is native-kernel territory"
+                    )
+            for m in re.finditer(rb"/Encoding\s*/([A-Za-z0-9\-]+)", scan):
+                if m.group(1) not in (b"Identity-H", b"Identity-V"):
+                    raise ValueError(
+                        "pdf: named CMap encodings beyond Identity are "
+                        "native-kernel territory"
+                    )
+            cmap, cid_width = gid_map, 2
         if _differences_map(scan):
             raise ValueError(
                 "pdf: mixed Type0 and /Differences simple fonts — "

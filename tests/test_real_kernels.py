@@ -700,3 +700,226 @@ def test_pdf_type0_tounicode_round_trips(data):
     expected = "".join(dict(zip(codes, texts))[c] for c in shown).rstrip()
     got = extract_pdf_text(_cmap_pdf(ops, cmap, compress_cmap=flate))
     assert got == expected
+
+
+# --- round-8: Type0/CID without /ToUnicode via the embedded font's
+# own 'cmap' table (sfnt) ----------------------------------------------
+
+
+def _mini_ttf(char_to_gid: "dict[str, int]", fmt: int = 4) -> bytes:
+    """A minimal sfnt container holding ONLY a cmap table (format 4 or
+    12, one (3,1)/(3,10) subtable) — the exact surface the stdlib
+    tier's unicode-cmap inversion reads."""
+    import math
+    import struct
+
+    cps = sorted(ord(c) for c in char_to_gid)
+    if fmt == 4:
+        segs = [(cp, cp, char_to_gid[chr(cp)]) for cp in cps]
+        segcount = len(segs) + 1  # + required 0xFFFF terminator
+        ends = b"".join(struct.pack(">H", e) for _, e, _ in segs)
+        ends += b"\xff\xff"
+        starts = b"".join(struct.pack(">H", s) for s, _, _ in segs)
+        starts += b"\xff\xff"
+        deltas = b"".join(
+            struct.pack(">H", (g - s) & 0xFFFF) for s, _, g in segs
+        ) + struct.pack(">H", 1)
+        ros = b"\x00\x00" * segcount
+        sel = int(math.log2(segcount))
+        header = struct.pack(
+            ">HHHHHHH",
+            4,
+            16 + 8 * segcount,  # length
+            0,
+            segcount * 2,
+            (1 << sel) * 2,
+            sel,
+            segcount * 2 - (1 << sel) * 2,
+        )
+        sub = header + ends + b"\x00\x00" + starts + deltas + ros
+        plat_enc = (3, 1)
+    elif fmt == 12:
+        groups = [(cp, cp, char_to_gid[chr(cp)]) for cp in cps]
+        body = b"".join(
+            struct.pack(">III", s, e, g) for s, e, g in groups
+        )
+        sub = struct.pack(
+            ">HHIII", 12, 0, 16 + len(body), 0, len(groups)
+        ) + body
+        plat_enc = (3, 10)
+    else:  # pragma: no cover - test helper misuse
+        raise AssertionError(fmt)
+    cmap_table = (
+        struct.pack(">HH", 0, 1)
+        + struct.pack(">HHI", *plat_enc, 12)
+        + sub
+    )
+    sfnt = b"\x00\x01\x00\x00" + struct.pack(">HHHH", 1, 16, 0, 0)
+    sfnt += b"cmap" + struct.pack(">III", 0, 12 + 16, len(cmap_table))
+    return sfnt + cmap_table
+
+
+def _fontfile_pdf(
+    text_ops: bytes,
+    ttf: bytes,
+    compress_font: bool = True,
+    cid_to_gid: bytes = b"/Identity",
+    second_ttf: "bytes | None" = None,
+) -> bytes:
+    """_build_pdf output with the font swapped to Type0/Identity-H, NO
+    /ToUnicode, and an embedded /FontFile2 sfnt stream appended (found
+    by the linear scan, like real incremental-update objects)."""
+    import zlib as _zlib
+
+    pdf = _build_pdf(text_ops, compress=False).replace(
+        b"/BaseFont /Helvetica",
+        b"/Subtype /Type0 /BaseFont /AAAAAA+Font /Encoding /Identity-H "
+        b"/DescendantFonts [7 0 R]",
+    )
+    body, extra = ttf, b""
+    if compress_font:
+        body, extra = _zlib.compress(ttf), b" /Filter /FlateDecode"
+    objs = (
+        b"7 0 obj\n<< /Type /Font /Subtype /CIDFontType2 "
+        b"/CIDToGIDMap " + cid_to_gid + b" /FontDescriptor 8 0 R >>\n"
+        b"endobj\n"
+        b"8 0 obj\n<< /Type /FontDescriptor /FontFile2 9 0 R >>\nendobj\n"
+    )
+    objs += b"9 0 obj\n<< /Length %d /Length1 %d%s >>\nstream\n%s\nendstream\nendobj\n" % (
+        len(body),
+        len(ttf),
+        extra,
+        body,
+    )
+    if second_ttf is not None:
+        b2 = _zlib.compress(second_ttf)
+        objs += (
+            b"10 0 obj\n<< /Length %d /Length1 %d /Filter /FlateDecode "
+            b">>\nstream\n%s\nendstream\nendobj\n"
+            % (len(b2), len(second_ttf), b2)
+        )
+    at = pdf.rindex(b"xref\n")
+    return pdf[:at] + objs + pdf[at:]
+
+
+def test_pdf_type0_fontfile_cmap_round_trip():
+    """No /ToUnicode, but an embedded TrueType program whose cmap maps
+    the shown gids: the stdlib tier decodes through the inverted font
+    cmap (reference parity: pymupdf reaches the same table)."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3, "e": 4, "l": 5, "o": 6, "é": 7})
+    ops = b"BT /F1 12 Tf 0 0 Td <00030004000500050006 0007> Tj ET"
+    for compress in (False, True):
+        pdf = _fontfile_pdf(ops, ttf, compress_font=compress)
+        assert extract_pdf_text(pdf) == "Helloé"
+
+
+def test_pdf_type0_fontfile_cmap_format12():
+    """Format-12 (UCS-4) subtables decode too — incl. non-BMP text."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"A": 11, "\U0001f600": 12}, fmt=12)
+    ops = b"BT /F1 12 Tf 0 0 Td <000B000C> Tj ET"
+    assert extract_pdf_text(_fontfile_pdf(ops, ttf)) == "A\U0001f600"
+
+
+def test_pdf_type0_fontfile_unified_glyph_smallest_codepoint():
+    """Two code points sharing one glyph (space/nbsp unification)
+    invert to the SMALLEST code point, deterministically."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"X": 3, " ": 4, " ": 4, "Y": 5})
+    ops = b"BT /F1 12 Tf 0 0 Td <000300040005> Tj ET"
+    assert extract_pdf_text(_fontfile_pdf(ops, ttf)) == "X Y"
+
+
+def test_pdf_type0_fontfile_unmapped_gid_raises():
+    """A shown gid absent from the font cmap raises (error row) —
+    never emits a placeholder."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3})
+    ops = b"BT /F1 12 Tf 0 0 Td <00030099> Tj ET"
+    with _pytest.raises(ValueError, match="missing from the ToUnicode"):
+        extract_pdf_text(_fontfile_pdf(ops, ttf))
+
+
+def test_pdf_type0_fontfile_non_identity_cidtogid_raises():
+    """A stream-based /CIDToGIDMap means gids != show-string codes —
+    native-kernel territory, must raise."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3})
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _fontfile_pdf(ops, ttf, cid_to_gid=b"11 0 R")
+    with _pytest.raises(ValueError, match="CIDToGIDMap"):
+        extract_pdf_text(pdf)
+
+
+def test_pdf_type0_fontfile_conflicting_programs_raise():
+    """Two embedded programs mapping one gid to different text raise
+    (per-font Tf tracking is native-kernel territory)."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _fontfile_pdf(
+        ops,
+        _mini_ttf({"H": 3}),
+        second_ttf=_mini_ttf({"Z": 3}),
+    )
+    with _pytest.raises(ValueError, match="conflicting glyph maps"):
+        extract_pdf_text(pdf)
+
+
+def test_pdf_type0_fontfile_named_cmap_encoding_raises():
+    """A registered (non-Identity) CMap name means show-string codes
+    are CIDs in a character collection, not gids — must raise."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3})
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _fontfile_pdf(ops, ttf).replace(
+        b"/Encoding /Identity-H", b"/Encoding /UniJIS-UCS2-H"
+    )
+    with _pytest.raises(ValueError, match="named CMap encodings"):
+        extract_pdf_text(pdf)
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_pdf_type0_fontfile_round_trips(data):
+    """Property: ANY char->gid map expressible as a format-4 cmap
+    round-trips exactly through a /ToUnicode-less Type0 PDF."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    n = data.draw(st.integers(1, 10))
+    chars = data.draw(
+        st.lists(
+            st.characters(min_codepoint=0x21, max_codepoint=0xD700),
+            min_size=n,
+            max_size=n,
+            unique=True,
+        )
+    )
+    gids = data.draw(
+        st.lists(
+            st.integers(1, 0xFFFE), min_size=n, max_size=n, unique=True
+        )
+    )
+    mapping = dict(zip(chars, gids))
+    flate = data.draw(st.booleans())
+    shown = data.draw(st.lists(st.sampled_from(chars), min_size=1, max_size=20))
+    ops = b"BT /F1 12 Tf 0 0 Td <%s> Tj ET" % (
+        "".join(f"{mapping[c]:04X}" for c in shown).encode()
+    )
+    pdf = _fontfile_pdf(ops, _mini_ttf(mapping), compress_font=flate)
+    assert extract_pdf_text(pdf) == "".join(shown).rstrip()
