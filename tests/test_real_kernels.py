@@ -923,3 +923,22 @@ def test_pdf_type0_fontfile_round_trips(data):
     )
     pdf = _fontfile_pdf(ops, _mini_ttf(mapping), compress_font=flate)
     assert extract_pdf_text(pdf) == "".join(shown).rstrip()
+
+
+@settings(max_examples=120, deadline=None)
+@given(tail=st.binary(min_size=0, max_size=300), magic=st.sampled_from(
+    [b"\x00\x01\x00\x00", b"true", b"OTTO"]))
+def test_pdf_type0_fontfile_fuzz_raises_valueerror_only(tail, magic):
+    """Hostile/truncated font programs must surface as ValueError
+    (-> error row), never IndexError/struct.error/KeyError leaks."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _fontfile_pdf(ops, magic + tail, compress_font=True)
+    try:
+        out = extract_pdf_text(pdf)
+        assert isinstance(out, str)
+    except ValueError:
+        pass
