@@ -200,6 +200,15 @@ def _events_bucketed_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, EVENTS_BUCKETED_DIRNAME)
 
 
+def _loc_table_name(prefix: str, loc: str) -> str:
+    """Deterministic catalog name for a location-backed table: md5 of
+    the absolute path (not hash() — randomized per process), shared by
+    the ingest writer and the reader registration so they can't drift."""
+    import hashlib
+
+    return prefix + hashlib.md5(os.path.abspath(loc).encode()).hexdigest()[:10]
+
+
 def _load_events_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     """The bucketed events table written by ``ingest_engine_layout``,
     or ``None`` on raw fixture dirs (the driver's correctness runs read
@@ -214,16 +223,15 @@ def _load_events_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     loc = _events_bucketed_path(sf_dir)
     if not os.path.isdir(loc):
         return None
-    import hashlib
-
-    tbl = (
-        "events_by_user_"
-        + hashlib.md5(os.path.abspath(loc).encode()).hexdigest()[:10]
-    )
+    tbl = _loc_table_name("events_by_user_", loc)
     if not spark.catalog.tableExists(tbl):
         ddl = spark.read.parquet(loc)._jdf.schema().toDDL()
+        # IF NOT EXISTS: ingest_engine_layout's thread pool can reach
+        # this concurrently when its SOURCE is itself an ingested dir
+        # (two load_table('events') races past the tableExists check —
+        # r8 review); the DDL is idempotent metadata either way
         spark.sql(
-            f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+            f"CREATE TABLE IF NOT EXISTS {tbl} ({ddl}) USING parquet "
             f"CLUSTERED BY (user_id) SORTED BY (user_id, ts) "
             f"INTO {EVENTS_BUCKETS} BUCKETS LOCATION '{loc}'"
         )
@@ -333,28 +341,24 @@ def ingest_engine_layout(
 
     def rewrite_events_bucketed() -> None:
         # Second events layout: bucketed on the natural cluster key
-        # (see _load_events_bucketed). bucketBy requires saveAsTable
-        # (bucket metadata is catalog-borne); writing through a
-        # throwaway EXTERNAL table name leaves the bucket-named files
-        # under dest and drops the catalog entry — readers re-register
-        # over the files. repartition(n, key) uses the same
-        # pmod(murmur3) as the bucket hash, so each task holds exactly
-        # one bucket and writes exactly one file per bucket.
-        import hashlib
-
+        # (see _load_events_bucketed). Writing through a throwaway
+        # EXTERNAL table name (write_bucketed) leaves the bucket-named
+        # files under dest and drops the catalog entry — readers
+        # re-register over the files. repartition(n, key) uses the
+        # same pmod(murmur3) as the bucket hash, so each task holds
+        # exactly one bucket and writes exactly one file per bucket.
         loc = _events_bucketed_path(dest)
-        tmp = (
-            "dvi_ingest_events_bkt_"
-            + hashlib.md5(os.path.abspath(loc).encode()).hexdigest()[:10]
-        )
-        (
-            load_table(spark, sf_dir, "events")
-            .repartition(EVENTS_BUCKETS, "user_id")
-            .write.bucketBy(EVENTS_BUCKETS, "user_id")
-            .sortBy("user_id", "ts")
-            .option("path", loc)
-            .mode("overwrite")
-            .saveAsTable(tmp)
+        tmp = _loc_table_name("dvi_ingest_events_bkt_", loc)
+        write_bucketed(
+            spark,
+            load_table(spark, sf_dir, "events").repartition(
+                EVENTS_BUCKETS, "user_id"
+            ),
+            tmp,
+            "user_id",
+            n_buckets=EVENTS_BUCKETS,
+            location=loc,
+            sort_cols=("user_id", "ts"),
         )
         spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
 
@@ -394,6 +398,7 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 8,
     location: str | None = None,
+    sort_cols: "tuple[str, ...] | None" = None,
 ) -> None:
     """Persist ``df`` as a bucketed+sorted catalog table — the layout
     that makes repeated fact-fact joins and aggregations on
@@ -406,8 +411,14 @@ def write_bucketed(
     standard warehouse layout decision — cf. Hive/Iceberg bucketing).
     Requires saveAsTable (bucket metadata lives in the catalog; a bare
     parquet path cannot carry it).
+
+    ``sort_cols`` defaults to the bucket column; pass a wider prefix
+    (e.g. ``("user_id", "ts")``) to serve sort-dependent operators
+    (window frames) straight off the per-bucket order.
     """
-    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col).sortBy(
+        *(sort_cols or (bucket_col,))
+    )
     if location is not None:
         w = w.option("path", location)
     w.saveAsTable(table)

@@ -178,7 +178,10 @@ def ngram_jaccard_pairs(
         # unverifiable and is simply ignored — the inline projection
         # recomputes the same values, trading speed for certainty.
         meta = dict(shingles_df.schema["shingles"].metadata or {})
-        if not meta:
+        if "n" not in meta:
+            # no provenance STAMP (unrelated metadata keys from an
+            # intermediate transform don't count — r8 review): the
+            # sidecar is unverifiable either way, recompute inline
             shingles_df = shingle_projection(
                 df, block_cols=block_cols, text_col=text_col,
                 id_col=id_col, n=n,

@@ -375,15 +375,19 @@ def _sfnt_cmap_unicode_to_gid(font: bytes) -> dict[int, int]:
         budget = _SFNT_CMAP_BUDGET
 
         def add(cp: int, gid: int) -> None:
+            # budget charges per ITERATION, not per kept entry — a
+            # hostile table whose entries all skip (gid 0, surrogate,
+            # out-of-range) would otherwise spin unbounded CPU from a
+            # ~2 KB compressed font (r8 review)
             nonlocal budget
-            if gid == 0 or 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
-                return
             budget -= 1
             if budget < 0:
                 raise ValueError(
                     "pdf: embedded font cmap exceeds the stdlib tier's "
                     "size bound"
                 )
+            if gid == 0 or 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+                return
             out[cp] = gid
 
         if fmt == 4:
@@ -435,23 +439,153 @@ def _sfnt_cmap_unicode_to_gid(font: bytes) -> dict[int, int]:
         raise ValueError("pdf: malformed embedded font program") from e
 
 
-def _fontprogram_gid_map(streams: "list[bytes]") -> "Optional[dict[int, str]]":
-    """Merged gid -> text map from every embedded sfnt font program
-    among the decoded stream bodies, or None when the file embeds no
-    parsable font program. Conflicting maps across programs raise
-    (per-font Tf tracking is native-kernel territory, exactly like the
-    merged /Differences and /ToUnicode policies)."""
-    merged: "Optional[dict[int, str]]" = None
-    for body in streams:
-        if body[:4] not in _SFNT_MAGIC:
-            continue
-        u2g = _sfnt_cmap_unicode_to_gid(body)
-        inv: dict[int, str] = {}
-        for cp in sorted(u2g):  # smallest code point wins, deterministic
-            inv.setdefault(u2g[cp], chr(cp))
-        if merged is None:
-            merged = inv
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R\b")
+
+
+def _balanced_dict(data: bytes, start: int) -> bytes:
+    """The ``<<...>>`` dict bytes beginning at ``start`` (nesting-
+    aware). Raises on unbalanced input — resolution then fails toward
+    an error row, never a guess."""
+    if data[start : start + 2] != b"<<":
+        raise ValueError("pdf: expected dictionary")
+    depth, i = 0, start
+    while i < len(data) - 1:
+        pair = data[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
         else:
+            i += 1
+    raise ValueError("pdf: unterminated dictionary")
+
+
+def _obj_region(data: bytes, num: int) -> "Optional[tuple[int, int]]":
+    """(body_start, body_end) offsets of top-level object ``num`` in
+    the raw file, or None (e.g. the object lives inside an /ObjStm —
+    resolution fails conservatively)."""
+    m = re.search(rb"(?<![0-9])%d\s+0\s+obj\b" % num, data)
+    if m is None:
+        return None
+    end = data.find(b"endobj", m.end())
+    return (m.end(), end if end != -1 else len(data))
+
+
+def _obj_dict(data: bytes, num: int) -> "Optional[bytes]":
+    reg = _obj_region(data, num)
+    if reg is None:
+        return None
+    at = data.find(b"<<", *reg)
+    if at == -1:
+        return None
+    return _balanced_dict(data, at)
+
+
+def _ref_after(dct: bytes, key: bytes) -> "Optional[int]":
+    m = re.search(key + rb"\s*(\d+)\s+0\s+R\b", dct)
+    return int(m.group(1)) if m else None
+
+
+def _obj_stream_body(data: bytes, num: int) -> "Optional[bytes]":
+    """Decoded stream body of top-level object ``num`` (plain or
+    FlateDecode), or None when unresolvable."""
+    reg = _obj_region(data, num)
+    if reg is None:
+        return None
+    m = _STREAM_DICT_RE.search(data, *reg)
+    if m is None:
+        return None
+    cands = _body_candidates(m.group(1), data, m.end())
+    if not cands:
+        return None
+    if b"/FlateDecode" in m.group(1):
+        for c in cands:
+            try:
+                return zlib.decompress(c)
+            except zlib.error:
+                continue
+        return None
+    return cands[0]
+
+
+def _fontprogram_gid_map(content: bytes) -> "Optional[dict[int, str]]":
+    """Merged gid -> text map built from the font program each Type0
+    font ACTUALLY REFERENCES (/DescendantFonts -> /FontDescriptor ->
+    /FontFile2), or None when no Type0 font resolves to an embedded
+    sfnt program. Unreferenced sfnt streams in the file are ignored —
+    decoding one font's gids through another font's cmap is silent
+    garbage (r8 review: an unrelated embedded program decoded
+    <0009000A> as 'ZQ' with ok=True). Per-font guards raise for
+    indirect or non-Identity /Encoding, non-Identity /CIDToGIDMap,
+    and conflicting maps across fonts — each is per-font state the
+    merged-map tier cannot track."""
+    resolved_any = False
+    merged: dict[int, str] = {}
+    for m in re.finditer(rb"(\d+)\s+0\s+obj\b", content):
+        reg_start = m.end()
+        at = content.find(b"<<", reg_start, reg_start + 64)
+        if at == -1:
+            continue
+        try:
+            dct = _balanced_dict(content, at)
+        except ValueError:
+            continue
+        if re.search(rb"/Subtype\s*/Type0\b", dct) is None:
+            continue
+        enc = re.search(rb"/Encoding\s*(/[A-Za-z0-9\-]+|\d+\s+0\s+R)", dct)
+        if enc is None or enc.group(1) not in (
+            b"/Identity-H",
+            b"/Identity-V",
+        ):
+            raise ValueError(
+                "pdf: Type0 /Encoding is not a literal Identity CMap "
+                "(named or embedded-CMap encodings map codes to CIDs, "
+                "not gids) — native-kernel territory"
+            )
+        dfm = re.search(
+            rb"/DescendantFonts\s*(\[[^\]]*\]|\d+\s+0\s+R)", dct
+        )
+        if dfm is None:
+            continue  # no descendant: nothing to resolve for this font
+        dfv = dfm.group(1)
+        if not dfv.startswith(b"["):
+            reg = _obj_region(content, int(_REF_RE.match(dfv).group(1)))
+            if reg is None:
+                continue
+            dfv = content[reg[0] : reg[1]]
+        for ref in _REF_RE.finditer(dfv):
+            desc = _obj_dict(content, int(ref.group(1)))
+            if desc is None:
+                continue
+            c2g = re.search(
+                rb"/CIDToGIDMap\s*(/[A-Za-z0-9]+|\d+\s+0\s+R)", desc
+            )
+            if c2g is not None and c2g.group(1) != b"/Identity":
+                raise ValueError(
+                    "pdf: non-Identity /CIDToGIDMap — the gid "
+                    "indirection stream is native-kernel territory"
+                )
+            fd_num = _ref_after(desc, rb"/FontDescriptor")
+            if fd_num is None:
+                continue
+            fd = _obj_dict(content, fd_num)
+            if fd is None:
+                continue
+            ff_num = _ref_after(fd, rb"/FontFile2")
+            if ff_num is None:
+                continue
+            body = _obj_stream_body(content, ff_num)
+            if body is None or body[:4] not in _SFNT_MAGIC:
+                continue
+            u2g = _sfnt_cmap_unicode_to_gid(body)
+            inv: dict[int, str] = {}
+            for cp in sorted(u2g):  # smallest code point, deterministic
+                inv.setdefault(u2g[cp], chr(cp))
+            resolved_any = True
             for gid, ch in inv.items():
                 prev = merged.get(gid)
                 if prev is not None and prev != ch:
@@ -461,7 +595,7 @@ def _fontprogram_gid_map(streams: "list[bytes]") -> "Optional[dict[int, str]]":
                         "native-kernel territory"
                     )
                 merged[gid] = ch
-    return merged
+    return merged if resolved_any else None
 
 
 def _cid_decoder(cmap: dict[int, str], width: int) -> Callable[[bytes], str]:
@@ -693,30 +827,33 @@ def extract_pdf_text(content: bytes) -> str:
         # the file stays native-kernel territory.
         cmap, cid_width = _tounicode_map(scan)
         if not cmap:
-            # no writer-supplied ToUnicode: fall back to the embedded
-            # font program's own unicode cmap (gids == show-string
-            # codes only under Identity encodings with an Identity
-            # CIDToGIDMap — anything else raises, never guesses)
-            gid_map = _fontprogram_gid_map(streams)
-            if gid_map is None:
-                raise ValueError(
-                    "pdf: composite/CID font encodings (Identity-H/"
-                    "Type0) without a /ToUnicode CMap or an embedded "
-                    "sfnt font program are not supported by the "
-                    "stdlib tier"
-                )
-            for m in re.finditer(rb"/CIDToGIDMap\s*(/?[A-Za-z0-9]*)", scan):
-                if m.group(1) != b"/Identity":
+            # no writer-supplied ToUnicode: fall back to the unicode
+            # cmap of the font program each Type0 font REFERENCES
+            # (gids == show-string codes only under Identity encodings
+            # with an Identity CIDToGIDMap — anything else raises,
+            # never guesses). Object resolution runs over the raw
+            # file; fonts packed into /ObjStm containers don't resolve
+            # and fall through to the raise.
+            for g in re.finditer(rb"/CIDToGIDMap\s*(/?[A-Za-z0-9]*)", scan):
+                if g.group(1) != b"/Identity":
                     raise ValueError(
                         "pdf: non-Identity /CIDToGIDMap — the gid "
                         "indirection stream is native-kernel territory"
                     )
-            for m in re.finditer(rb"/Encoding\s*/([A-Za-z0-9\-]+)", scan):
-                if m.group(1) not in (b"Identity-H", b"Identity-V"):
+            for g in re.finditer(rb"/Encoding\s*/([A-Za-z0-9\-]+)", scan):
+                if g.group(1) not in (b"Identity-H", b"Identity-V"):
                     raise ValueError(
                         "pdf: named CMap encodings beyond Identity are "
                         "native-kernel territory"
                     )
+            gid_map = _fontprogram_gid_map(content)
+            if gid_map is None:
+                raise ValueError(
+                    "pdf: composite/CID font encodings (Identity-H/"
+                    "Type0) without a /ToUnicode CMap or a resolvable "
+                    "embedded sfnt font program are not supported by "
+                    "the stdlib tier"
+                )
             cmap, cid_width = gid_map, 2
         if _differences_map(scan):
             raise ValueError(

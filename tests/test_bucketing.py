@@ -74,3 +74,26 @@ def test_bucketed_join_matches_plain_join(spark, bucketed):
         .orderBy("o_orderpriority").collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ingest_engine_layout_is_reentrant_over_ingested_dirs(
+    spark, tmp_path
+):
+    """r8 review: ingesting FROM an already-ingested dir makes two pool
+    threads race load_table('events') -> _load_events_bucketed's
+    CREATE TABLE (the source dir has events_by_user). With IF NOT
+    EXISTS the ingest must complete and the re-ingested events must
+    match the original exactly."""
+    from document_vector_indexer_spark.io import (
+        ingest_engine_layout,
+        load_table,
+    )
+
+    src = "/root/testdata/sf0.001"
+    first = str(tmp_path / "ingest1")
+    second = str(tmp_path / "ingest2")
+    ingest_engine_layout(spark, src, first)
+    ingest_engine_layout(spark, first, second)  # source IS ingested
+    a = sorted(map(tuple, load_table(spark, first, "events").collect()))
+    b = sorted(map(tuple, load_table(spark, second, "events").collect()))
+    assert a == b

@@ -792,14 +792,42 @@ def _fontfile_pdf(
         body,
     )
     if second_ttf is not None:
+        # a SECOND fully-chained Type0 font (obj 10 -> 11 -> 12 -> 13):
+        # attribution ignores unreferenced programs, so conflict tests
+        # need two fonts that each RESOLVE to their own program
         b2 = _zlib.compress(second_ttf)
         objs += (
-            b"10 0 obj\n<< /Length %d /Length1 %d /Filter /FlateDecode "
+            b"10 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont "
+            b"/BBBBBB+Font /Encoding /Identity-H /DescendantFonts "
+            b"[11 0 R] >>\nendobj\n"
+            b"11 0 obj\n<< /Type /Font /Subtype /CIDFontType2 "
+            b"/CIDToGIDMap /Identity /FontDescriptor 12 0 R >>\nendobj\n"
+            b"12 0 obj\n<< /Type /FontDescriptor /FontFile2 13 0 R >>\n"
+            b"endobj\n"
+        )
+        objs += (
+            b"13 0 obj\n<< /Length %d /Length1 %d /Filter /FlateDecode "
             b">>\nstream\n%s\nendstream\nendobj\n"
             % (len(b2), len(second_ttf), b2)
         )
     at = pdf.rindex(b"xref\n")
     return pdf[:at] + objs + pdf[at:]
+
+
+def _loose_sfnt_pdf(text_ops: bytes, referenced: bytes, loose: bytes) -> bytes:
+    """A Type0 PDF whose font chain resolves to ``referenced`` while an
+    UNREFERENCED sfnt stream (``loose``) also sits in the file — the r8
+    review's wrong-font-attribution shape."""
+    import zlib as _zlib
+
+    pdf = _fontfile_pdf(text_ops, referenced)
+    b2 = _zlib.compress(loose)
+    obj = (
+        b"20 0 obj\n<< /Length %d /Length1 %d /Filter /FlateDecode "
+        b">>\nstream\n%s\nendstream\nendobj\n" % (len(b2), len(loose), b2)
+    )
+    at = pdf.rindex(b"xref\n")
+    return pdf[:at] + obj + pdf[at:]
 
 
 def test_pdf_type0_fontfile_cmap_round_trip():
@@ -942,3 +970,92 @@ def test_pdf_type0_fontfile_fuzz_raises_valueerror_only(tail, magic):
         assert isinstance(out, str)
     except ValueError:
         pass
+
+
+def test_pdf_type0_fontfile_unreferenced_program_is_ignored():
+    """r8 review repro: an embedded sfnt referenced by NO font dict
+    must not decode the Type0 font's gids — <0009000A> through a loose
+    program mapping 9/10 to 'Z'/'Q' previously extracted 'ZQ' with
+    ok=True. With attribution, the referenced program (which lacks
+    those gids) governs and the unmapped gids raise (error row)."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = b"BT /F1 12 Tf 0 0 Td <0009000A> Tj ET"
+    pdf = _loose_sfnt_pdf(
+        ops,
+        referenced=_mini_ttf({"H": 3}),
+        loose=_mini_ttf({"Z": 9, "Q": 10}),
+    )
+    with _pytest.raises(ValueError, match="missing from the ToUnicode"):
+        extract_pdf_text(pdf)
+    # and the referenced program still decodes its own gids
+    ok_ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf2 = _loose_sfnt_pdf(
+        ok_ops,
+        referenced=_mini_ttf({"H": 3}),
+        loose=_mini_ttf({"Z": 9, "Q": 10}),
+    )
+    assert extract_pdf_text(pdf2) == "H"
+
+
+def test_pdf_type0_fontfile_indirect_encoding_raises():
+    """r8 review repro: '/Encoding 12 0 R' (an embedded-CMap stream,
+    the standard non-Identity form) previously slipped the literal-
+    name guard and decoded as if Identity-H — must raise."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3, "e": 4})
+    ops = b"BT /F1 12 Tf 0 0 Td <00030004> Tj ET"
+    pdf = _fontfile_pdf(ops, ttf).replace(
+        b"/Encoding /Identity-H", b"/Encoding 12 0 R"
+    )
+    with _pytest.raises(ValueError, match="literal Identity CMap"):
+        extract_pdf_text(pdf)
+
+
+def test_pdf_type0_fontfile_hostile_cmap_budget_per_iteration():
+    """r8 review repro: a format-4 table whose entries all resolve to
+    gid 0 (skipped) must still consume budget — otherwise a ~2 KB
+    compressed font spins unbounded CPU. Must raise promptly."""
+    import struct
+    import time
+
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    # 32 segments × 8192 codes, idRangeOffset -> zeroed glyphIdArray:
+    # every lookup yields gid 0 and maps nothing
+    seg_n = 33  # 32 + terminator
+    ends, starts, deltas, ros = b"", b"", b"", b""
+    for i in range(32):
+        s = i * 2000
+        ends += struct.pack(">H", s + 1999)
+        starts += struct.pack(">H", s)
+        deltas += struct.pack(">H", 0)
+        # point every segment's range reads at the shared zero block
+        ros += struct.pack(">H", 2 * (seg_n - i) + 2)
+    ends += b"\xff\xff"
+    starts += b"\xff\xff"
+    deltas += struct.pack(">H", 1)
+    ros += b"\x00\x00"
+    zeros = b"\x00\x00" * 4200
+    sub = (
+        struct.pack(">HHHHHHH", 4, 0, 0, seg_n * 2, 2, 0, 0)
+        + ends + b"\x00\x00" + starts + deltas + ros + zeros
+    )
+    cmap_table = (
+        struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
+    )
+    sfnt = b"\x00\x01\x00\x00" + struct.pack(">HHHH", 1, 16, 0, 0)
+    sfnt += b"cmap" + struct.pack(">III", 0, 28, len(cmap_table))
+    sfnt += cmap_table
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    t0 = time.monotonic()
+    with _pytest.raises(ValueError, match="size bound|missing from"):
+        extract_pdf_text(_fontfile_pdf(ops, sfnt))
+    assert time.monotonic() - t0 < 5.0

@@ -197,6 +197,20 @@ def test_ngram_pairs_rejects_mismatched_sidecar(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+    # r8 review: UNRELATED metadata without the (n, text_col) stamp is
+    # still "no stamp" — falls back inline, must not raise a
+    # provenance mismatch against n=None
+    noise = sidecar.select(
+        "source",
+        "id",
+        _F.col("shingles").alias("shingles", metadata={"comment": "x"}),
+    )
+    got2 = ngram_jaccard_pairs(
+        docs, block_cols=("source",), shingles_df=noise
+    )
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want.collect())
+    )
 
 
 def test_minhash_mllib_recall_vs_portable(spark):
