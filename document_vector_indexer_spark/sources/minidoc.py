@@ -467,12 +467,15 @@ def _balanced_dict(data: bytes, start: int) -> bytes:
 def _obj_region(data: bytes, num: int) -> "Optional[tuple[int, int]]":
     """(body_start, body_end) offsets of top-level object ``num`` in
     the raw file, or None (e.g. the object lives inside an /ObjStm —
-    resolution fails conservatively)."""
-    m = re.search(rb"(?<![0-9])%d\s+0\s+obj\b" % num, data)
-    if m is None:
+    resolution fails conservatively). The LAST definition wins:
+    incremental updates append the live object after the stale one."""
+    last = None
+    for m in re.finditer(rb"(?<![0-9])%d\s+0\s+obj\b" % num, data):
+        last = m
+    if last is None:
         return None
-    end = data.find(b"endobj", m.end())
-    return (m.end(), end if end != -1 else len(data))
+    end = data.find(b"endobj", last.end())
+    return (last.end(), end if end != -1 else len(data))
 
 
 def _obj_dict(data: bytes, num: int) -> "Optional[bytes]":
@@ -523,7 +526,8 @@ def _fontprogram_gid_map(content: bytes) -> "Optional[dict[int, str]]":
     indirect or non-Identity /Encoding, non-Identity /CIDToGIDMap,
     and conflicting maps across fonts — each is per-font state the
     merged-map tier cannot track."""
-    resolved_any = False
+    seen_type0 = 0
+    resolved_type0 = 0
     merged: dict[int, str] = {}
     for m in re.finditer(rb"(\d+)\s+0\s+obj\b", content):
         reg_start = m.end()
@@ -536,6 +540,8 @@ def _fontprogram_gid_map(content: bytes) -> "Optional[dict[int, str]]":
             continue
         if re.search(rb"/Subtype\s*/Type0\b", dct) is None:
             continue
+        seen_type0 += 1
+        resolved_this = False
         enc = re.search(rb"/Encoding\s*(/[A-Za-z0-9\-]+|\d+\s+0\s+R)", dct)
         if enc is None or enc.group(1) not in (
             b"/Identity-H",
@@ -585,7 +591,7 @@ def _fontprogram_gid_map(content: bytes) -> "Optional[dict[int, str]]":
             inv: dict[int, str] = {}
             for cp in sorted(u2g):  # smallest code point, deterministic
                 inv.setdefault(u2g[cp], chr(cp))
-            resolved_any = True
+            resolved_this = True
             for gid, ch in inv.items():
                 prev = merged.get(gid)
                 if prev is not None and prev != ch:
@@ -595,7 +601,21 @@ def _fontprogram_gid_map(content: bytes) -> "Optional[dict[int, str]]":
                         "native-kernel territory"
                     )
                 merged[gid] = ch
-    return merged if resolved_any else None
+        if resolved_this:
+            resolved_type0 += 1
+    if resolved_type0 == 0:
+        return None
+    if resolved_type0 < seen_type0:
+        # one font resolved, another didn't (no program, bare CFF,
+        # ObjStm-packed descendant...): the unresolved font's gids
+        # would decode through the WRONG font's map whenever the gid
+        # spaces collide — the same silent-garbage class as consuming
+        # unreferenced programs. All-or-nothing.
+        raise ValueError(
+            "pdf: only some Type0 fonts resolve to an embedded font "
+            "program — per-font decoding is native-kernel territory"
+        )
+    return merged
 
 
 def _cid_decoder(cmap: dict[int, str], width: int) -> Callable[[bytes], str]:
@@ -853,6 +873,17 @@ def extract_pdf_text(content: bytes) -> str:
                     "Type0) without a /ToUnicode CMap or a resolvable "
                     "embedded sfnt font program are not supported by "
                     "the stdlib tier"
+                )
+            # any Type0 dict visible only in decompressed streams
+            # (/ObjStm-packed) is invisible to the resolver above —
+            # its gids would decode through the resolved fonts' maps
+            if len(re.findall(rb"/Subtype\s*/Type0\b", scan)) > len(
+                re.findall(rb"/Subtype\s*/Type0\b", content)
+            ):
+                raise ValueError(
+                    "pdf: Type0 fonts inside object streams cannot be "
+                    "attributed to their programs — native-kernel "
+                    "territory"
                 )
             cmap, cid_width = gid_map, 2
         if _differences_map(scan):

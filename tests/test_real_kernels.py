@@ -1059,3 +1059,47 @@ def test_pdf_type0_fontfile_hostile_cmap_budget_per_iteration():
     with _pytest.raises(ValueError, match="size bound|missing from"):
         extract_pdf_text(_fontfile_pdf(ops, sfnt))
     assert time.monotonic() - t0 < 5.0
+
+
+def test_pdf_type0_fontfile_partial_resolution_raises():
+    """A file where ONE Type0 font resolves to its program while a
+    second Type0 font has no resolvable chain must raise — the
+    unresolved font's gids would otherwise decode through the wrong
+    font's map whenever the gid spaces collide."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _fontfile_pdf(ops, _mini_ttf({"H": 3}))
+    # a second Type0 font object with NO DescendantFonts chain
+    extra = (
+        b"30 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont "
+        b"/CCCCCC+Font /Encoding /Identity-H >>\nendobj\n"
+    )
+    at = pdf.rindex(b"xref\n")
+    pdf = pdf[:at] + extra + pdf[at:]
+    with _pytest.raises(ValueError, match="only some Type0 fonts"):
+        extract_pdf_text(pdf)
+
+
+def test_pdf_type0_fontfile_incremental_update_uses_last_object():
+    """Incremental updates append the LIVE object after the stale one;
+    resolution must read the last definition (here the stale
+    FontDescriptor points at a gid-3='Z' program, the appended update
+    at the real gid-3='H' one)."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    import zlib as _zlib
+
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _fontfile_pdf(ops, _mini_ttf({"Z": 3}))
+    # incremental update: re-define object 9 with the corrected font
+    new_ttf = _mini_ttf({"H": 3})
+    b2 = _zlib.compress(new_ttf)
+    update = (
+        b"9 0 obj\n<< /Length %d /Length1 %d /Filter /FlateDecode "
+        b">>\nstream\n%s\nendstream\nendobj\n" % (len(b2), len(new_ttf), b2)
+    )
+    pdf = pdf + update  # appended after %%EOF, like real updates
+    assert extract_pdf_text(pdf) == "H"
