@@ -184,6 +184,25 @@ def main() -> None:
             _now = max(_tr.getJobIdsForGroup(None), default=-1)
             warmup_jobs[name] = max(0, _now - _hw)
             _hw = _now
+        # Reporting alone relies on a reader inspecting the JSON (r8
+        # ADVICE): BOUND it too. Legitimate warm-up jobs are catalog
+        # setup only — a parquet footer read per newly-touched table
+        # plus the bucketed-events registration — so any query whose
+        # first construction runs more than a handful of jobs is
+        # memoizing real query work (a collect baked into session
+        # state) where neither the zero-jobs guard below nor the timed
+        # repeats can see it. Observed range on the honest queries is
+        # 0-2; 6 leaves room for a query touching several fresh tables.
+        _WARMUP_JOB_BOUND = 6
+        _outliers = {
+            n: c for n, c in warmup_jobs.items() if c > _WARMUP_JOB_BOUND
+        }
+        assert not _outliers, (
+            f"warm-up constructions ran more than catalog setup "
+            f"({_outliers}) — construct-time work is being memoized "
+            "outside the measured window; time those queries "
+            "construct-per-run instead"
+        )
         for name in HEADLINE:
             fn = specs[name].fn
             # Construct the DataFrame ONCE and measure repeated

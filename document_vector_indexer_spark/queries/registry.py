@@ -83,43 +83,28 @@ def all_queries() -> dict[str, QuerySpec]:
 
 # Changed in round 8: see rule 1 above.
 _CHANGED_SINCE_VERIFIED: list[str] = [
-    "q_stream_session",  # r8: events now load from the ingest layout's
-                         #     bucketed events_by_user table when
-                         #     present (io._load_events_bucketed) —
-                         #     raw-dir fallback identical; all 31
-                         #     events-family keys re-verified via
-                         #     tools/driver_sim.py ON the bucketed
-                         #     layout (fresh process, hostile TZ)
-    "q_source_binary",   # r8: minidoc mixed-font guard now counts font
-                         #     DICTIONARIES (shared-BaseFont mojibake
-                         #     hole closed) + bfrange hi-token width
-                         #     check; pinned tests green, fixture
-                         #     round-trips re-verified in pytest.
-                         #     ALSO r8: Type0/CID without /ToUnicode
-                         #     now decodes through the embedded sfnt
-                         #     font program's own cmap table (closes
-                         #     VERDICT missing #1 for the /FontFile2
-                         #     case); guards raise for non-Identity
-                         #     CIDToGIDMap / named CMaps / conflicting
-                         #     programs; property + pinned tests,
-                         #     fresh-process sim green
-    "q_dedup_ngram",     # r8: shingle_projection stamps (n, text_col)
-    "q_dedup_contain",   #     provenance metadata; ngram_jaccard_pairs
-                         #     validates supplied sidecars — values
-                         #     unchanged, sf0.01 parity re-verified on
-                         #     both inline and sidecar paths locally
-    "q_stream_stateful", # r8: GroupState.get property fix (cross-batch
-                         #     state read crashed — latent, single-flush
-                         #     runs never hit it) + idle-timeout
-                         #     eviction; multi-flush + eviction tests
-                         #     pinned, fresh-process sim green. ALSO r8:
-                         #     read_events_stream now handles ingest-
-                         #     layout dirs where events.parquet is a
-                         #     table DIRECTORY (the symlink staging
-                         #     listed zero files there — caught by the
-                         #     layout driver-sim, pinned in
-                         #     test_streaming.py); sim green on BOTH
+    "q_stream_stateful", # r9: read_events_stream's ingest-layout branch
+                         #     declared ts as NTZ+cast, silently shifting
+                         #     every event time by the session-TZ offset
+                         #     on ingested dirs (r8 ADVICE medium; latent
+                         #     under the pinned-UTC session). Now reads
+                         #     LTZ TIMESTAMP directly; TZ-invariance
+                         #     value test pinned; sim green on BOTH
                          #     layouts
+    "q_stream_session",  # r9: io._load_events_bucketed now gates
+                         #     registration on the writer's _SUCCESS
+                         #     marker + valid bucket-id suffixes (a
+                         #     crashed ingest's partial dir would have
+                         #     silently dropped rows), and renders the
+                         #     CREATE TABLE DDL via public schema APIs
+                         #     (was _jdf). Fallback identical; sim green
+                         #     on the ingested layout
+    "q_source_binary",   # r9: minidoc Type0 all-or-nothing accounting
+                         #     now counts raw /Subtype /Type0 tokens, so
+                         #     a font dict beyond the 64-byte object-scan
+                         #     window can no longer decode through other
+                         #     fonts' merged cmap (r8 ADVICE); pinned
+                         #     repro test
 ]
 # (The whole round-6 list — the 20 keys re-fronted after the norm
 # hoist / checkpoint / multi_global_rank / ngram-tail rewrites — got

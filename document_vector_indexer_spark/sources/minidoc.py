@@ -526,7 +526,16 @@ def _fontprogram_gid_map(content: bytes) -> "Optional[dict[int, str]]":
     indirect or non-Identity /Encoding, non-Identity /CIDToGIDMap,
     and conflicting maps across fonts — each is per-font state the
     merged-map tier cannot track."""
-    seen_type0 = 0
+    # The accounting denominator is the RAW token count, not the number
+    # of dicts the object scan managed to parse: a Type0 dict whose
+    # '<<' sits beyond the scan window (legal whitespace/comments after
+    # 'N 0 obj') would otherwise be invisible to both the resolver and
+    # the counter, and its gids would decode through OTHER fonts'
+    # merged cmap — the silent-garbage class the all-or-nothing guard
+    # exists for (r8 ADVICE). Over-counting (the token inside a string
+    # or uncompressed stream) fails toward an error row, never toward
+    # mojibake.
+    total_type0 = len(re.findall(rb"/Subtype\s*/Type0\b", content))
     resolved_type0 = 0
     merged: dict[int, str] = {}
     for m in re.finditer(rb"(\d+)\s+0\s+obj\b", content):
@@ -540,7 +549,6 @@ def _fontprogram_gid_map(content: bytes) -> "Optional[dict[int, str]]":
             continue
         if re.search(rb"/Subtype\s*/Type0\b", dct) is None:
             continue
-        seen_type0 += 1
         resolved_this = False
         enc = re.search(rb"/Encoding\s*(/[A-Za-z0-9\-]+|\d+\s+0\s+R)", dct)
         if enc is None or enc.group(1) not in (
@@ -605,12 +613,13 @@ def _fontprogram_gid_map(content: bytes) -> "Optional[dict[int, str]]":
             resolved_type0 += 1
     if resolved_type0 == 0:
         return None
-    if resolved_type0 < seen_type0:
+    if resolved_type0 < total_type0:
         # one font resolved, another didn't (no program, bare CFF,
-        # ObjStm-packed descendant...): the unresolved font's gids
-        # would decode through the WRONG font's map whenever the gid
-        # spaces collide — the same silent-garbage class as consuming
-        # unreferenced programs. All-or-nothing.
+        # ObjStm-packed descendant, a dict the object scan could not
+        # even locate...): the unresolved font's gids would decode
+        # through the WRONG font's map whenever the gid spaces collide
+        # — the same silent-garbage class as consuming unreferenced
+        # programs. All-or-nothing.
         raise ValueError(
             "pdf: only some Type0 fonts resolve to an embedded font "
             "program — per-font decoding is native-kernel territory"

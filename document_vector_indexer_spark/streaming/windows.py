@@ -120,20 +120,31 @@ def attribution_join(
     ).drop("p_user")
 
 
-# events.parquet stores ts as naive TIMESTAMP(MICROS) (= TIMESTAMP_NTZ
-# to Spark); streams need an explicit schema, and watermarks accept
-# only TIMESTAMP, so read NTZ and cast (value-preserving under the
-# pinned UTC session TZ — same normalization as io._load_events).
-_RAW_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampNTZType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# RAW fixture events.parquet stores ts as naive TIMESTAMP(MICROS)
+# (= TIMESTAMP_NTZ to Spark); streams need an explicit schema, and
+# watermarks accept only TIMESTAMP, so read NTZ and cast
+# (value-preserving under the pinned UTC session TZ — same
+# normalization as io._load_events). INGESTED dirs are different:
+# ingest_engine_layout writes events.parquet from load_table's output,
+# whose ts is already TIMESTAMP (LTZ in the file) — reading THAT
+# through an NTZ schema then casting would shift every value by the
+# session-TZ offset (r8 ADVICE: +5h under America/New_York), so the
+# directory branch declares TimestampType directly, no cast.
+def _stream_schema(ts_type: "T.DataType") -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+_RAW_STREAM_SCHEMA = _stream_schema(T.TimestampNTZType())
+_INGESTED_STREAM_SCHEMA = _stream_schema(T.TimestampType())
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,8 +167,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
-        raw = spark.readStream.schema(_RAW_STREAM_SCHEMA).parquet(src)
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        # Spark-written table dir (ingest layout): ts is already LTZ
+        # TIMESTAMP on disk — declare it as such (see _stream_schema).
+        return spark.readStream.schema(_INGESTED_STREAM_SCHEMA).parquet(src)
 
     # md5 of the path, not hash(): Python string hashing is randomized
     # per process (PYTHONHASHSEED), which would leak one stage dir per

@@ -97,3 +97,53 @@ def test_ingest_engine_layout_is_reentrant_over_ingested_dirs(
     a = sorted(map(tuple, load_table(spark, first, "events").collect()))
     b = sorted(map(tuple, load_table(spark, second, "events").collect()))
     assert a == b
+
+
+def test_partial_bucketed_dir_is_not_registered(spark, tmp_path):
+    """r9 regression (r8 ADVICE): a bucketed dir WITHOUT the writer's
+    _SUCCESS marker (crashed ingest) must not register — Spark trusts
+    catalog bucket metadata to elide exchanges, so a partial dir would
+    silently drop the missing buckets' rows. The reader must fall back
+    to the plain events.parquet copy with full row parity."""
+    import os
+
+    from document_vector_indexer_spark.io import (
+        _load_events_bucketed,
+        ingest_engine_layout,
+    )
+
+    src = "/root/testdata/sf0.001"
+    dest = str(tmp_path / "crashed")
+    ingest_engine_layout(spark, src, dest)
+    os.remove(os.path.join(dest, "events_by_user", "_SUCCESS"))
+    assert _load_events_bucketed(spark, dest) is None
+    n_src = load_table(spark, src, "events").count()
+    assert load_table(spark, dest, "events").count() == n_src
+
+
+def test_bucketed_dir_with_foreign_bucket_id_is_not_registered(tmp_path):
+    """A data file whose bucket-id suffix exceeds the bucket count is
+    not a write this reader's metadata describes — refuse it."""
+    from document_vector_indexer_spark.io import _bucketed_dir_committed
+
+    loc = tmp_path / "evil"
+    loc.mkdir()
+    (loc / "_SUCCESS").touch()
+    (loc / "part-00000-x_00000.c000.snappy.parquet").touch()
+    assert _bucketed_dir_committed(str(loc))
+    (loc / "part-00008-x_00008.c000.snappy.parquet").touch()
+    assert not _bucketed_dir_committed(str(loc))
+
+
+def test_schema_ddl_round_trips(spark):
+    """The public-API DDL builder must parse back to the identical
+    schema for every engine table (the contract CREATE TABLE needs;
+    string-exact parity with the JVM's own toDDL is not required —
+    casing/backticks differ, both are valid DDL)."""
+    from pyspark.sql import types as T
+
+    from document_vector_indexer_spark.io import TABLES, _schema_ddl
+
+    for t in TABLES:
+        schema = load_table(spark, SF, t).schema
+        assert T.StructType.fromDDL(_schema_ddl(schema)) == schema, t

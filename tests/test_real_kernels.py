@@ -1000,6 +1000,32 @@ def test_pdf_type0_fontfile_unreferenced_program_is_ignored():
     assert extract_pdf_text(pdf2) == "H"
 
 
+def test_pdf_type0_dict_beyond_scan_window_raises():
+    """r9 regression (r8 ADVICE): a Type0 font dict whose '<<' sits
+    beyond the resolver's 64-byte scan window after 'N 0 obj' (legal
+    whitespace/comments) was invisible to BOTH the resolver and its
+    seen-counter — its gids then decoded through the OTHER resolved
+    fonts' merged cmap with ok=True. The all-or-nothing accounting now
+    counts raw '/Subtype /Type0' tokens, so the hidden font forces an
+    error row instead."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3})
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _fontfile_pdf(ops, ttf)
+    hidden = (
+        b"30 0 obj\n% " + b"x" * 80 + b"\n"
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /CCCCCC+Font "
+        b"/Encoding /Identity-H /DescendantFonts [31 0 R] >>\nendobj\n"
+    )
+    at = pdf.rindex(b"xref\n")
+    pdf = pdf[:at] + hidden + pdf[at:]
+    with _pytest.raises(ValueError, match="only some Type0 fonts"):
+        extract_pdf_text(pdf)
+
+
 def test_pdf_type0_fontfile_indirect_encoding_raises():
     """r8 review repro: '/Encoding 12 0 R' (an embedded-CMap stream,
     the standard non-Identity form) previously slipped the literal-

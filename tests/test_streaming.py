@@ -128,3 +128,52 @@ def test_events_stream_reads_ingested_table_dir(spark, tmp_path):
         q.awaitTermination()
         rows = spark.sql("SELECT * FROM t_ingested_stream_count").collect()
         assert rows and rows[0]["count"] == n_batch, (d, rows)
+
+
+def test_events_stream_ingested_ts_values_tz_invariant(spark, tmp_path):
+    """r9 regression (r8 ADVICE medium): the ingest layout stores ts as
+    LTZ TIMESTAMP (absolute instants); reading it back through an NTZ
+    schema + cast re-interpreted the stored UTC wall time as SESSION-TZ
+    wall time, silently shifting every ts by the UTC offset under any
+    non-UTC session TZ (+5h under America/New_York). Pin VALUE parity,
+    not just counts: min/max formatted ts from the stream read must
+    equal the batch read's under a hostile session TZ."""
+    from pyspark.sql import functions as F
+
+    from document_vector_indexer_spark.io import ingest_engine_layout
+
+    dest = str(tmp_path / "ingested_tz")
+    ingest_engine_layout(spark, SF_DIR, dest)
+
+    def minmax_fmt(df):
+        return (
+            df.agg(
+                F.date_format(F.min("ts"), W.TS_FMT).alias("lo"),
+                F.date_format(F.max("ts"), W.TS_FMT).alias("hi"),
+            )
+        )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # batch read of the ingested layout is LTZ-native (ground truth
+        # for the stored instants under this session TZ)
+        batch = minmax_fmt(load_table(spark, dest, "events")).collect()[0]
+        stream = minmax_fmt(W.read_events_stream(spark, dest))
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("t_ingested_stream_tz")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT * FROM t_ingested_stream_tz").collect()[0]
+        assert (got["lo"], got["hi"]) == (batch["lo"], batch["hi"]), (
+            "ingest-layout stream read shifted event time under a "
+            "non-UTC session TZ",
+            dict(got.asDict()),
+            dict(batch.asDict()),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
