@@ -99,6 +99,15 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                          #     CREATE TABLE DDL via public schema APIs
                          #     (was _jdf). Fallback identical; sim green
                          #     on the ingested layout
+    "q_join_asof",       # r9: filter-split single-scan form replaces
+                         #     the union of two scans (same tag-sort-
+                         #     carry semantics, values identical) — the
+                         #     bucketed layout's asof plan now carries
+                         #     ZERO exchanges (was 1 corpus-sized;
+                         #     UnionExec reports UnknownPartitioning
+                         #     over bucketed children). Plan-pinned;
+                         #     sim green at sf0.001/0.01/0.1 raw AND
+                         #     sf0.01 ingested
     "q_source_binary",   # r9: minidoc Type0 all-or-nothing accounting
                          #     now counts raw /Subtype /Type0 tokens, so
                          #     a font dict beyond the 64-byte object-scan

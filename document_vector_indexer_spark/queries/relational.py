@@ -368,25 +368,31 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the same user (inclusive, like DuckDB ASOF's >=).
 
     Spark has no native as-of join; the scalable pattern is
-    union-then-window: tag both sides, sort once per user partition,
-    and carry the last non-null click timestamp forward. One shuffle,
-    no join explosion, no per-group pandas — works at any key
+    tag-sort-carry: tag both sides, sort once per user partition, and
+    carry the last non-null click timestamp forward. One shuffle at
+    most, no join explosion, no per-group pandas — works at any key
     cardinality and data size.
+
+    Both sides here come from the SAME table, so the tagging is a
+    filter-split PROJECTION over one scan rather than a union of two
+    scans (r8 VERDICT item 4): UnionExec reports UnknownPartitioning
+    even over co-bucketed children, which forced a corpus-sized
+    exchange on the ingest layout — the single scan keeps the bucketed
+    table's HashPartitioning(user_id), so the window plan carries ZERO
+    exchanges there (plan-pinned), and raw dirs pay the same one
+    shuffle as before. Half the scans, too. An asof over two DISTINCT
+    tables still uses the union form — see ``q_join_range`` for the
+    two-sided pattern.
     """
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    is_click = F.col("event_type") == "click"
+    tagged = ev.filter(is_click | (F.col("event_type") == "purchase")).select(
         "user_id",
         "ts",
-        F.lit(0).alias("side"),
-        F.col("ts").alias("click_ts"),
-        F.lit(None).cast("long").alias("event_id"),
-    )
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        F.lit(None).cast("timestamp").alias("click_ts"),
-        "event_id",
+        # clicks sort before purchases at equal ts -> inclusive >=
+        F.when(is_click, F.lit(0)).otherwise(F.lit(1)).alias("side"),
+        F.when(is_click, F.col("ts")).alias("click_ts"),
+        F.when(~is_click, F.col("event_id")).alias("event_id"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -394,7 +400,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        clicks.unionByName(purch)
+        tagged
         .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
         .filter(F.col("side") == 1)
         .select(
