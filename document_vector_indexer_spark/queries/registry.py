@@ -113,7 +113,11 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                          #     a font dict beyond the 64-byte object-scan
                          #     window can no longer decode through other
                          #     fonts' merged cmap (r8 ADVICE); pinned
-                         #     repro test
+                         #     repro test. ALSO r9: /ObjStm containers
+                         #     are re-serialized into the resolver's
+                         #     object space (stretch item) — packed
+                         #     Type0 font chains now decode; malformed/
+                         #     ambiguous containers raise; fuzz-tested
 ]
 # (The whole round-6 list — the 20 keys re-fronted after the norm
 # hoist / checkpoint / multi_global_rank / ngram-tail rewrites — got

@@ -515,6 +515,86 @@ def _obj_stream_body(data: bytes, num: int) -> "Optional[bytes]":
     return cands[0]
 
 
+# Budget for /ObjStm headers: a real writer packs at most a few
+# thousand objects per stream; anything larger is hostile input.
+_OBJSTM_MAX_OBJECTS = 50_000
+
+
+def _objstm_synthesized(content: bytes) -> bytes:
+    """Every object packed inside a /Type /ObjStm container (PDF 1.5
+    object streams, ISO 32000-1 §7.5.7) re-serialized as top-level
+    ``N 0 obj ... endobj`` sections, or b"" when the file has none.
+    Appending this to the raw bytes lets the linear object resolver see
+    packed font dicts (streams themselves may not live in an ObjStm,
+    so font PROGRAMS are always top-level). The reference reaches the
+    same objects through pymupdf (index_documents.py:38-47).
+
+    Never-silent-garbage policy: any malformed container — indirect or
+    missing /N //First, short or non-integer header, non-ascending or
+    out-of-range offsets, an object number defined more than once
+    across containers (live-vs-stale needs the xref stream, which is
+    native-kernel territory) — raises instead of guessing, so partial
+    resolution can never route a font's gids through another font's
+    map."""
+    out: list[bytes] = []
+    seen_packed: set[int] = set()
+    raw_nums = {
+        int(m.group(1))
+        for m in re.finditer(rb"(?<![0-9])(\d+)\s+0\s+obj\b", content)
+    }
+    for m in _STREAM_DICT_RE.finditer(content):
+        sdict = m.group(1)
+        if re.search(rb"/Type\s*/ObjStm\b", sdict) is None:
+            continue
+        n_m = re.search(rb"/N\s+(\d+)\b", sdict)
+        first_m = re.search(rb"/First\s+(\d+)\b", sdict)
+        if n_m is None or first_m is None:
+            raise ValueError(
+                "pdf: object stream without direct /N and /First — "
+                "native-kernel territory"
+            )
+        n, first = int(n_m.group(1)), int(first_m.group(1))
+        if n > _OBJSTM_MAX_OBJECTS:
+            raise ValueError("pdf: object stream header exceeds budget")
+        body = None
+        cands = _body_candidates(sdict, content, m.end())
+        if b"/FlateDecode" in sdict:
+            for c in cands:
+                try:
+                    body = zlib.decompress(c)
+                    break
+                except zlib.error:
+                    continue
+        elif cands:
+            body = cands[0]
+        if body is None:
+            raise ValueError("pdf: unreadable object stream body")
+        if first > len(body):
+            raise ValueError("pdf: object stream /First beyond its body")
+        toks = body[:first].split()
+        if len(toks) != 2 * n or not all(t.isdigit() for t in toks):
+            raise ValueError("pdf: malformed object stream header")
+        pairs = [(int(toks[2 * i]), int(toks[2 * i + 1])) for i in range(n)]
+        offs = [o for _, o in pairs]
+        if offs != sorted(offs) or (offs and first + offs[-1] > len(body)):
+            raise ValueError(
+                "pdf: object stream offsets not ascending in-range"
+            )
+        for i, (num, off) in enumerate(pairs):
+            end = first + offs[i + 1] if i + 1 < n else len(body)
+            if num in seen_packed or num in raw_nums:
+                raise ValueError(
+                    "pdf: object defined more than once across "
+                    "containers — live-vs-stale attribution needs the "
+                    "xref stream (native-kernel territory)"
+                )
+            seen_packed.add(num)
+            out.append(
+                b"%d 0 obj\n%s\nendobj\n" % (num, body[first + off : end])
+            )
+    return b"\n".join(out)
+
+
 def _fontprogram_gid_map(content: bytes) -> "Optional[dict[int, str]]":
     """Merged gid -> text map built from the font program each Type0
     font ACTUALLY REFERENCES (/DescendantFonts -> /FontDescriptor ->
@@ -860,9 +940,11 @@ def extract_pdf_text(content: bytes) -> str:
             # cmap of the font program each Type0 font REFERENCES
             # (gids == show-string codes only under Identity encodings
             # with an Identity CIDToGIDMap — anything else raises,
-            # never guesses). Object resolution runs over the raw
-            # file; fonts packed into /ObjStm containers don't resolve
-            # and fall through to the raise.
+            # never guesses). Object resolution runs over the raw file
+            # AUGMENTED with the re-serialized contents of /ObjStm
+            # containers (r9), so font dicts packed into object streams
+            # resolve too; a malformed container raises inside the
+            # synthesizer instead of leaving fonts unattributed.
             for g in re.finditer(rb"/CIDToGIDMap\s*(/?[A-Za-z0-9]*)", scan):
                 if g.group(1) != b"/Identity":
                     raise ValueError(
@@ -875,7 +957,11 @@ def extract_pdf_text(content: bytes) -> str:
                         "pdf: named CMap encodings beyond Identity are "
                         "native-kernel territory"
                     )
-            gid_map = _fontprogram_gid_map(content)
+            aug = content
+            extra = _objstm_synthesized(content)
+            if extra:
+                aug = content + b"\n" + extra
+            gid_map = _fontprogram_gid_map(aug)
             if gid_map is None:
                 raise ValueError(
                     "pdf: composite/CID font encodings (Identity-H/"
@@ -883,16 +969,17 @@ def extract_pdf_text(content: bytes) -> str:
                     "embedded sfnt font program are not supported by "
                     "the stdlib tier"
                 )
-            # any Type0 dict visible only in decompressed streams
-            # (/ObjStm-packed) is invisible to the resolver above —
+            # any Type0 dict visible in decompressed streams but NOT in
+            # the augmented object space (e.g. serialized inside a
+            # non-ObjStm stream) is invisible to the resolver above —
             # its gids would decode through the resolved fonts' maps
             if len(re.findall(rb"/Subtype\s*/Type0\b", scan)) > len(
-                re.findall(rb"/Subtype\s*/Type0\b", content)
+                re.findall(rb"/Subtype\s*/Type0\b", aug)
             ):
                 raise ValueError(
-                    "pdf: Type0 fonts inside object streams cannot be "
-                    "attributed to their programs — native-kernel "
-                    "territory"
+                    "pdf: Type0 fonts visible only inside opaque "
+                    "streams cannot be attributed to their programs — "
+                    "native-kernel territory"
                 )
             cmap, cid_width = gid_map, 2
         if _differences_map(scan):

@@ -1026,6 +1026,135 @@ def test_pdf_type0_dict_beyond_scan_window_raises():
         extract_pdf_text(pdf)
 
 
+def _pack_objstm(pdf: bytes, nums: "list[int]", objstm_num: int = 40) -> bytes:
+    """Move the given top-level objects into a FlateDecode /ObjStm
+    container (PDF 1.5 §7.5.7: header of ``num offset`` int pairs, then
+    the bare object bodies), removing their raw definitions."""
+    import re as _re
+    import zlib as _zlib
+
+    bodies: "list[tuple[int, bytes]]" = []
+    for num in nums:
+        m = _re.search(
+            rb"(?<![0-9])%d 0 obj\n(.*?)\nendobj\n" % num, pdf, _re.S
+        )
+        assert m is not None, num
+        bodies.append((num, m.group(1)))
+        pdf = pdf[: m.start()] + pdf[m.end() :]
+    payload, header, off = b"", b"", 0
+    for num, body in bodies:
+        header += b"%d %d " % (num, off)
+        payload += body + b"\n"
+        off = len(payload)
+    raw = header + payload
+    comp = _zlib.compress(raw)
+    obj = (
+        b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+        % (objstm_num, len(bodies), len(header), len(comp), comp)
+    )
+    at = pdf.rindex(b"xref\n")
+    return pdf[:at] + obj + pdf[at:]
+
+
+def test_pdf_type0_objstm_packed_font_chain_decodes():
+    """r9 (r8 VERDICT stretch): font dicts packed inside a /ObjStm
+    container — descendant + descriptor, and then the Type0 dict itself
+    — now resolve through the synthesized object space and decode via
+    the embedded program's cmap (this exact shape raised 'inside object
+    streams' before). The font PROGRAM stays top-level: streams may not
+    live in an ObjStm, so the stdlib tier never needs to."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3, "i": 4})
+    ops = b"BT /F1 12 Tf 0 0 Td <00030004> Tj ET"
+    base = _fontfile_pdf(ops, ttf)
+    assert extract_pdf_text(_pack_objstm(base, [7, 8])) == "Hi"
+    assert extract_pdf_text(_pack_objstm(base, [5, 7, 8])) == "Hi"
+
+
+def test_pdf_objstm_malformed_header_raises():
+    """A short or non-integer ObjStm header must raise (error row),
+    never skip the container — a skipped Type0 dict would decode
+    through other fonts' maps."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import (
+        _objstm_synthesized,
+        extract_pdf_text,
+    )
+    import re as _re
+    import zlib as _zlib
+
+    ttf = _mini_ttf({"H": 3})
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _pack_objstm(_fontfile_pdf(ops, ttf), [7, 8])
+    # corrupt: claim one more object than the header carries
+    m = _re.search(rb"/Type /ObjStm /N (\d+)", pdf)
+    bad = pdf[: m.start(1)] + b"9" + pdf[m.end(1) :]
+    with _pytest.raises(ValueError, match="object stream"):
+        extract_pdf_text(bad)
+    # descending offsets
+    raw = b"7 10 8 0 " + b"x" * 64
+    comp = _zlib.compress(raw)
+    doc = (
+        b"%%PDF-1.5\n40 0 obj\n<< /Type /ObjStm /N 2 /First 9 /Length "
+        b"%d /Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(comp), comp)
+    )
+    with _pytest.raises(ValueError, match="ascending"):
+        _objstm_synthesized(doc)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    body=st.binary(min_size=0, max_size=200),
+    n=st.integers(min_value=0, max_value=5),
+    first=st.integers(min_value=0, max_value=300),
+    flate=st.booleans(),
+)
+def test_pdf_objstm_fuzz_raises_valueerror_only(body, n, first, flate):
+    """Hostile ObjStm containers (arbitrary bodies, lying /N //First)
+    must surface as ValueError (-> error row) or a clean synthesis —
+    never IndexError/UnicodeDecodeError leaks, never an exception class
+    the caller's error-row contract doesn't catch."""
+    import zlib as _zlib
+
+    from document_vector_indexer_spark.sources.minidoc import (
+        _objstm_synthesized,
+    )
+
+    payload = _zlib.compress(body) if flate else body
+    filt = b" /Filter /FlateDecode" if flate else b""
+    doc = (
+        b"%%PDF-1.5\n40 0 obj\n<< /Type /ObjStm /N %d /First %d "
+        b"/Length %d%s >>\nstream\n%s\nendstream\nendobj\n"
+        % (n, first, len(payload), filt, payload)
+    )
+    try:
+        out = _objstm_synthesized(doc)
+        assert isinstance(out, bytes)
+    except ValueError:
+        pass
+
+
+def test_pdf_objstm_duplicate_definition_raises():
+    """An object defined BOTH at top level and inside an ObjStm needs
+    the xref stream to know which is live — must raise, not pick."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3})
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _pack_objstm(_fontfile_pdf(ops, ttf), [7, 8])
+    # re-add a stale raw definition of object 7
+    at = pdf.rindex(b"xref\n")
+    stale = b"7 0 obj\n<< /Type /Font /Subtype /CIDFontType2 >>\nendobj\n"
+    with _pytest.raises(ValueError, match="more than once"):
+        extract_pdf_text(pdf[:at] + stale + pdf[at:])
+
+
 def test_pdf_type0_fontfile_indirect_encoding_raises():
     """r8 review repro: '/Encoding 12 0 R' (an embedded-CMap stream,
     the standard non-Identity form) previously slipped the literal-
