@@ -210,10 +210,17 @@ def _loc_table_name(prefix: str, loc: str) -> str:
 
 
 def _schema_ddl(schema: "T.StructType") -> str:
-    """Column DDL built from public schema fields (``simpleString`` is
-    valid DDL type syntax), replacing the private
-    ``_jdf.schema().toDDL()`` call so the registration survives Spark
-    minor upgrades (r8 VERDICT #5)."""
+    """Column DDL via the PUBLIC ``StructType.toDDL()`` (present since
+    Spark 4; replaces the private ``_jdf.schema().toDDL()`` call, r8
+    VERDICT #5), falling back to a field-wise rendering on versions
+    without it. The fallback quotes TOP-LEVEL names only — nested
+    struct field names pass through ``simpleString`` unquoted, which is
+    fine for the engine's flat tables but not a general DDL renderer
+    (``tests/test_bucketing.py`` pins the round-trip for every engine
+    table)."""
+    to_ddl = getattr(schema, "toDDL", None)
+    if to_ddl is not None:
+        return to_ddl()
     return ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
     )
@@ -221,20 +228,24 @@ def _schema_ddl(schema: "T.StructType") -> str:
 
 def _bucketed_dir_committed(loc: str) -> bool:
     """True iff the bucketed-table dir is a COMPLETE write: _SUCCESS
-    marker present and every data file named with a bucket id below the
-    bucket count (the ``..._NNNNN.c000`` suffix Spark's bucketed writer
-    emits)."""
+    marker present and at least one data file, every data file named
+    with a bucket id below the bucket count (the ``..._NNNNN.c000``
+    suffix Spark's bucketed writer emits). A marker-only dir (partial
+    cleanup) must fall back too — registering it would crash the read
+    instead of degrading to the plain layout."""
     if not os.path.exists(os.path.join(loc, "_SUCCESS")):
         return False
     import re as _re
 
+    n_data = 0
     for fn in os.listdir(loc):
         if fn.startswith(("_", ".")):
             continue
         m = _re.search(r"_(\d{5})\.c\d+", fn)
         if m is None or int(m.group(1)) >= EVENTS_BUCKETS:
             return False
-    return True
+        n_data += 1
+    return n_data > 0
 
 
 def _load_events_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame | None:

@@ -81,7 +81,7 @@ def all_queries() -> dict[str, QuerySpec]:
 # the back of the queue. tests/test_registry.py simulates the rotation
 # forward and asserts the staleness bound.
 
-# Changed in round 8: see rule 1 above.
+# Changed in round 9: see rule 1 above.
 _CHANGED_SINCE_VERIFIED: list[str] = [
     "q_stream_stateful", # r9: read_events_stream's ingest-layout branch
                          #     declared ts as NTZ+cast, silently shifting

@@ -502,10 +502,47 @@ def _obj_stream_body(data: bytes, num: int) -> "Optional[bytes]":
     m = _STREAM_DICT_RE.search(data, *reg)
     if m is None:
         return None
-    cands = _body_candidates(m.group(1), data, m.end())
+    return _decoded_body(m.group(1), data, m.end())
+
+
+# Budget for /ObjStm headers: a real writer packs at most a few
+# thousand objects per stream; anything larger is hostile input.
+_OBJSTM_MAX_OBJECTS = 50_000
+
+
+def _tight_stream_dict(data: bytes, m: "re.Match[bytes]") -> bytes:
+    """The balanced ``<<...>>`` dict IMMEDIATELY preceding a stream
+    keyword, walked backward from the closing ``>>`` of a
+    ``_STREAM_DICT_RE`` match. The regex group itself can span earlier
+    unrelated dicts and even a previous stream's raw body (its ``<<``
+    anchor is just the first one after the previous match), so reading
+    /Type //N //First out of the group can pick another dict's values
+    (r9 review); the backward walk pins them to the stream's own dict."""
+    close_end = m.end(1) + 2  # just past the '>>' the regex matched
+    depth, i = 0, close_end - 2
+    while i >= 0:
+        pair = data[i : i + 2]
+        if pair == b">>":
+            depth += 1
+            i -= 2
+        elif pair == b"<<":
+            depth -= 1
+            if depth == 0:
+                return data[i:close_end]
+            i -= 2
+        else:
+            i -= 1
+    raise ValueError("pdf: unbalanced stream dictionary")
+
+
+def _decoded_body(sdict: bytes, data: bytes, start: int) -> "Optional[bytes]":
+    """Decoded stream body following ``start`` (plain or FlateDecode per
+    ``sdict``), or None — the one copy of the candidates/decompress-
+    retry loop shared by every stream-body consumer."""
+    cands = _body_candidates(sdict, data, start)
     if not cands:
         return None
-    if b"/FlateDecode" in m.group(1):
+    if b"/FlateDecode" in sdict:
         for c in cands:
             try:
                 return zlib.decompress(c)
@@ -515,35 +552,35 @@ def _obj_stream_body(data: bytes, num: int) -> "Optional[bytes]":
     return cands[0]
 
 
-# Budget for /ObjStm headers: a real writer packs at most a few
-# thousand objects per stream; anything larger is hostile input.
-_OBJSTM_MAX_OBJECTS = 50_000
-
-
-def _objstm_synthesized(content: bytes) -> bytes:
+def _objstm_synthesized(content: bytes) -> "tuple[bytes, frozenset[int]]":
     """Every object packed inside a /Type /ObjStm container (PDF 1.5
     object streams, ISO 32000-1 §7.5.7) re-serialized as top-level
-    ``N 0 obj ... endobj`` sections, or b"" when the file has none.
-    Appending this to the raw bytes lets the linear object resolver see
-    packed font dicts (streams themselves may not live in an ObjStm,
-    so font PROGRAMS are always top-level). The reference reaches the
-    same objects through pymupdf (index_documents.py:38-47).
+    ``N 0 obj ... endobj`` sections, plus the set of object numbers
+    defined MORE THAN ONCE across containers (stale top-level copy vs
+    packed update, or packed twice). Appending the sections to the raw
+    bytes lets the linear object resolver see packed font dicts
+    (streams themselves may not live in an ObjStm, so font PROGRAMS are
+    always top-level). The reference reaches the same objects through
+    pymupdf (index_documents.py:38-47).
 
-    Never-silent-garbage policy: any malformed container — indirect or
+    Ambiguous numbers are RETURNED, not raised here: which copy is live
+    is named by the xref stream, which the stdlib tier does not parse —
+    but the ambiguity only matters if font resolution actually touches
+    the object. ``_fontprogram_gid_map`` raises lazily on first touch
+    (the incremental-update shape with a duplicated PAGE object must
+    keep decoding, r9 review). Malformed containers — indirect or
     missing /N //First, short or non-integer header, non-ascending or
-    out-of-range offsets, an object number defined more than once
-    across containers (live-vs-stale needs the xref stream, which is
-    native-kernel territory) — raises instead of guessing, so partial
-    resolution can never route a font's gids through another font's
-    map."""
+    out-of-range offsets — still raise eagerly: a skipped container
+    would leave its Type0 dicts unattributed."""
     out: list[bytes] = []
-    seen_packed: set[int] = set()
+    packed_nums: set[int] = set()
+    ambiguous: set[int] = set()
     raw_nums = {
         int(m.group(1))
         for m in re.finditer(rb"(?<![0-9])(\d+)\s+0\s+obj\b", content)
     }
     for m in _STREAM_DICT_RE.finditer(content):
-        sdict = m.group(1)
+        sdict = _tight_stream_dict(content, m)
         if re.search(rb"/Type\s*/ObjStm\b", sdict) is None:
             continue
         n_m = re.search(rb"/N\s+(\d+)\b", sdict)
@@ -556,17 +593,7 @@ def _objstm_synthesized(content: bytes) -> bytes:
         n, first = int(n_m.group(1)), int(first_m.group(1))
         if n > _OBJSTM_MAX_OBJECTS:
             raise ValueError("pdf: object stream header exceeds budget")
-        body = None
-        cands = _body_candidates(sdict, content, m.end())
-        if b"/FlateDecode" in sdict:
-            for c in cands:
-                try:
-                    body = zlib.decompress(c)
-                    break
-                except zlib.error:
-                    continue
-        elif cands:
-            body = cands[0]
+        body = _decoded_body(sdict, content, m.end())
         if body is None:
             raise ValueError("pdf: unreadable object stream body")
         if first > len(body):
@@ -582,20 +609,18 @@ def _objstm_synthesized(content: bytes) -> bytes:
             )
         for i, (num, off) in enumerate(pairs):
             end = first + offs[i + 1] if i + 1 < n else len(body)
-            if num in seen_packed or num in raw_nums:
-                raise ValueError(
-                    "pdf: object defined more than once across "
-                    "containers — live-vs-stale attribution needs the "
-                    "xref stream (native-kernel territory)"
-                )
-            seen_packed.add(num)
+            if num in packed_nums or num in raw_nums:
+                ambiguous.add(num)
+            packed_nums.add(num)
             out.append(
                 b"%d 0 obj\n%s\nendobj\n" % (num, body[first + off : end])
             )
-    return b"\n".join(out)
+    return b"\n".join(out), frozenset(ambiguous)
 
 
-def _fontprogram_gid_map(content: bytes) -> "Optional[dict[int, str]]":
+def _fontprogram_gid_map(
+    content: bytes, ambiguous: "frozenset[int]" = frozenset()
+) -> "Optional[dict[int, str]]":
     """Merged gid -> text map built from the font program each Type0
     font ACTUALLY REFERENCES (/DescendantFonts -> /FontDescriptor ->
     /FontFile2), or None when no Type0 font resolves to an embedded
@@ -605,7 +630,23 @@ def _fontprogram_gid_map(content: bytes) -> "Optional[dict[int, str]]":
     <0009000A> as 'ZQ' with ok=True). Per-font guards raise for
     indirect or non-Identity /Encoding, non-Identity /CIDToGIDMap,
     and conflicting maps across fonts — each is per-font state the
-    merged-map tier cannot track."""
+    merged-map tier cannot track.
+
+    ``ambiguous`` carries object numbers defined more than once across
+    containers (``_objstm_synthesized``): resolution raises the moment
+    it TOUCHES one — following last-definition-wins there could pick a
+    stale font object, the silent-garbage class — while files whose
+    duplicated objects are unrelated to fonts keep decoding."""
+
+    def _chk(num: int) -> int:
+        if num in ambiguous:
+            raise ValueError(
+                "pdf: font object defined more than once across "
+                "containers — live-vs-stale attribution needs the "
+                "xref stream (native-kernel territory)"
+            )
+        return num
+
     # The accounting denominator is the RAW token count, not the number
     # of dicts the object scan managed to parse: a Type0 dict whose
     # '<<' sits beyond the scan window (legal whitespace/comments after
@@ -629,6 +670,7 @@ def _fontprogram_gid_map(content: bytes) -> "Optional[dict[int, str]]":
             continue
         if re.search(rb"/Subtype\s*/Type0\b", dct) is None:
             continue
+        _chk(int(m.group(1)))  # a duplicated Type0 dict itself
         resolved_this = False
         enc = re.search(rb"/Encoding\s*(/[A-Za-z0-9\-]+|\d+\s+0\s+R)", dct)
         if enc is None or enc.group(1) not in (
@@ -647,12 +689,14 @@ def _fontprogram_gid_map(content: bytes) -> "Optional[dict[int, str]]":
             continue  # no descendant: nothing to resolve for this font
         dfv = dfm.group(1)
         if not dfv.startswith(b"["):
-            reg = _obj_region(content, int(_REF_RE.match(dfv).group(1)))
+            reg = _obj_region(
+                content, _chk(int(_REF_RE.match(dfv).group(1)))
+            )
             if reg is None:
                 continue
             dfv = content[reg[0] : reg[1]]
         for ref in _REF_RE.finditer(dfv):
-            desc = _obj_dict(content, int(ref.group(1)))
+            desc = _obj_dict(content, _chk(int(ref.group(1))))
             if desc is None:
                 continue
             c2g = re.search(
@@ -666,13 +710,13 @@ def _fontprogram_gid_map(content: bytes) -> "Optional[dict[int, str]]":
             fd_num = _ref_after(desc, rb"/FontDescriptor")
             if fd_num is None:
                 continue
-            fd = _obj_dict(content, fd_num)
+            fd = _obj_dict(content, _chk(fd_num))
             if fd is None:
                 continue
             ff_num = _ref_after(fd, rb"/FontFile2")
             if ff_num is None:
                 continue
-            body = _obj_stream_body(content, ff_num)
+            body = _obj_stream_body(content, _chk(ff_num))
             if body is None or body[:4] not in _SFNT_MAGIC:
                 continue
             u2g = _sfnt_cmap_unicode_to_gid(body)
@@ -958,10 +1002,10 @@ def extract_pdf_text(content: bytes) -> str:
                         "native-kernel territory"
                     )
             aug = content
-            extra = _objstm_synthesized(content)
+            extra, ambiguous = _objstm_synthesized(content)
             if extra:
                 aug = content + b"\n" + extra
-            gid_map = _fontprogram_gid_map(aug)
+            gid_map = _fontprogram_gid_map(aug, ambiguous)
             if gid_map is None:
                 raise ValueError(
                     "pdf: composite/CID font encodings (Identity-H/"

@@ -129,6 +129,9 @@ def test_bucketed_dir_with_foreign_bucket_id_is_not_registered(tmp_path):
     loc = tmp_path / "evil"
     loc.mkdir()
     (loc / "_SUCCESS").touch()
+    # marker but ZERO data files (partial cleanup): registering would
+    # crash the read (UNABLE_TO_INFER_SCHEMA) instead of falling back
+    assert not _bucketed_dir_committed(str(loc))
     (loc / "part-00000-x_00000.c000.snappy.parquet").touch()
     assert _bucketed_dir_committed(str(loc))
     (loc / "part-00008-x_00008.c000.snappy.parquet").touch()

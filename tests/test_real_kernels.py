@@ -1104,6 +1104,19 @@ def test_pdf_objstm_malformed_header_raises():
     )
     with _pytest.raises(ValueError, match="ascending"):
         _objstm_synthesized(doc)
+    # a stream dict whose preceding bytes hold an unrelated '/N <int>'
+    # dict (annotation appearance) must not be misparsed as the ObjStm's
+    # own /N (r9 review: the regex span can cover earlier dicts)
+    good = b"5 0 " + b"<< /X 1 >>\n"
+    comp2 = _zlib.compress(good)
+    doc2 = (
+        b"%%PDF-1.5\n30 0 obj\n<< /AP << /N 3 0 R >> >>\nendobj\n"
+        b"40 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(comp2), comp2)
+    )
+    synth, ambiguous = _objstm_synthesized(doc2)
+    assert b"5 0 obj" in synth and not ambiguous
 
 
 @settings(max_examples=120, deadline=None)
@@ -1132,8 +1145,8 @@ def test_pdf_objstm_fuzz_raises_valueerror_only(body, n, first, flate):
         % (n, first, len(payload), filt, payload)
     )
     try:
-        out = _objstm_synthesized(doc)
-        assert isinstance(out, bytes)
+        out, ambiguous = _objstm_synthesized(doc)
+        assert isinstance(out, bytes) and isinstance(ambiguous, frozenset)
     except ValueError:
         pass
 
@@ -1153,6 +1166,27 @@ def test_pdf_objstm_duplicate_definition_raises():
     stale = b"7 0 obj\n<< /Type /Font /Subtype /CIDFontType2 >>\nendobj\n"
     with _pytest.raises(ValueError, match="more than once"):
         extract_pdf_text(pdf[:at] + stale + pdf[at:])
+
+
+def test_pdf_objstm_unrelated_duplicate_still_decodes():
+    """The standard incremental-update shape — a stale top-level copy of
+    an object whose live version is ObjStm-packed — must NOT abort the
+    file when font resolution never touches that object (r9 review: the
+    eager duplicate raise regressed files that decoded fine before)."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3, "i": 4})
+    ops = b"BT /F1 12 Tf 0 0 Td <00030004> Tj ET"
+    pdf = _pack_objstm(_fontfile_pdf(ops, ttf), [7, 8])
+    # object 3 (the page dict) gets a second, packed copy: duplicated,
+    # but irrelevant to the font chain
+    at = pdf.rindex(b"xref\n")
+    stale = b"3 0 obj\n<< /Type /Page /Stale true >>\nendobj\n"
+    # pack the stale copy into a SECOND ObjStm so 3 is raw+packed
+    pdf2 = _pack_objstm(pdf[:at] + stale + pdf[at:], [3], objstm_num=41)
+    # _pack_objstm removed the FIRST raw definition of 3; the original
+    # page object is still present, so 3 is defined raw AND packed
+    assert extract_pdf_text(pdf2) == "Hi"
 
 
 def test_pdf_type0_fontfile_indirect_encoding_raises():

@@ -72,13 +72,16 @@ VARIANTS: "dict[str, dict[str, tuple[str, str]]]" = {
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
+    import atexit
+    import shutil
+
     from document_vector_indexer_spark.queries.registry import all_queries
     from document_vector_indexer_spark.session import get_spark
 
-    sys.path.insert(0, REPO_ROOT)
     import bench
 
     ingest_dir = tempfile.mkdtemp(prefix="dvi_sweep_agg_")
+    atexit.register(shutil.rmtree, ingest_dir, ignore_errors=True)
     bench._ingest_subprocess([(sf_dir, ingest_dir)])
 
     spark = get_spark(
