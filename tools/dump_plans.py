@@ -213,11 +213,11 @@ INGEST_LAYOUT = {
     "ShuffledHashJoin — no exchange under either side (both are the "
     "bucketed scan); remaining exchanges are conversion-keyed credit "
     "frames",
-    "q_join_asof": "the one remaining corpus-sized exchange in the "
-    "family: UnionExec reports UnknownPartitioning even when both "
-    "children share the bucketed layout, so the union re-shuffles — a "
-    "Spark planner limit, same cost as the raw-dir plan, documented "
-    "not hidden",
+    "q_join_asof": "fully exchange-free as of r9: the filter-split "
+    "single-scan form replaced the union of two scans (UnionExec "
+    "reports UnknownPartitioning even over co-bucketed children, which "
+    "used to force the family's one corpus-sized re-shuffle); the "
+    "window runs straight off the bucketed scan",
     "q_markov": "transition window runs on the scan; exchanges are the "
     "tiny (cur,nxt)/context aggs, a 1-row broadcast, and the "
     "presentation sort",
