@@ -510,35 +510,12 @@ def _obj_stream_body(data: bytes, num: int) -> "Optional[bytes]":
 _OBJSTM_MAX_OBJECTS = 50_000
 
 
-def _tight_stream_dict(data: bytes, m: "re.Match[bytes]") -> bytes:
-    """The balanced ``<<...>>`` dict IMMEDIATELY preceding a stream
-    keyword, walked backward from the closing ``>>`` of a
-    ``_STREAM_DICT_RE`` match. The regex group itself can span earlier
-    unrelated dicts and even a previous stream's raw body (its ``<<``
-    anchor is just the first one after the previous match), so reading
-    /Type //N //First out of the group can pick another dict's values
-    (r9 review); the backward walk pins them to the stream's own dict."""
-    close_end = m.end(1) + 2  # just past the '>>' the regex matched
-    depth, i = 0, close_end - 2
-    while i >= 0:
-        pair = data[i : i + 2]
-        if pair == b">>":
-            depth += 1
-            i -= 2
-        elif pair == b"<<":
-            depth -= 1
-            if depth == 0:
-                return data[i:close_end]
-            i -= 2
-        else:
-            i -= 1
-    raise ValueError("pdf: unbalanced stream dictionary")
-
-
 def _decoded_body(sdict: bytes, data: bytes, start: int) -> "Optional[bytes]":
     """Decoded stream body following ``start`` (plain or FlateDecode per
-    ``sdict``), or None — the one copy of the candidates/decompress-
-    retry loop shared by every stream-body consumer."""
+    ``sdict``), or None — the candidates/decompress-retry loop shared
+    by ``_obj_stream_body`` and ``_objstm_synthesized``
+    (``_content_streams`` keeps its own loop: its EOL-ambiguity retry
+    order is round-6 behavior pinned by the chunker golden tests)."""
     cands = _body_candidates(sdict, data, start)
     if not cands:
         return None
@@ -571,18 +548,45 @@ def _objstm_synthesized(content: bytes) -> "tuple[bytes, frozenset[int]]":
     keep decoding, r9 review). Malformed containers — indirect or
     missing /N //First, short or non-integer header, non-ascending or
     out-of-range offsets — still raise eagerly: a skipped container
-    would leave its Type0 dicts unattributed."""
+    would leave its Type0 dicts unattributed.
+
+    Containers are discovered by the OBJECT scan (``N 0 obj`` → its own
+    balanced dict → /Type /ObjStm), never by reading values out of a
+    loose stream-regex span that can cover earlier unrelated dicts (r9
+    review: an annotation's '/N 3 0 R' was parsed as a container's /N).
+    The accounting guard at the end compares parsed containers against
+    the RAW '/Type /ObjStm' token count, so a container the scan cannot
+    locate (dict past the scan window, in-string '<<' breaking the
+    balance walk, non-zero generation) RAISES instead of silently
+    leaving its objects unresolved; over-counting (the token inside a
+    string) also fails toward an error row."""
     out: list[bytes] = []
     packed_nums: set[int] = set()
     ambiguous: set[int] = set()
+    total_objstm = len(re.findall(rb"/Type\s*/ObjStm\b", content))
+    if total_objstm == 0:
+        return b"", frozenset()
+    parsed_objstm = 0
     raw_nums = {
         int(m.group(1))
         for m in re.finditer(rb"(?<![0-9])(\d+)\s+0\s+obj\b", content)
     }
-    for m in _STREAM_DICT_RE.finditer(content):
-        sdict = _tight_stream_dict(content, m)
+    for m in re.finditer(rb"(\d+)\s+0\s+obj\b", content):
+        at = content.find(b"<<", m.end(), m.end() + 64)
+        if at == -1:
+            continue
+        try:
+            sdict = _balanced_dict(content, at)
+        except ValueError:
+            continue
         if re.search(rb"/Type\s*/ObjStm\b", sdict) is None:
             continue
+        sm = re.compile(rb"\s*stream(?:\r\n|\n|\r)").match(
+            content, at + len(sdict)
+        )
+        if sm is None:
+            raise ValueError("pdf: object stream container has no stream")
+        parsed_objstm += 1
         n_m = re.search(rb"/N\s+(\d+)\b", sdict)
         first_m = re.search(rb"/First\s+(\d+)\b", sdict)
         if n_m is None or first_m is None:
@@ -593,7 +597,7 @@ def _objstm_synthesized(content: bytes) -> "tuple[bytes, frozenset[int]]":
         n, first = int(n_m.group(1)), int(first_m.group(1))
         if n > _OBJSTM_MAX_OBJECTS:
             raise ValueError("pdf: object stream header exceeds budget")
-        body = _decoded_body(sdict, content, m.end())
+        body = _decoded_body(sdict, content, sm.end())
         if body is None:
             raise ValueError("pdf: unreadable object stream body")
         if first > len(body):
@@ -615,6 +619,12 @@ def _objstm_synthesized(content: bytes) -> "tuple[bytes, frozenset[int]]":
             out.append(
                 b"%d 0 obj\n%s\nendobj\n" % (num, body[first + off : end])
             )
+    if parsed_objstm < total_objstm:
+        raise ValueError(
+            "pdf: an object stream container could not be located by "
+            "the object scan — its packed objects would stay "
+            "unresolved (native-kernel territory)"
+        )
     return b"\n".join(out), frozenset(ambiguous)
 
 

@@ -1168,6 +1168,46 @@ def test_pdf_objstm_duplicate_definition_raises():
         extract_pdf_text(pdf[:at] + stale + pdf[at:])
 
 
+def test_pdf_objstm_instring_angle_brackets_raise_not_skip():
+    """r9 review repro: '<<' inside a string literal in the ObjStm's own
+    dict breaks the balance walk — the container must then RAISE (its
+    packed objects would stay unresolved), never be silently skipped
+    with ok=True. The raw-token count guard is what catches it."""
+    import pytest as _pytest
+    import zlib as _zlib
+
+    from document_vector_indexer_spark.sources.minidoc import (
+        _objstm_synthesized,
+    )
+
+    comp = _zlib.compress(b"5 0 << /X 1 >>\n")
+    doc = (
+        b"%%PDF-1.5\n40 0 obj\n<< /Type /ObjStm /Producer (x << y) "
+        b"/N 1 /First 4 /Length %d /Filter /FlateDecode >>\nstream\n"
+        b"%s\nendstream\nendobj\n" % (len(comp), comp)
+    )
+    with _pytest.raises(ValueError):
+        _objstm_synthesized(doc)
+
+
+def test_pdf_plain_stream_with_instring_angles_still_decodes():
+    """r9 review repro: a NON-ObjStm stream whose dict holds '>>' inside
+    a string must not abort extraction — the (briefly shipped) backward
+    balance walk ran for every stream and raised 'unbalanced' on files
+    that previously decoded fine."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3})
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _fontfile_pdf(ops, ttf)
+    extra = (
+        b"25 0 obj\n<< /Length 4 /T (a >> b) >>\nstream\nABCD\n"
+        b"endstream\nendobj\n"
+    )
+    at = pdf.rindex(b"xref\n")
+    assert extract_pdf_text(pdf[:at] + extra + pdf[at:]) == "H"
+
+
 def test_pdf_objstm_unrelated_duplicate_still_decodes():
     """The standard incremental-update shape — a stale top-level copy of
     an object whose live version is ObjStm-packed — must NOT abort the
