@@ -953,6 +953,40 @@ def test_pdf_type0_fontfile_round_trips(data):
     assert extract_pdf_text(pdf) == "".join(shown).rstrip()
 
 
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_pdf_type0_objstm_packing_preserves_decode(data):
+    """Property (r9): packing ANY subset of the Type0 font-dict chain
+    {font dict 5, descendant 7, descriptor 8} into a /ObjStm container
+    never changes the decoded text — the synthesized object space must
+    be observationally identical to the top-level layout."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    n = data.draw(st.integers(1, 6))
+    chars = data.draw(
+        st.lists(
+            st.characters(min_codepoint=0x21, max_codepoint=0xD700),
+            min_size=n,
+            max_size=n,
+            unique=True,
+        )
+    )
+    gids = data.draw(
+        st.lists(st.integers(1, 0xFFFE), min_size=n, max_size=n, unique=True)
+    )
+    mapping = dict(zip(chars, gids))
+    shown = data.draw(st.lists(st.sampled_from(chars), min_size=1, max_size=8))
+    subset = data.draw(
+        st.lists(st.sampled_from([5, 7, 8]), min_size=1, max_size=3, unique=True)
+    )
+    ops = b"BT /F1 12 Tf 0 0 Td <%s> Tj ET" % (
+        "".join(f"{mapping[c]:04X}" for c in shown).encode()
+    )
+    base = _fontfile_pdf(ops, _mini_ttf(mapping))
+    want = extract_pdf_text(base)
+    assert extract_pdf_text(_pack_objstm(base, sorted(subset))) == want
+
+
 @settings(max_examples=120, deadline=None)
 @given(tail=st.binary(min_size=0, max_size=300), magic=st.sampled_from(
     [b"\x00\x01\x00\x00", b"true", b"OTTO"]))
