@@ -510,6 +510,29 @@ def _obj_stream_body(data: bytes, num: int) -> "Optional[bytes]":
 _OBJSTM_MAX_OBJECTS = 50_000
 
 
+# Any-generation object header — the boundary for _own_dict_at below
+# (a gen-0 scan window must not cross into the next object, whatever
+# its generation).
+_ANY_OBJ_HDR_RE = re.compile(rb"(?<![0-9])\d+\s+\d+\s+obj\b")
+
+
+def _own_dict_at(content: bytes, m: "re.Match[bytes]") -> "Optional[int]":
+    """Offset of THIS object's ``<<`` within the 64-byte scan window, or
+    None. Bounded by the next object header: a dict-less object (an
+    indirect integer, a small array) sitting just before another object
+    would otherwise have the window reach the NEXT object's dict and
+    parse it twice under two object numbers (r9 review: the double
+    count falsely flagged every packed object ambiguous AND inflated
+    the parsed-container count past the raw-token guard)."""
+    at = content.find(b"<<", m.end(), m.end() + 64)
+    if at == -1:
+        return None
+    nm = _ANY_OBJ_HDR_RE.search(content, m.end(), at + 2)
+    if nm is not None and nm.start() < at:
+        return None  # the dict belongs to a later object
+    return at
+
+
 def _decoded_body(sdict: bytes, data: bytes, start: int) -> "Optional[bytes]":
     """Decoded stream body following ``start`` (plain or FlateDecode per
     ``sdict``), or None — the candidates/decompress-retry loop shared
@@ -572,8 +595,8 @@ def _objstm_synthesized(content: bytes) -> "tuple[bytes, frozenset[int]]":
         for m in re.finditer(rb"(?<![0-9])(\d+)\s+0\s+obj\b", content)
     }
     for m in re.finditer(rb"(\d+)\s+0\s+obj\b", content):
-        at = content.find(b"<<", m.end(), m.end() + 64)
-        if at == -1:
+        at = _own_dict_at(content, m)
+        if at is None:
             continue
         try:
             sdict = _balanced_dict(content, at)
@@ -670,9 +693,13 @@ def _fontprogram_gid_map(
     resolved_type0 = 0
     merged: dict[int, str] = {}
     for m in re.finditer(rb"(\d+)\s+0\s+obj\b", content):
-        reg_start = m.end()
-        at = content.find(b"<<", reg_start, reg_start + 64)
-        if at == -1:
+        # _own_dict_at: a dict-less object just before a Type0 dict
+        # would otherwise process that dict twice under two object
+        # numbers — inflating resolved_type0 past the all-or-nothing
+        # denominator AND checking the wrong number against the
+        # ambiguous set (r9 review, same pattern as the ObjStm scan)
+        at = _own_dict_at(content, m)
+        if at is None:
             continue
         try:
             dct = _balanced_dict(content, at)

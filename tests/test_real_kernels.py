@@ -1242,6 +1242,50 @@ def test_pdf_plain_stream_with_instring_angles_still_decodes():
     assert extract_pdf_text(pdf[:at] + extra + pdf[at:]) == "H"
 
 
+def test_pdf_dictless_object_before_container_not_double_parsed():
+    """r9 review repro: a dict-less object (indirect integer, small
+    array) sitting within 64 bytes of the next object let the scan
+    window reach THAT object's dict — the container was parsed twice,
+    every packed object was falsely flagged ambiguous, and the file
+    raised. Must decode."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3, "i": 4})
+    ops = b"BT /F1 12 Tf 0 0 Td <00030004> Tj ET"
+    pdf = _pack_objstm(_fontfile_pdf(ops, ttf), [7, 8])
+    # insert a dict-less object IMMEDIATELY before the ObjStm object
+    at = pdf.rindex(b"40 0 obj")
+    pdf = pdf[:at] + b"39 0 obj\n123\nendobj\n" + pdf[at:]
+    assert extract_pdf_text(pdf) == "Hi"
+    # and before the Type0 font dict (object 5) — same pattern in the
+    # font resolver's own scan
+    pdf2 = _pack_objstm(_fontfile_pdf(ops, ttf), [7, 8])
+    at5 = pdf2.index(b"5 0 obj")
+    pdf2 = pdf2[:at5] + b"39 0 obj\n123\nendobj\n" + pdf2[at5:]
+    assert extract_pdf_text(pdf2) == "Hi"
+
+
+def test_pdf_objstm_nonzero_generation_container_raises():
+    """A container the gen-0 object scan cannot locate ('9 1 obj') must
+    trip the parsed-vs-raw-token guard — its packed objects would stay
+    silently unresolved otherwise."""
+    import pytest as _pytest
+    import zlib as _zlib
+
+    from document_vector_indexer_spark.sources.minidoc import (
+        _objstm_synthesized,
+    )
+
+    comp = _zlib.compress(b"5 0 << /X 1 >>\n")
+    doc = (
+        b"%%PDF-1.5\n9 1 obj\n<< /Type /ObjStm /N 1 /First 4 /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(comp), comp)
+    )
+    with _pytest.raises(ValueError, match="could not be located"):
+        _objstm_synthesized(doc)
+
+
 def test_pdf_objstm_unrelated_duplicate_still_decodes():
     """The standard incremental-update shape — a stale top-level copy of
     an object whose live version is ObjStm-packed — must NOT abort the

@@ -19,7 +19,7 @@ NOTES = {
     "q_join_broadcast": "two BroadcastHashJoins, fact partitioning untouched",
     "q_win_rank": "single exchange on o_custkey feeding all three window functions",
     "q_topk": "TakeOrderedAndProject — per-partition k, no global sort",
-    "q_join_asof": "NO join operator: union + one exchange + window (last ignorenulls)",
+    "q_join_asof": "NO join operator: one scan, filter-split side tagging, one exchange + window (last ignorenulls); exchange-free on the ingest layout",
     "flagship_chunk_topk": "chunking is scan-local (posexplode); only the rank window shuffles",
     "q_chunk_sentence": "greedy packing runs inside the aggregate HOF — zero extra shuffles",
     "q_vec_cosine": "broadcast of the query vector; cosine inside codegen",
