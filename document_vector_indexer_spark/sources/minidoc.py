@@ -468,9 +468,14 @@ def _obj_region(data: bytes, num: int) -> "Optional[tuple[int, int]]":
     """(body_start, body_end) offsets of top-level object ``num`` in
     the raw file, or None (e.g. the object lives inside an /ObjStm —
     resolution fails conservatively). The LAST definition wins:
-    incremental updates append the live object after the stale one."""
+    incremental updates append the live object after the stale one.
+    Header tokens inside %-comments are not definitions (r9 review: a
+    trailing '% 8 0 obj' comment would otherwise hijack last-wins and
+    resolve the object to whatever follows the comment)."""
     last = None
     for m in re.finditer(rb"(?<![0-9])%d\s+0\s+obj\b" % num, data):
+        if _in_comment(data, m.start()):
+            continue
         last = m
     if last is None:
         return None
@@ -516,20 +521,47 @@ _OBJSTM_MAX_OBJECTS = 50_000
 _ANY_OBJ_HDR_RE = re.compile(rb"(?<![0-9])\d+\s+\d+\s+obj\b")
 
 
+def _in_comment(data: bytes, pos: int) -> bool:
+    """True when ``pos`` sits after a ``%`` on its line — i.e. inside a
+    PDF comment (ISO 32000-1 §7.2.4). A ``%`` inside a same-line string
+    false-positives, which only ever SKIPS a candidate: every consumer
+    fails closed (unresolvable → error row), never decodes through a
+    misattributed object."""
+    line_start = (
+        max(data.rfind(b"\n", 0, pos), data.rfind(b"\r", 0, pos)) + 1
+    )
+    return b"%" in data[line_start:pos]
+
+
 def _own_dict_at(content: bytes, m: "re.Match[bytes]") -> "Optional[int]":
     """Offset of THIS object's ``<<`` within the 64-byte scan window, or
-    None. Bounded by the next object header: a dict-less object (an
-    indirect integer, a small array) sitting just before another object
-    would otherwise have the window reach the NEXT object's dict and
-    parse it twice under two object numbers (r9 review: the double
-    count falsely flagged every packed object ambiguous AND inflated
-    the parsed-container count past the raw-token guard)."""
+    None. Two guards (both r9 review findings):
+
+    - Bounded by the next UNCOMMENTED object header: a dict-less object
+      (an indirect integer, a small array) sitting just before another
+      object would otherwise have the window reach the NEXT object's
+      dict and parse it twice under two object numbers (double count →
+      every packed object falsely ambiguous, parsed-container count
+      inflated past the raw-token guard).
+    - Comment-aware: a ``% ... 12 0 obj`` comment between a real header
+      and its dict must neither block the true owner nor let the
+      comment's token claim the dict under a spoofed number (which
+      bypassed the ambiguous-font check: ``_chk(12)`` ran instead of
+      ``_chk(5)``)."""
+    if _in_comment(content, m.start()):
+        return None  # the "header" itself is commented out
     at = content.find(b"<<", m.end(), m.end() + 64)
     if at == -1:
         return None
-    nm = _ANY_OBJ_HDR_RE.search(content, m.end(), at + 2)
-    if nm is not None and nm.start() < at:
+    gap = content[m.end() : at]
+    # comments in the gap can neither own the dict nor hide a boundary
+    gap_nc = re.sub(rb"%[^\r\n]*", b"", gap)
+    if _ANY_OBJ_HDR_RE.search(gap_nc) is not None:
         return None  # the dict belongs to a later object
+    if b"%" in gap:
+        tail = gap[gap.rfind(b"%") :]
+        if b"\n" not in tail and b"\r" not in tail:
+            return None  # the '<<' itself is commented out
     return at
 
 
@@ -593,6 +625,7 @@ def _objstm_synthesized(content: bytes) -> "tuple[bytes, frozenset[int]]":
     raw_nums = {
         int(m.group(1))
         for m in re.finditer(rb"(?<![0-9])(\d+)\s+0\s+obj\b", content)
+        if not _in_comment(content, m.start())
     }
     for m in re.finditer(rb"(\d+)\s+0\s+obj\b", content):
         at = _own_dict_at(content, m)

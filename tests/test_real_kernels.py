@@ -1265,6 +1265,52 @@ def test_pdf_dictless_object_before_container_not_double_parsed():
     assert extract_pdf_text(pdf2) == "Hi"
 
 
+def test_pdf_comment_header_token_cannot_spoof_dict_ownership():
+    """r9 review repro (pass 4): a '%' comment containing '12 0 obj'
+    between a real font header and its dict must neither block the true
+    owner (the file still decodes) nor claim the dict under the spoofed
+    number — with object 5 duplicated across containers, the ambiguity
+    check must still fire on 5, not silently pass on 12."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3, "i": 4})
+    ops = b"BT /F1 12 Tf 0 0 Td <00030004> Tj ET"
+
+    def with_comment(pdf: bytes) -> bytes:
+        at = pdf.index(b"5 0 obj\n")
+        ins = at + len(b"5 0 obj\n")
+        return pdf[:ins] + b"% see 12 0 obj\n" + pdf[ins:]
+
+    # harmless comment: still decodes
+    assert extract_pdf_text(with_comment(_fontfile_pdf(ops, ttf))) == "Hi"
+    # object 5 duplicated raw+packed: ambiguity must still raise
+    pdf = _pack_objstm(with_comment(_fontfile_pdf(ops, ttf)), [7, 8])
+    at = pdf.rindex(b"xref\n")
+    stale = (
+        b"5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /EEEEEE+F "
+        b"/Encoding /Identity-H /DescendantFonts [7 0 R] >>\nendobj\n"
+    )
+    pdf2 = _pack_objstm(pdf[:at] + stale + pdf[at:], [5], objstm_num=41)
+    with _pytest.raises(ValueError, match="more than once"):
+        extract_pdf_text(pdf2)
+
+
+def test_pdf_comment_header_token_cannot_hijack_obj_region():
+    """A trailing '% 8 0 obj' comment must not win last-definition-wins
+    object resolution — the FontDescriptor must still resolve to the
+    real object 8, so the file keeps decoding."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3})
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _fontfile_pdf(ops, ttf)
+    at = pdf.rindex(b"xref\n")
+    decoy = b"% 8 0 obj\n30 0 obj\n<< /Decoy true >>\nendobj\n"
+    assert extract_pdf_text(pdf[:at] + decoy + pdf[at:]) == "H"
+
+
 def test_pdf_objstm_nonzero_generation_container_raises():
     """A container the gen-0 object scan cannot locate ('9 1 obj') must
     trip the parsed-vs-raw-token guard — its packed objects would stay
