@@ -468,14 +468,9 @@ def _obj_region(data: bytes, num: int) -> "Optional[tuple[int, int]]":
     """(body_start, body_end) offsets of top-level object ``num`` in
     the raw file, or None (e.g. the object lives inside an /ObjStm —
     resolution fails conservatively). The LAST definition wins:
-    incremental updates append the live object after the stale one.
-    Header tokens inside %-comments are not definitions (r9 review: a
-    trailing '% 8 0 obj' comment would otherwise hijack last-wins and
-    resolve the object to whatever follows the comment)."""
+    incremental updates append the live object after the stale one."""
     last = None
     for m in re.finditer(rb"(?<![0-9])%d\s+0\s+obj\b" % num, data):
-        if _in_comment(data, m.start()):
-            continue
         last = m
     if last is None:
         return None
@@ -484,13 +479,25 @@ def _obj_region(data: bytes, num: int) -> "Optional[tuple[int, int]]":
 
 
 def _obj_dict(data: bytes, num: int) -> "Optional[bytes]":
-    reg = _obj_region(data, num)
-    if reg is None:
-        return None
-    at = data.find(b"<<", *reg)
-    if at == -1:
-        return None
-    return _balanced_dict(data, at)
+    """Dict value of object ``num`` — the LAST definition whose value
+    actually parses as a dict wins. Requiring the value to parse keeps
+    a header-shaped byte run that is NOT a definition (a '% 8 0 obj'
+    comment, a token inside stream bytes) from hijacking last-wins and
+    resolving the object to whatever happens to follow it (r9 review):
+    such a run is almost never followed by a balanced dict, so the real
+    definition keeps winning; when a crafted file DOES follow it with a
+    dict, downstream all-or-nothing guards still bound the damage to
+    the attacker's own file."""
+    best = None
+    for m in re.finditer(rb"(?<![0-9])%d\s+0\s+obj\b" % num, data):
+        v = _object_value_at(data, m.end(), m.end() + 256)
+        if v is None or data[v : v + 2] != b"<<":
+            continue
+        try:
+            best = _balanced_dict(data, v)
+        except ValueError:
+            continue
+    return best
 
 
 def _ref_after(dct: bytes, key: bytes) -> "Optional[int]":
@@ -515,54 +522,53 @@ def _obj_stream_body(data: bytes, num: int) -> "Optional[bytes]":
 _OBJSTM_MAX_OBJECTS = 50_000
 
 
-# Any-generation object header — the boundary for _own_dict_at below
-# (a gen-0 scan window must not cross into the next object, whatever
-# its generation).
-_ANY_OBJ_HDR_RE = re.compile(rb"(?<![0-9])\d+\s+\d+\s+obj\b")
+# PDF whitespace bytes (ISO 32000-1 §7.2.2)
+_PDF_WS = b"\x00\t\n\x0c\r "
 
-
-def _in_comment(data: bytes, pos: int) -> bool:
-    """True when ``pos`` sits after a ``%`` on its line — i.e. inside a
-    PDF comment (ISO 32000-1 §7.2.4). A ``%`` inside a same-line string
-    false-positives, which only ever SKIPS a candidate: every consumer
-    fails closed (unresolvable → error row), never decodes through a
-    misattributed object."""
-    line_start = (
-        max(data.rfind(b"\n", 0, pos), data.rfind(b"\r", 0, pos)) + 1
-    )
-    return b"%" in data[line_start:pos]
+# The only legal tokens between an object header and its value are
+# whitespace and %-comments, so a forward micro-lexer over that prefix
+# is SOUND comment classification — unlike line-based backward scans,
+# which misread '%' inside same-line strings and raw stream bytes (r9
+# review pass 5: both directions produced verified wrong behavior —
+# a legal '(50% off)' string broke resolution of the header after it,
+# and a '%'-line heuristic let a stale packed font decode silently).
+def _object_value_at(
+    data: bytes, start: int, limit: int
+) -> "Optional[int]":
+    """Offset of the first byte of the object VALUE after ``start``
+    (skipping whitespace and %-comments), or None when nothing but
+    whitespace/comments appears before ``limit``."""
+    i, n = start, min(limit, len(data))
+    while i < n:
+        c = data[i]
+        if c == 0x25:  # '%' — comment to end of line
+            j = i
+            while j < n and data[j] not in (0x0A, 0x0D):
+                j += 1
+            i = j
+        elif c in _PDF_WS:
+            i += 1
+        else:
+            return i
+    return None
 
 
 def _own_dict_at(content: bytes, m: "re.Match[bytes]") -> "Optional[int]":
-    """Offset of THIS object's ``<<`` within the 64-byte scan window, or
-    None. Two guards (both r9 review findings):
-
-    - Bounded by the next UNCOMMENTED object header: a dict-less object
-      (an indirect integer, a small array) sitting just before another
-      object would otherwise have the window reach the NEXT object's
-      dict and parse it twice under two object numbers (double count →
-      every packed object falsely ambiguous, parsed-container count
-      inflated past the raw-token guard).
-    - Comment-aware: a ``% ... 12 0 obj`` comment between a real header
-      and its dict must neither block the true owner nor let the
-      comment's token claim the dict under a spoofed number (which
-      bypassed the ambiguous-font check: ``_chk(12)`` ran instead of
-      ``_chk(5)``)."""
-    if _in_comment(content, m.start()):
-        return None  # the "header" itself is commented out
-    at = content.find(b"<<", m.end(), m.end() + 64)
-    if at == -1:
+    """Offset of THIS object's ``<<`` or None when the object's value is
+    not a dict within the scan window. The value lexer makes every r9
+    review shape fall out naturally: a dict-less object (indirect
+    integer, small array) stops at its own value and never claims a
+    later object's dict; a comment between the header and the dict —
+    even one containing '<<' or 'N 0 obj' tokens — is skipped, so it
+    neither blocks the true owner nor hides a boundary. Callers dedupe
+    claims FIRST-WINS: if two headers reach the same dict, every later
+    claimant necessarily sits inside a comment of the first claimant's
+    prefix (any real token would have terminated the first lexer scan),
+    so the earliest claimant is the true owner."""
+    v = _object_value_at(content, m.end(), m.end() + 256)
+    if v is None or content[v : v + 2] != b"<<":
         return None
-    gap = content[m.end() : at]
-    # comments in the gap can neither own the dict nor hide a boundary
-    gap_nc = re.sub(rb"%[^\r\n]*", b"", gap)
-    if _ANY_OBJ_HDR_RE.search(gap_nc) is not None:
-        return None  # the dict belongs to a later object
-    if b"%" in gap:
-        tail = gap[gap.rfind(b"%") :]
-        if b"\n" not in tail and b"\r" not in tail:
-            return None  # the '<<' itself is commented out
-    return at
+    return v
 
 
 def _decoded_body(sdict: bytes, data: bytes, start: int) -> "Optional[bytes]":
@@ -625,12 +631,13 @@ def _objstm_synthesized(content: bytes) -> "tuple[bytes, frozenset[int]]":
     raw_nums = {
         int(m.group(1))
         for m in re.finditer(rb"(?<![0-9])(\d+)\s+0\s+obj\b", content)
-        if not _in_comment(content, m.start())
     }
+    claimed: set[int] = set()
     for m in re.finditer(rb"(\d+)\s+0\s+obj\b", content):
         at = _own_dict_at(content, m)
-        if at is None:
+        if at is None or at in claimed:  # first claimant owns the dict
             continue
+        claimed.add(at)
         try:
             sdict = _balanced_dict(content, at)
         except ValueError:
@@ -725,15 +732,18 @@ def _fontprogram_gid_map(
     total_type0 = len(re.findall(rb"/Subtype\s*/Type0\b", content))
     resolved_type0 = 0
     merged: dict[int, str] = {}
+    claimed: set[int] = set()
     for m in re.finditer(rb"(\d+)\s+0\s+obj\b", content):
-        # _own_dict_at: a dict-less object just before a Type0 dict
-        # would otherwise process that dict twice under two object
-        # numbers — inflating resolved_type0 past the all-or-nothing
-        # denominator AND checking the wrong number against the
-        # ambiguous set (r9 review, same pattern as the ObjStm scan)
+        # _own_dict_at + first-wins dedupe: a dict-less object or a
+        # comment token just before a Type0 dict must neither process
+        # that dict twice (inflating resolved_type0 past the
+        # all-or-nothing denominator) nor claim it under a spoofed
+        # object number (checking the wrong number against the
+        # ambiguous set) — r9 review passes 3-5
         at = _own_dict_at(content, m)
-        if at is None:
+        if at is None or at in claimed:
             continue
+        claimed.add(at)
         try:
             dct = _balanced_dict(content, at)
         except ValueError:

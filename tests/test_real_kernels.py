@@ -1297,6 +1297,65 @@ def test_pdf_comment_header_token_cannot_spoof_dict_ownership():
         extract_pdf_text(pdf2)
 
 
+def test_pdf_comment_dict_in_object_body_not_resolved():
+    """r9 review repro (pass 5): a %-comment containing a decoy dict
+    between an object's header and its REAL dict must not be resolved
+    as the object's value — '% << /FontFile2 99 0 R >>' before the real
+    FontDescriptor previously decoded through the decoy program with
+    ok=True ('ZQ' instead of 'Hi')."""
+    import zlib as _zlib
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3, "i": 4})
+    ops = b"BT /F1 12 Tf 0 0 Td <00030004> Tj ET"
+    pdf = _fontfile_pdf(ops, ttf)
+    pdf = pdf.replace(
+        b"8 0 obj\n<< /Type /FontDescriptor",
+        b"8 0 obj\n% << /FontFile2 99 0 R >>\n<< /Type /FontDescriptor",
+    )
+    decoy = _zlib.compress(_mini_ttf({"Z": 3, "Q": 4}))
+    at = pdf.rindex(b"xref\n")
+    obj99 = (
+        b"99 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n%s\n"
+        b"endstream\nendobj\n" % (len(decoy), decoy)
+    )
+    assert extract_pdf_text(pdf[:at] + obj99 + pdf[at:]) == "Hi"
+
+
+def test_pdf_comment_containing_dict_open_does_not_block_owner():
+    """r9 review (pass 5): a comment whose TEXT contains '<<' between a
+    Type0 header and its real dict must not block resolution — the
+    value lexer skips the whole comment."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3})
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _fontfile_pdf(ops, ttf)
+    at = pdf.index(b"5 0 obj\n") + len(b"5 0 obj\n")
+    pdf = pdf[:at] + b"% dict follows <<\n" + pdf[at:]
+    assert extract_pdf_text(pdf) == "H"
+
+
+def test_pdf_string_percent_does_not_break_resolution():
+    """r9 review repro (pass 5): a legal '%' inside a string on the
+    same line as a later object header must not make that header
+    invisible (the line-based comment heuristic misread it, breaking
+    files the previous release decoded AND un-flagging duplicates)."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3, "i": 4})
+    ops = b"BT /F1 12 Tf 0 0 Td <00030004> Tj ET"
+    pdf = _fontfile_pdf(ops, ttf)
+    # put a string object with '%' on the SAME line as the descriptor's
+    # header
+    pdf = pdf.replace(
+        b"8 0 obj\n<< /Type /FontDescriptor",
+        b"31 0 obj (50% off) endobj 8 0 obj\n<< /Type /FontDescriptor",
+    )
+    assert extract_pdf_text(pdf) == "Hi"
+
+
 def test_pdf_comment_header_token_cannot_hijack_obj_region():
     """A trailing '% 8 0 obj' comment must not win last-definition-wins
     object resolution — the FontDescriptor must still resolve to the
