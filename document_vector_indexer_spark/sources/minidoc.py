@@ -507,14 +507,29 @@ def _ref_after(dct: bytes, key: bytes) -> "Optional[int]":
 
 def _obj_stream_body(data: bytes, num: int) -> "Optional[bytes]":
     """Decoded stream body of top-level object ``num`` (plain or
-    FlateDecode), or None when unresolvable."""
-    reg = _obj_region(data, num)
-    if reg is None:
-        return None
-    m = _STREAM_DICT_RE.search(data, *reg)
-    if m is None:
-        return None
-    return _decoded_body(m.group(1), data, m.end())
+    FlateDecode), or None when unresolvable. Same discipline as
+    ``_obj_dict``: the last definition whose value parses as a dict
+    followed by a stream keyword wins, with the dict taken BALANCED
+    from the value lexer (the loose ``_STREAM_DICT_RE`` group can span
+    unrelated preceding bytes)."""
+    best = None
+    for m in re.finditer(rb"(?<![0-9])%d\s+0\s+obj\b" % num, data):
+        v = _object_value_at(data, m.end(), m.end() + 256)
+        if v is None or data[v : v + 2] != b"<<":
+            continue
+        try:
+            sdict = _balanced_dict(data, v)
+        except ValueError:
+            continue
+        sm = re.compile(rb"\s*stream(?:\r\n|\n|\r)").match(
+            data, v + len(sdict)
+        )
+        if sm is None:
+            continue
+        body = _decoded_body(sdict, data, sm.end())
+        if body is not None:
+            best = body
+    return best
 
 
 # Budget for /ObjStm headers: a real writer packs at most a few
