@@ -464,72 +464,149 @@ def _balanced_dict(data: bytes, start: int) -> bytes:
     raise ValueError("pdf: unterminated dictionary")
 
 
-def _obj_region(data: bytes, num: int) -> "Optional[tuple[int, int]]":
-    """(body_start, body_end) offsets of top-level object ``num`` in
-    the raw file, or None (e.g. the object lives inside an /ObjStm —
-    resolution fails conservatively). The LAST definition wins:
-    incremental updates append the live object after the stale one."""
-    last = None
-    for m in re.finditer(rb"(?<![0-9])%d\s+0\s+obj\b" % num, data):
-        last = m
-    if last is None:
-        return None
-    end = data.find(b"endobj", last.end())
-    return (last.end(), end if end != -1 else len(data))
+# --- object resolution: claims-based by design (r9) -------------------
+#
+# A sound top-level object index needs the xref table/stream — native-
+# kernel territory. The linear header scan below is a heuristic, so it
+# is built on one provable invariant instead of comment-classification
+# heuristics (three adversarial review passes showed every variant of
+# classifying '%' in raw byte space to be unsound — strings may contain
+# '%', stream bodies may contain anything):
+#
+#   Each object VALUE offset is claimed by the EARLIEST header token
+#   that reaches it through whitespace/comments only (the value lexer).
+#   If a later token also reaches the same value, that token must
+#   itself sit inside a comment of the first claimant's prefix — any
+#   real token would have terminated the first claimant's lexer scan —
+#   so the first claimant is the true owner.
+#
+# Among one number's claimed values, the LAST definition wins (real
+# PDF semantics: incremental updates append the live object after the
+# stale one). A '<<'-starting value that does not balance RAISES
+# instead of being skipped — swallowing it would let a stale parseable
+# definition win over a live corrupted one (r9 review pass 6).
+
+_AMBIGUOUS_DEF_MSG = (
+    "pdf: object defined more than once with conflicting values — the "
+    "xref names the live one (native-kernel territory)"
+)
 
 
-def _obj_dict(data: bytes, num: int) -> "Optional[bytes]":
-    """Dict value of object ``num`` — the LAST definition whose value
-    actually parses as a dict wins. Requiring the value to parse keeps
-    a header-shaped byte run that is NOT a definition (a '% 8 0 obj'
-    comment, a token inside stream bytes) from hijacking last-wins and
-    resolving the object to whatever happens to follow it (r9 review):
-    such a run is almost never followed by a balanced dict, so the real
-    definition keeps winning; when a crafted file DOES follow it with a
-    dict, downstream all-or-nothing guards still bound the damage to
-    the attacker's own file."""
-    best = None
-    for m in re.finditer(rb"(?<![0-9])%d\s+0\s+obj\b" % num, data):
+def _object_defs(data: bytes) -> "list[tuple[int, int]]":
+    """File-ordered (object number, value offset) claims, one owner per
+    value offset (first claimant wins, see the invariant above)."""
+    claimed: set[int] = set()
+    defs: list[tuple[int, int]] = []
+    for m in re.finditer(rb"(\d+)\s+0\s+obj\b", data):
         v = _object_value_at(data, m.end(), m.end() + 256)
-        if v is None or data[v : v + 2] != b"<<":
+        if v is None or v in claimed:
             continue
-        try:
-            best = _balanced_dict(data, v)
-        except ValueError:
+        claimed.add(v)
+        defs.append((int(m.group(1)), v))
+    return defs
+
+
+def _defs_for(defs: "list[tuple[int, int]]", num: int) -> "list[int]":
+    return [v for n, v in defs if n == num]
+
+
+def _resolve_last(
+    data: bytes,
+    defs: "list[tuple[int, int]]",
+    num: int,
+    raw_len: int,
+    parse,
+):
+    """Last-definition-wins WITHIN a container side. The synthesized
+    /ObjStm sections are always appended after the raw bytes, so file
+    order says nothing about liveness ACROSS the raw/packed boundary —
+    a number defined differently on both sides raises instead of
+    guessing (the xref names the live one); identical values resolve."""
+    last_raw = last_packed = None
+    for v in _defs_for(defs, num):
+        got = parse(v)
+        if got is None:
             continue
-    return best
+        if v < raw_len:
+            last_raw = got
+        else:
+            last_packed = got
+    if last_raw is not None and last_packed is not None:
+        if last_raw != last_packed:
+            raise ValueError(_AMBIGUOUS_DEF_MSG)
+        return last_raw
+    return last_raw if last_raw is not None else last_packed
+
+
+def _obj_dict(
+    data: bytes, defs: "list[tuple[int, int]]", num: int, raw_len: int
+) -> "Optional[bytes]":
+    """Dict value of object ``num`` — last definition wins per side; a
+    corrupt dict raises (never silently falls back to a stale copy)."""
+
+    def parse(v: int) -> "Optional[bytes]":
+        if data[v : v + 2] != b"<<":
+            return None
+        return _balanced_dict(data, v)
+
+    return _resolve_last(data, defs, num, raw_len, parse)
+
+
+def _obj_array(
+    data: bytes, defs: "list[tuple[int, int]]", num: int, raw_len: int
+) -> "Optional[bytes]":
+    """``[...]`` value of object ``num`` (last definition wins per
+    side; nesting-aware, bounded). Used for indirect /DescendantFonts."""
+
+    def parse(v: int) -> "Optional[bytes]":
+        if data[v : v + 1] != b"[":
+            return None
+        depth, i, limit = 0, v, min(len(data), v + 4096)
+        while i < limit:
+            c = data[i]
+            if c == 0x5B:
+                depth += 1
+            elif c == 0x5D:
+                depth -= 1
+                if depth == 0:
+                    return data[v : i + 1]
+            i += 1
+        raise ValueError("pdf: unterminated array value")
+
+    return _resolve_last(data, defs, num, raw_len, parse)
+
+
+def _obj_stream_body(
+    data: bytes, defs: "list[tuple[int, int]]", num: int, raw_len: int
+) -> "Optional[bytes]":
+    """Decoded stream body of object ``num`` — last dict+stream
+    definition per side wins, and ITS body must decode (an unreadable
+    live body raises rather than silently yielding a stale one); the
+    dict is taken BALANCED from the value lexer (the loose
+    ``_STREAM_DICT_RE`` group can span unrelated preceding bytes)."""
+
+    def parse(v: int) -> "Optional[bytes]":
+        if data[v : v + 2] != b"<<":
+            return None
+        sdict = _balanced_dict(data, v)
+        sm = re.compile(rb"\s*stream(?:\r\n|\n|\r)").match(
+            data, v + len(sdict)
+        )
+        if sm is None:
+            return None
+        body = _decoded_body(sdict, data, sm.end())
+        if body is None:
+            raise ValueError(
+                "pdf: unreadable stream body for a font object"
+            )
+        return body
+
+    return _resolve_last(data, defs, num, raw_len, parse)
 
 
 def _ref_after(dct: bytes, key: bytes) -> "Optional[int]":
     m = re.search(key + rb"\s*(\d+)\s+0\s+R\b", dct)
     return int(m.group(1)) if m else None
-
-
-def _obj_stream_body(data: bytes, num: int) -> "Optional[bytes]":
-    """Decoded stream body of top-level object ``num`` (plain or
-    FlateDecode), or None when unresolvable. Same discipline as
-    ``_obj_dict``: the last definition whose value parses as a dict
-    followed by a stream keyword wins, with the dict taken BALANCED
-    from the value lexer (the loose ``_STREAM_DICT_RE`` group can span
-    unrelated preceding bytes)."""
-    best = None
-    for m in re.finditer(rb"(?<![0-9])%d\s+0\s+obj\b" % num, data):
-        v = _object_value_at(data, m.end(), m.end() + 256)
-        if v is None or data[v : v + 2] != b"<<":
-            continue
-        try:
-            sdict = _balanced_dict(data, v)
-        except ValueError:
-            continue
-        sm = re.compile(rb"\s*stream(?:\r\n|\n|\r)").match(
-            data, v + len(sdict)
-        )
-        if sm is None:
-            continue
-        body = _decoded_body(sdict, data, sm.end())
-        if body is not None:
-            best = body
-    return best
 
 
 # Budget for /ObjStm headers: a real writer packs at most a few
@@ -568,24 +645,6 @@ def _object_value_at(
     return None
 
 
-def _own_dict_at(content: bytes, m: "re.Match[bytes]") -> "Optional[int]":
-    """Offset of THIS object's ``<<`` or None when the object's value is
-    not a dict within the scan window. The value lexer makes every r9
-    review shape fall out naturally: a dict-less object (indirect
-    integer, small array) stops at its own value and never claims a
-    later object's dict; a comment between the header and the dict —
-    even one containing '<<' or 'N 0 obj' tokens — is skipped, so it
-    neither blocks the true owner nor hides a boundary. Callers dedupe
-    claims FIRST-WINS: if two headers reach the same dict, every later
-    claimant necessarily sits inside a comment of the first claimant's
-    prefix (any real token would have terminated the first lexer scan),
-    so the earliest claimant is the true owner."""
-    v = _object_value_at(content, m.end(), m.end() + 256)
-    if v is None or content[v : v + 2] != b"<<":
-        return None
-    return v
-
-
 def _decoded_body(sdict: bytes, data: bytes, start: int) -> "Optional[bytes]":
     """Decoded stream body following ``start`` (plain or FlateDecode per
     ``sdict``), or None — the candidates/decompress-retry loop shared
@@ -605,58 +664,58 @@ def _decoded_body(sdict: bytes, data: bytes, start: int) -> "Optional[bytes]":
     return cands[0]
 
 
-def _objstm_synthesized(content: bytes) -> "tuple[bytes, frozenset[int]]":
+def _objstm_synthesized(content: bytes) -> bytes:
     """Every object packed inside a /Type /ObjStm container (PDF 1.5
     object streams, ISO 32000-1 §7.5.7) re-serialized as top-level
-    ``N 0 obj ... endobj`` sections, plus the set of object numbers
-    defined MORE THAN ONCE across containers (stale top-level copy vs
-    packed update, or packed twice). Appending the sections to the raw
-    bytes lets the linear object resolver see packed font dicts
-    (streams themselves may not live in an ObjStm, so font PROGRAMS are
-    always top-level). The reference reaches the same objects through
-    pymupdf (index_documents.py:38-47).
+    ``N 0 obj ... endobj`` sections, or b"" when the file has none.
+    Appending the sections to the raw bytes lets the linear object
+    resolver see packed font dicts (streams themselves may not live in
+    an ObjStm, so font PROGRAMS are always top-level). The reference
+    reaches the same objects through pymupdf (index_documents.py:38-47).
 
-    Ambiguous numbers are RETURNED, not raised here: which copy is live
-    is named by the xref stream, which the stdlib tier does not parse —
-    but the ambiguity only matters if font resolution actually touches
-    the object. ``_fontprogram_gid_map`` raises lazily on first touch
-    (the incremental-update shape with a duplicated PAGE object must
-    keep decoding, r9 review). Malformed containers — indirect or
-    missing /N //First, short or non-integer header, non-ascending or
-    out-of-range offsets — still raise eagerly: a skipped container
-    would leave its Type0 dicts unattributed.
+    Duplicate definitions need no bookkeeping here: a number defined
+    both raw and packed (or packed twice) simply yields several
+    definitions in the augmented bytes, and the resolvers are
+    distinct-or-raise — identical copies resolve, conflicting copies
+    raise, and duplicates the font chain never touches are ignored
+    (the incremental-update shape with a duplicated PAGE object keeps
+    decoding). Malformed containers — indirect or missing /N //First,
+    short or non-integer header, non-ascending or out-of-range offsets
+    — raise eagerly: a skipped container would leave its Type0 dicts
+    unattributed.
 
-    Containers are discovered by the OBJECT scan (``N 0 obj`` → its own
-    balanced dict → /Type /ObjStm), never by reading values out of a
-    loose stream-regex span that can cover earlier unrelated dicts (r9
-    review: an annotation's '/N 3 0 R' was parsed as a container's /N).
-    The accounting guard at the end compares parsed containers against
-    the RAW '/Type /ObjStm' token count, so a container the scan cannot
-    locate (dict past the scan window, in-string '<<' breaking the
-    balance walk, non-zero generation) RAISES instead of silently
-    leaving its objects unresolved; over-counting (the token inside a
-    string) also fails toward an error row."""
+    Containers are discovered by the OBJECT scan (``N 0 obj`` → value
+    lexer → balanced dict → /Type /ObjStm), never by reading values
+    out of a loose stream-regex span that can cover earlier unrelated
+    dicts (r9 review: an annotation's '/N 3 0 R' was parsed as a
+    container's /N). The accounting guard at the end compares parsed
+    containers against the RAW '/Type /ObjStm' token count, so a
+    container the scan cannot locate (non-zero generation, value past
+    the lexer window) RAISES instead of silently leaving its objects
+    unresolved; over-counting (the token inside a string) also fails
+    toward an error row."""
     out: list[bytes] = []
-    packed_nums: set[int] = set()
-    ambiguous: set[int] = set()
     total_objstm = len(re.findall(rb"/Type\s*/ObjStm\b", content))
     if total_objstm == 0:
-        return b"", frozenset()
+        return b""
     parsed_objstm = 0
-    raw_nums = {
-        int(m.group(1))
-        for m in re.finditer(rb"(?<![0-9])(\d+)\s+0\s+obj\b", content)
-    }
-    claimed: set[int] = set()
-    for m in re.finditer(rb"(\d+)\s+0\s+obj\b", content):
-        at = _own_dict_at(content, m)
-        if at is None or at in claimed:  # first claimant owns the dict
+    spans: list[tuple[int, int]] = []
+    for _num, at in _object_defs(content):
+        if content[at : at + 2] != b"<<":
             continue
-        claimed.add(at)
         try:
             sdict = _balanced_dict(content, at)
         except ValueError:
             continue
+        if any(a < at + len(sdict) and at < b for a, b in spans):
+            # partially overlapping dict values cannot both be real
+            # top-level objects (r9 review: a '% N 0 obj <<' comment
+            # can open a pseudo-dict SPANNING the real one)
+            raise ValueError(
+                "pdf: overlapping object value regions — native-kernel "
+                "territory"
+            )
+        spans.append((at, at + len(sdict)))
         if re.search(rb"/Type\s*/ObjStm\b", sdict) is None:
             continue
         sm = re.compile(rb"\s*stream(?:\r\n|\n|\r)").match(
@@ -691,9 +750,6 @@ def _objstm_synthesized(content: bytes) -> "tuple[bytes, frozenset[int]]":
             )
         for i, (num, off) in enumerate(pairs):
             end = first + offs[i + 1] if i + 1 < n else len(body)
-            if num in packed_nums or num in raw_nums:
-                ambiguous.add(num)
-            packed_nums.add(num)
             out.append(
                 b"%d 0 obj\n%s\nendobj\n" % (num, body[first + off : end])
             )
@@ -703,11 +759,11 @@ def _objstm_synthesized(content: bytes) -> "tuple[bytes, frozenset[int]]":
             "the object scan — its packed objects would stay "
             "unresolved (native-kernel territory)"
         )
-    return b"\n".join(out), frozenset(ambiguous)
+    return b"\n".join(out)
 
 
 def _fontprogram_gid_map(
-    content: bytes, ambiguous: "frozenset[int]" = frozenset()
+    content: bytes, raw_len: "Optional[int]" = None
 ) -> "Optional[dict[int, str]]":
     """Merged gid -> text map built from the font program each Type0
     font ACTUALLY REFERENCES (/DescendantFonts -> /FontDescriptor ->
@@ -718,23 +774,11 @@ def _fontprogram_gid_map(
     <0009000A> as 'ZQ' with ok=True). Per-font guards raise for
     indirect or non-Identity /Encoding, non-Identity /CIDToGIDMap,
     and conflicting maps across fonts — each is per-font state the
-    merged-map tier cannot track.
-
-    ``ambiguous`` carries object numbers defined more than once across
-    containers (``_objstm_synthesized``): resolution raises the moment
-    it TOUCHES one — following last-definition-wins there could pick a
-    stale font object, the silent-garbage class — while files whose
-    duplicated objects are unrelated to fonts keep decoding."""
-
-    def _chk(num: int) -> int:
-        if num in ambiguous:
-            raise ValueError(
-                "pdf: font object defined more than once across "
-                "containers — live-vs-stale attribution needs the "
-                "xref stream (native-kernel territory)"
-            )
-        return num
-
+    merged-map tier cannot track. Every indirect reference resolves
+    distinct-or-raise (see the object-resolution block above), so an
+    object defined more than once with conflicting values raises the
+    moment the font chain touches it, while duplicated objects the
+    chain never touches (the incremental-update shape) stay ignored."""
     # The accounting denominator is the RAW token count, not the number
     # of dicts the object scan managed to parse: a Type0 dict whose
     # '<<' sits beyond the scan window (legal whitespace/comments after
@@ -747,25 +791,38 @@ def _fontprogram_gid_map(
     total_type0 = len(re.findall(rb"/Subtype\s*/Type0\b", content))
     resolved_type0 = 0
     merged: dict[int, str] = {}
-    claimed: set[int] = set()
-    for m in re.finditer(rb"(\d+)\s+0\s+obj\b", content):
-        # _own_dict_at + first-wins dedupe: a dict-less object or a
-        # comment token just before a Type0 dict must neither process
-        # that dict twice (inflating resolved_type0 past the
-        # all-or-nothing denominator) nor claim it under a spoofed
-        # object number (checking the wrong number against the
-        # ambiguous set) — r9 review passes 3-5
-        at = _own_dict_at(content, m)
-        if at is None or at in claimed:
+    if raw_len is None:
+        raw_len = len(content)
+    defs = _object_defs(content)
+    spans: list[tuple[int, int]] = []
+    type0_nums: set[int] = set()
+    for num, at in defs:
+        # claims + overlap policy: a dict-less object or a comment
+        # token just before a Type0 dict must not process that dict
+        # twice or under a spoofed number (inflating resolved_type0
+        # past the all-or-nothing denominator), and a pseudo-dict
+        # opened inside a comment that SPANS the real dict is
+        # structural ambiguity — raise (r9 review passes 3-6)
+        if content[at : at + 2] != b"<<":
             continue
-        claimed.add(at)
         try:
             dct = _balanced_dict(content, at)
         except ValueError:
             continue
+        if any(a < at + len(dct) and at < b for a, b in spans):
+            raise ValueError(
+                "pdf: overlapping object value regions — native-kernel "
+                "territory"
+            )
+        spans.append((at, at + len(dct)))
         if re.search(rb"/Subtype\s*/Type0\b", dct) is None:
             continue
-        _chk(int(m.group(1)))  # a duplicated Type0 dict itself
+        if num in type0_nums:
+            # two DIFFERENT Type0 dicts under one object number: the
+            # xref names the live one; a merged map over both could
+            # mix gid spaces
+            raise ValueError(_AMBIGUOUS_DEF_MSG)
+        type0_nums.add(num)
         resolved_this = False
         enc = re.search(rb"/Encoding\s*(/[A-Za-z0-9\-]+|\d+\s+0\s+R)", dct)
         if enc is None or enc.group(1) not in (
@@ -784,14 +841,14 @@ def _fontprogram_gid_map(
             continue  # no descendant: nothing to resolve for this font
         dfv = dfm.group(1)
         if not dfv.startswith(b"["):
-            reg = _obj_region(
-                content, _chk(int(_REF_RE.match(dfv).group(1)))
+            arr = _obj_array(
+                content, defs, int(_REF_RE.match(dfv).group(1)), raw_len
             )
-            if reg is None:
+            if arr is None:
                 continue
-            dfv = content[reg[0] : reg[1]]
+            dfv = arr
         for ref in _REF_RE.finditer(dfv):
-            desc = _obj_dict(content, _chk(int(ref.group(1))))
+            desc = _obj_dict(content, defs, int(ref.group(1)), raw_len)
             if desc is None:
                 continue
             c2g = re.search(
@@ -805,13 +862,13 @@ def _fontprogram_gid_map(
             fd_num = _ref_after(desc, rb"/FontDescriptor")
             if fd_num is None:
                 continue
-            fd = _obj_dict(content, _chk(fd_num))
+            fd = _obj_dict(content, defs, fd_num, raw_len)
             if fd is None:
                 continue
             ff_num = _ref_after(fd, rb"/FontFile2")
             if ff_num is None:
                 continue
-            body = _obj_stream_body(content, _chk(ff_num))
+            body = _obj_stream_body(content, defs, ff_num, raw_len)
             if body is None or body[:4] not in _SFNT_MAGIC:
                 continue
             u2g = _sfnt_cmap_unicode_to_gid(body)
@@ -1097,10 +1154,10 @@ def extract_pdf_text(content: bytes) -> str:
                         "native-kernel territory"
                     )
             aug = content
-            extra, ambiguous = _objstm_synthesized(content)
+            extra = _objstm_synthesized(content)
             if extra:
                 aug = content + b"\n" + extra
-            gid_map = _fontprogram_gid_map(aug, ambiguous)
+            gid_map = _fontprogram_gid_map(aug, raw_len=len(content))
             if gid_map is None:
                 raise ValueError(
                     "pdf: composite/CID font encodings (Identity-H/"

@@ -1149,8 +1149,8 @@ def test_pdf_objstm_malformed_header_raises():
         b"/Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
         % (len(comp2), comp2)
     )
-    synth, ambiguous = _objstm_synthesized(doc2)
-    assert b"5 0 obj" in synth and not ambiguous
+    synth = _objstm_synthesized(doc2)
+    assert b"5 0 obj" in synth
 
 
 @settings(max_examples=120, deadline=None)
@@ -1179,8 +1179,8 @@ def test_pdf_objstm_fuzz_raises_valueerror_only(body, n, first, flate):
         % (n, first, len(payload), filt, payload)
     )
     try:
-        out, ambiguous = _objstm_synthesized(doc)
-        assert isinstance(out, bytes) and isinstance(ambiguous, frozenset)
+        out = _objstm_synthesized(doc)
+        assert isinstance(out, bytes)
     except ValueError:
         pass
 
