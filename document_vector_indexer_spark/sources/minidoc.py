@@ -494,7 +494,13 @@ _AMBIGUOUS_DEF_MSG = (
 
 def _object_defs(data: bytes) -> "list[tuple[int, int]]":
     """File-ordered (object number, value offset) claims, one owner per
-    value offset (first claimant wins, see the invariant above)."""
+    value offset (first claimant wins, see the invariant above). A
+    claim whose "value" is itself an object HEADER is dropped: no legal
+    object value starts with ``N M obj``, so such a claimant (a header
+    token inside a trailing comment or stream bytes, lexing onto the
+    next real object) is not a definition — while a real redefinition
+    to ``null``/a non-dict value still claims, so a live redefinition
+    is never shadowed by a stale copy (r9 review pass 7)."""
     claimed: set[int] = set()
     defs: list[tuple[int, int]] = []
     for m in re.finditer(rb"(\d+)\s+0\s+obj\b", data):
@@ -502,6 +508,8 @@ def _object_defs(data: bytes) -> "list[tuple[int, int]]":
         if v is None or v in claimed:
             continue
         claimed.add(v)
+        if re.match(rb"\d+\s+\d+\s+obj\b", data[v : v + 64]):
+            continue
         defs.append((int(m.group(1)), v))
     return defs
 
@@ -517,25 +525,61 @@ def _resolve_last(
     raw_len: int,
     parse,
 ):
-    """Last-definition-wins WITHIN a container side. The synthesized
-    /ObjStm sections are always appended after the raw bytes, so file
-    order says nothing about liveness ACROSS the raw/packed boundary —
-    a number defined differently on both sides raises instead of
-    guessing (the xref names the live one); identical values resolve."""
-    last_raw = last_packed = None
-    for v in _defs_for(defs, num):
-        got = parse(v)
-        if got is None:
-            continue
-        if v < raw_len:
-            last_raw = got
-        else:
-            last_packed = got
-    if last_raw is not None and last_packed is not None:
-        if last_raw != last_packed:
+    """The LAST raw-side definition GOVERNS (real incremental-update
+    semantics; if it parses to the wrong type the object is
+    unresolvable — an earlier stale copy must not win over a live
+    redefinition, r9 review pass 7). The synthesized /ObjStm sections
+    are always appended after the raw bytes and container order says
+    nothing about liveness either, so ALL packed copies must agree
+    with each other AND with the raw side when both exist — otherwise
+    raise (the xref names the live one); identical values resolve."""
+    raw_vs = [v for v in _defs_for(defs, num) if v < raw_len]
+    packed_vs = [v for v in _defs_for(defs, num) if v >= raw_len]
+    results = []
+    if raw_vs:
+        results.append(parse(raw_vs[-1]))
+    if packed_vs:
+        packed_vals = [parse(v) for v in packed_vs]
+        if any(x != packed_vals[0] for x in packed_vals):
             raise ValueError(_AMBIGUOUS_DEF_MSG)
-        return last_raw
-    return last_raw if last_raw is not None else last_packed
+        results.append(packed_vals[0])
+    if not results:
+        return None
+    if len(results) == 2 and results[0] != results[1]:
+        raise ValueError(_AMBIGUOUS_DEF_MSG)
+    return results[0]
+
+
+def _claimed_dicts(
+    data: bytes,
+) -> "list[tuple[int, int, bytes]]":
+    """Claimed DICT values in file order as (object number, value
+    offset, dict bytes). Overlapping dict spans raise after the scan
+    (sorted adjacent check, O(n log n)): real top-level values never
+    overlap, while a pseudo-dict opened inside a comment or string
+    either nests inside or spans a real one — geometry cannot say
+    which is bogus, so the file is ambiguous (r9 review passes 6-7).
+    A '<<' claim that does not balance is skipped here; if it was a
+    font dict the seen-vs-token accounting in the caller raises."""
+    out: list[tuple[int, int, bytes]] = []
+    spans: list[tuple[int, int]] = []
+    for num, at in _object_defs(data):
+        if data[at : at + 2] != b"<<":
+            continue
+        try:
+            dct = _balanced_dict(data, at)
+        except ValueError:
+            continue
+        out.append((num, at, dct))
+        spans.append((at, at + len(dct)))
+    spans.sort()
+    for (_a1, b1), (a2, _b2) in zip(spans, spans[1:]):
+        if a2 < b1:
+            raise ValueError(
+                "pdf: overlapping object value regions — native-kernel "
+                "territory"
+            )
+    return out
 
 
 def _obj_dict(
@@ -699,23 +743,7 @@ def _objstm_synthesized(content: bytes) -> bytes:
     if total_objstm == 0:
         return b""
     parsed_objstm = 0
-    spans: list[tuple[int, int]] = []
-    for _num, at in _object_defs(content):
-        if content[at : at + 2] != b"<<":
-            continue
-        try:
-            sdict = _balanced_dict(content, at)
-        except ValueError:
-            continue
-        if any(a < at + len(sdict) and at < b for a, b in spans):
-            # partially overlapping dict values cannot both be real
-            # top-level objects (r9 review: a '% N 0 obj <<' comment
-            # can open a pseudo-dict SPANNING the real one)
-            raise ValueError(
-                "pdf: overlapping object value regions — native-kernel "
-                "territory"
-            )
-        spans.append((at, at + len(sdict)))
+    for _num, at, sdict in _claimed_dicts(content):
         if re.search(rb"/Type\s*/ObjStm\b", sdict) is None:
             continue
         sm = re.compile(rb"\s*stream(?:\r\n|\n|\r)").match(
@@ -775,10 +803,11 @@ def _fontprogram_gid_map(
     indirect or non-Identity /Encoding, non-Identity /CIDToGIDMap,
     and conflicting maps across fonts — each is per-font state the
     merged-map tier cannot track. Every indirect reference resolves
-    distinct-or-raise (see the object-resolution block above), so an
-    object defined more than once with conflicting values raises the
-    moment the font chain touches it, while duplicated objects the
-    chain never touches (the incremental-update shape) stay ignored."""
+    with the per-side policy of ``_resolve_last`` (see the
+    object-resolution block above), so conflicting re-definitions raise
+    the moment the font chain touches them, while duplicated objects
+    the chain never touches (the incremental-update shape) stay
+    ignored."""
     # The accounting denominator is the RAW token count, not the number
     # of dicts the object scan managed to parse: a Type0 dict whose
     # '<<' sits beyond the scan window (legal whitespace/comments after
@@ -794,35 +823,42 @@ def _fontprogram_gid_map(
     if raw_len is None:
         raw_len = len(content)
     defs = _object_defs(content)
-    spans: list[tuple[int, int]] = []
-    type0_nums: set[int] = set()
-    for num, at in defs:
-        # claims + overlap policy: a dict-less object or a comment
-        # token just before a Type0 dict must not process that dict
-        # twice or under a spoofed number (inflating resolved_type0
-        # past the all-or-nothing denominator), and a pseudo-dict
-        # opened inside a comment that SPANS the real dict is
-        # structural ambiguity — raise (r9 review passes 3-6)
-        if content[at : at + 2] != b"<<":
-            continue
-        try:
-            dct = _balanced_dict(content, at)
-        except ValueError:
-            continue
-        if any(a < at + len(dct) and at < b for a, b in spans):
-            raise ValueError(
-                "pdf: overlapping object value regions — native-kernel "
-                "territory"
-            )
-        spans.append((at, at + len(dct)))
+    # Collect the claimed Type0 dicts first, then pick each object
+    # number's GOVERNING dict with the same per-side policy as
+    # _resolve_last: last raw-side definition governs (incremental
+    # updates may legally replace a font object), packed copies must
+    # all agree with each other and with the raw side (r9 review pass
+    # 7: byte-identical duplicates must keep decoding; conflicting
+    # ones raise — a merged map over both could mix gid spaces).
+    seen_type0 = 0
+    by_num: "dict[int, dict[str, list[bytes]]]" = {}
+    for num, at, dct in _claimed_dicts(content):
         if re.search(rb"/Subtype\s*/Type0\b", dct) is None:
             continue
-        if num in type0_nums:
-            # two DIFFERENT Type0 dicts under one object number: the
-            # xref names the live one; a merged map over both could
-            # mix gid spaces
-            raise ValueError(_AMBIGUOUS_DEF_MSG)
-        type0_nums.add(num)
+        seen_type0 += 1
+        rec = by_num.setdefault(num, {"raw": [], "packed": []})
+        rec["raw" if at < raw_len else "packed"].append(dct)
+    if seen_type0 < total_type0:
+        # a Type0 token with no locatable claimed dict (hidden in an
+        # opaque stream, value past the lexer window, corrupt dict):
+        # its gids would decode through OTHER fonts' merged cmap
+        raise ValueError(
+            "pdf: a Type0 font dict could not be located by the "
+            "object scan — native-kernel territory"
+        )
+    governing: "list[bytes]" = []
+    for num, rec in by_num.items():
+        g = rec["raw"][-1] if rec["raw"] else None
+        if rec["packed"]:
+            p0 = rec["packed"][0]
+            if any(x != p0 for x in rec["packed"]) or (
+                g is not None and g != p0
+            ):
+                raise ValueError(_AMBIGUOUS_DEF_MSG)
+            if g is None:
+                g = p0
+        governing.append(g)
+    for dct in governing:
         resolved_this = False
         enc = re.search(rb"/Encoding\s*(/[A-Za-z0-9\-]+|\d+\s+0\s+R)", dct)
         if enc is None or enc.group(1) not in (
@@ -889,13 +925,13 @@ def _fontprogram_gid_map(
             resolved_type0 += 1
     if resolved_type0 == 0:
         return None
-    if resolved_type0 < total_type0:
+    if resolved_type0 < len(by_num):
         # one font resolved, another didn't (no program, bare CFF,
-        # ObjStm-packed descendant, a dict the object scan could not
-        # even locate...): the unresolved font's gids would decode
-        # through the WRONG font's map whenever the gid spaces collide
-        # — the same silent-garbage class as consuming unreferenced
-        # programs. All-or-nothing.
+        # unresolvable descendant chain...): the unresolved font's gids
+        # would decode through the WRONG font's map whenever the gid
+        # spaces collide — the same silent-garbage class as consuming
+        # unreferenced programs. All-or-nothing over DISTINCT fonts
+        # (unlocatable Type0 tokens already raised above).
         raise ValueError(
             "pdf: only some Type0 fonts resolve to an embedded font "
             "program — per-font decoding is native-kernel territory"

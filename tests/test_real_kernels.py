@@ -1391,6 +1391,67 @@ def test_pdf_objstm_nonzero_generation_container_raises():
         _objstm_synthesized(doc)
 
 
+def test_pdf_objstm_conflicting_packed_copies_raise():
+    """r9 review repro (pass 7): one object packed DIFFERENTLY in two
+    containers — container order carries no liveness, so resolution
+    must raise, never pick the last container's copy."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3})
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _pack_objstm(_fontfile_pdf(ops, ttf), [8])
+    # second container packs a CONFLICTING copy of the FontDescriptor
+    import zlib as _zlib
+
+    body = b"8 0 " + b"<< /Type /FontDescriptor /FontFile2 13 0 R >>\n"
+    comp = _zlib.compress(b"8 0 " + body[4:])
+    obj = (
+        b"41 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(comp), comp)
+    )
+    at = pdf.rindex(b"xref\n")
+    with _pytest.raises(ValueError, match="more than once"):
+        extract_pdf_text(pdf[:at] + obj + pdf[at:])
+
+
+def test_pdf_live_redefinition_invalidates_stale_font_object():
+    """r9 review repro (pass 7): an incremental update that REPLACES a
+    font object with a non-dict/streamless value must not leave the
+    stale copy decodable — last definition governs, wrong type means
+    unresolvable (error row), never 'H' from dead bytes."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3})
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    base = _fontfile_pdf(ops, ttf)
+    for update in (
+        b"9 0 obj\nnull\nendobj\n",  # program replaced by null
+        b"8 0 obj\n<< /Type /Replaced >>\nendobj\n",  # descriptor gutted
+    ):
+        with _pytest.raises(ValueError):
+            extract_pdf_text(base + update)
+
+
+def test_pdf_identical_duplicate_type0_still_decodes():
+    """r9 review repro (pass 7): an incremental update appending a
+    byte-identical copy of the Type0 font object (resources rewritten
+    unchanged) must keep decoding."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3, "i": 4})
+    ops = b"BT /F1 12 Tf 0 0 Td <00030004> Tj ET"
+    pdf = _fontfile_pdf(ops, ttf)
+    import re as _re
+
+    m = _re.search(rb"5 0 obj\n.*?\nendobj\n", pdf, _re.S)
+    assert extract_pdf_text(pdf + m.group(0)) == "Hi"
+
+
 def test_pdf_objstm_unrelated_duplicate_still_decodes():
     """The standard incremental-update shape — a stale top-level copy of
     an object whose live version is ObjStm-packed — must NOT abort the
