@@ -492,6 +492,13 @@ _AMBIGUOUS_DEF_MSG = (
 )
 
 
+# Bytes a legal PDF object value can start with: dict/hex-string '<',
+# array '[', literal string '(', name '/', numbers, null/true/false.
+_VALUE_START_BYTES = frozenset(
+    b"<[(/+-." + b"0123456789" + b"ntf"
+)
+
+
 def _object_defs(data: bytes) -> "list[tuple[int, int]]":
     """File-ordered (object number, value offset) claims, one owner per
     value offset (first claimant wins, see the invariant above). A
@@ -509,6 +516,13 @@ def _object_defs(data: bytes) -> "list[tuple[int, int]]":
             continue
         claimed.add(v)
         if re.match(rb"\d+\s+\d+\s+obj\b", data[v : v + 64]):
+            continue
+        if data[v] not in _VALUE_START_BYTES:
+            # prose after a header-shaped token inside a comment or
+            # string ('% edited 8 0 obj in rev2', '(see 8 0 obj)') is
+            # not a definition — no legal PDF value starts with such a
+            # byte (r9 review pass 8: these claims poisoned resolution
+            # of the REAL object)
             continue
         defs.append((int(m.group(1)), v))
     return defs
@@ -551,7 +565,7 @@ def _resolve_last(
 
 
 def _claimed_dicts(
-    data: bytes,
+    data: bytes, defs: "Optional[list[tuple[int, int]]]" = None
 ) -> "list[tuple[int, int, bytes]]":
     """Claimed DICT values in file order as (object number, value
     offset, dict bytes). Overlapping dict spans raise after the scan
@@ -563,7 +577,7 @@ def _claimed_dicts(
     font dict the seen-vs-token accounting in the caller raises."""
     out: list[tuple[int, int, bytes]] = []
     spans: list[tuple[int, int]] = []
-    for num, at in _object_defs(data):
+    for num, at in (defs if defs is not None else _object_defs(data)):
         if data[at : at + 2] != b"<<":
             continue
         try:
@@ -823,21 +837,22 @@ def _fontprogram_gid_map(
     if raw_len is None:
         raw_len = len(content)
     defs = _object_defs(content)
-    # Collect the claimed Type0 dicts first, then pick each object
-    # number's GOVERNING dict with the same per-side policy as
-    # _resolve_last: last raw-side definition governs (incremental
-    # updates may legally replace a font object), packed copies must
-    # all agree with each other and with the raw side (r9 review pass
-    # 7: byte-identical duplicates must keep decoding; conflicting
-    # ones raise — a merged map over both could mix gid spaces).
+    # Any object number with a claimed Type0 dict is a CANDIDATE; its
+    # GOVERNING definition then comes from _obj_dict (the per-side
+    # last-definition/agreement policy of _resolve_last), and only
+    # candidates whose governing dict is still a Type0 dict count as
+    # fonts — a live redefinition to null/a non-Type0 dict removes the
+    # font instead of leaving the stale copy decodable (r9 review pass
+    # 8; byte-identical duplicates keep decoding, conflicting copies
+    # raise inside _resolve_last).
     seen_type0 = 0
-    by_num: "dict[int, dict[str, list[bytes]]]" = {}
-    for num, at, dct in _claimed_dicts(content):
+    candidates: "list[int]" = []
+    for num, _at, dct in _claimed_dicts(content, defs):
         if re.search(rb"/Subtype\s*/Type0\b", dct) is None:
             continue
         seen_type0 += 1
-        rec = by_num.setdefault(num, {"raw": [], "packed": []})
-        rec["raw" if at < raw_len else "packed"].append(dct)
+        if num not in candidates:
+            candidates.append(num)
     if seen_type0 < total_type0:
         # a Type0 token with no locatable claimed dict (hidden in an
         # opaque stream, value past the lexer window, corrupt dict):
@@ -847,16 +862,10 @@ def _fontprogram_gid_map(
             "object scan — native-kernel territory"
         )
     governing: "list[bytes]" = []
-    for num, rec in by_num.items():
-        g = rec["raw"][-1] if rec["raw"] else None
-        if rec["packed"]:
-            p0 = rec["packed"][0]
-            if any(x != p0 for x in rec["packed"]) or (
-                g is not None and g != p0
-            ):
-                raise ValueError(_AMBIGUOUS_DEF_MSG)
-            if g is None:
-                g = p0
+    for num in candidates:
+        g = _obj_dict(content, defs, num, raw_len)
+        if g is None or re.search(rb"/Subtype\s*/Type0\b", g) is None:
+            continue  # redefined away: not a font in the live revision
         governing.append(g)
     for dct in governing:
         resolved_this = False
@@ -925,7 +934,7 @@ def _fontprogram_gid_map(
             resolved_type0 += 1
     if resolved_type0 == 0:
         return None
-    if resolved_type0 < len(by_num):
+    if resolved_type0 < len(governing):
         # one font resolved, another didn't (no program, bare CFF,
         # unresolvable descendant chain...): the unresolved font's gids
         # would decode through the WRONG font's map whenever the gid

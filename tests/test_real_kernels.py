@@ -1406,7 +1406,7 @@ def test_pdf_objstm_conflicting_packed_copies_raise():
     import zlib as _zlib
 
     body = b"8 0 " + b"<< /Type /FontDescriptor /FontFile2 13 0 R >>\n"
-    comp = _zlib.compress(b"8 0 " + body[4:])
+    comp = _zlib.compress(body)
     obj = (
         b"41 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Length %d "
         b"/Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
@@ -1432,9 +1432,30 @@ def test_pdf_live_redefinition_invalidates_stale_font_object():
     for update in (
         b"9 0 obj\nnull\nendobj\n",  # program replaced by null
         b"8 0 obj\n<< /Type /Replaced >>\nendobj\n",  # descriptor gutted
+        b"5 0 obj\nnull\nendobj\n",  # the Type0 dict itself nulled
+        # the Type0 dict redefined as a non-Type0 font (r9 pass 8: the
+        # stale Type0 copy must not govern past a live redefinition)
+        b"5 0 obj\n<< /Subtype /Type1 /Replaced true >>\nendobj\n",
     ):
         with _pytest.raises(ValueError):
             extract_pdf_text(base + update)
+
+
+def test_pdf_header_tokens_in_prose_do_not_poison_resolution():
+    """r9 review repros (pass 8): header-shaped tokens followed by
+    PROSE — '% edited 8 0 obj in rev2' in a comment, '(see 8 0 obj)'
+    in a string object — are not definitions (no legal PDF value
+    starts with such bytes) and must not make the real object
+    unresolvable."""
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3})
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    base = _fontfile_pdf(ops, ttf)
+    assert extract_pdf_text(base + b"% edited 8 0 obj in rev2\n") == "H"
+    assert (
+        extract_pdf_text(base + b"30 0 obj\n(see 8 0 obj)\nendobj\n") == "H"
+    )
 
 
 def test_pdf_identical_duplicate_type0_still_decodes():
