@@ -492,11 +492,57 @@ _AMBIGUOUS_DEF_MSG = (
 )
 
 
-# Bytes a legal PDF object value can start with: dict/hex-string '<',
-# array '[', literal string '(', name '/', numbers, null/true/false.
-_VALUE_START_BYTES = frozenset(
-    b"<[(/+-." + b"0123456789" + b"ntf"
-)
+def _value_extent(data: bytes, v: int) -> "Optional[int]":
+    """End offset of the single PDF value starting at ``v``, or None
+    when the bytes do not form one (ISO 32000-1 §7.3: dict, hex or
+    literal string, array, name, number, null/true/false). Bounded
+    scans; nesting-aware for dicts/arrays/strings."""
+    c = data[v : v + 1]
+    if c == b"<":
+        if data[v : v + 2] == b"<<":
+            try:
+                return v + len(_balanced_dict(data, v))
+            except ValueError:
+                return None
+        m = re.match(rb"<[0-9A-Fa-f\s]*>", data[v : v + 65536])
+        return v + m.end() if m else None
+    if c == b"[":
+        depth, i, limit = 0, v, min(len(data), v + 65536)
+        while i < limit:
+            b = data[i]
+            if b == 0x5B:
+                depth += 1
+            elif b == 0x5D:
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+            i += 1
+        return None
+    if c == b"(":
+        depth, i, limit = 0, v, min(len(data), v + 65536)
+        while i < limit:
+            b = data[i]
+            if b == 0x5C:
+                i += 2
+                continue
+            if b == 0x28:
+                depth += 1
+            elif b == 0x29:
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+            i += 1
+        return None
+    if c == b"/":
+        m = re.match(rb"/[^\s\[\]()<>/%]*", data[v : v + 4096])
+        return v + m.end() if m else None
+    m = re.match(rb"[+-]?(\d+\.?\d*|\.\d+)", data[v : v + 64])
+    if m:
+        return v + m.end()
+    for kw in (b"null", b"true", b"false"):
+        if data[v : v + len(kw)] == kw:
+            return v + len(kw)
+    return None
 
 
 def _object_defs(data: bytes) -> "list[tuple[int, int]]":
@@ -517,12 +563,23 @@ def _object_defs(data: bytes) -> "list[tuple[int, int]]":
         claimed.add(v)
         if re.match(rb"\d+\s+\d+\s+obj\b", data[v : v + 64]):
             continue
-        if data[v] not in _VALUE_START_BYTES:
-            # prose after a header-shaped token inside a comment or
-            # string ('% edited 8 0 obj in rev2', '(see 8 0 obj)') is
-            # not a definition — no legal PDF value starts with such a
-            # byte (r9 review pass 8: these claims poisoned resolution
-            # of the REAL object)
+        # A definition is a WELL-FORMED indirect object: the value must
+        # parse as a single legal PDF value AND be followed (through
+        # whitespace/comments) by the 'endobj' or 'stream' terminator.
+        # This is the grammar itself, not a heuristic — header-shaped
+        # tokens inside comments/strings followed by prose ('in rev2',
+        # 'twice', '(fixed)') or even by a dict-shaped payload never
+        # carry the terminator, so they are not definitions and cannot
+        # poison or redirect resolution of the real object (r9 review
+        # passes 8-9). The residual — a comment containing a COMPLETE
+        # object definition including 'endobj' — is indistinguishable
+        # without the xref and affects only files crafted to contain
+        # it.
+        end = _value_extent(data, v)
+        if end is None:
+            continue
+        t = _object_value_at(data, end, end + 256)
+        if t is None or data[t : t + 6] not in (b"endobj", b"stream"):
             continue
         defs.append((int(m.group(1)), v))
     return defs
@@ -865,7 +922,16 @@ def _fontprogram_gid_map(
     for num in candidates:
         g = _obj_dict(content, defs, num, raw_len)
         if g is None or re.search(rb"/Subtype\s*/Type0\b", g) is None:
-            continue  # redefined away: not a font in the live revision
+            # redefined away by a later revision — but its show strings
+            # may still be in the content streams, and the merged-map
+            # tier cannot know whether they reference the dead font's
+            # gid space (r9 review pass 9: dropping it silently decoded
+            # the dead font's gids through the SURVIVING fonts' map)
+            raise ValueError(
+                "pdf: a Type0 font was redefined away by a later "
+                "revision — its show strings cannot be attributed "
+                "(native-kernel territory)"
+            )
         governing.append(g)
     for dct in governing:
         resolved_this = False

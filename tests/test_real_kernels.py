@@ -1442,20 +1442,70 @@ def test_pdf_live_redefinition_invalidates_stale_font_object():
 
 
 def test_pdf_header_tokens_in_prose_do_not_poison_resolution():
-    """r9 review repros (pass 8): header-shaped tokens followed by
-    PROSE — '% edited 8 0 obj in rev2' in a comment, '(see 8 0 obj)'
-    in a string object — are not definitions (no legal PDF value
-    starts with such bytes) and must not make the real object
-    unresolvable."""
+    """r9 review repros (passes 8-9): header-shaped tokens that are not
+    WELL-FORMED indirect objects (value + endobj/stream terminator) are
+    not definitions — prose continuations ('in rev2', 'twice',
+    '(fixed)') and even a dict-shaped comment payload without a
+    terminator must neither poison nor redirect resolution of the real
+    object."""
     from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
 
     ttf = _mini_ttf({"H": 3})
     ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
     base = _fontfile_pdf(ops, ttf)
-    assert extract_pdf_text(base + b"% edited 8 0 obj in rev2\n") == "H"
-    assert (
-        extract_pdf_text(base + b"30 0 obj\n(see 8 0 obj)\nendobj\n") == "H"
+    for tail in (
+        b"% edited 8 0 obj in rev2\n",
+        b"% edited 8 0 obj twice\n",  # 't' is a legal value start
+        b"% edited 8 0 obj (fixed)\n",  # a full value, no terminator
+        b"30 0 obj\n(see 8 0 obj)\nendobj\n",
+    ):
+        assert extract_pdf_text(base + tail) == "H", tail
+
+
+def test_pdf_comment_dict_payload_cannot_redirect_font_chain():
+    """r9 review repro (pass 9): '% note: 8 0 obj << /FontFile2 20 0 R
+    >>' — a header token in a comment followed by a dict-shaped payload
+    — previously became object 8's last raw definition and silently
+    redirected the font chain to a decoy program ('Z' with ok=True).
+    Without an endobj terminator it is not a definition."""
+    import zlib as _zlib
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ttf = _mini_ttf({"H": 3})
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _fontfile_pdf(ops, ttf)
+    decoy = _zlib.compress(_mini_ttf({"Z": 3}))
+    at = pdf.rindex(b"xref\n")
+    extra = (
+        b"20 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n%s\n"
+        b"endstream\nendobj\n"
+        b"%% note: 8 0 obj << /Type /FontDescriptor /FontFile2 20 0 R >>\n"
+        % (len(decoy), decoy)
     )
+    assert extract_pdf_text(pdf[:at] + extra + pdf[at:]) == "H"
+
+
+def test_pdf_redefined_away_font_raises_not_merged_map_decode():
+    """r9 review repro (pass 9): with TWO embedded fonts whose gid
+    spaces collide, an incremental update nulling the second font must
+    RAISE — its show strings may still reference the dead font's gids,
+    which would otherwise decode through the surviving font's merged
+    map with ok=True."""
+    import pytest as _pytest
+
+    from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
+
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _fontfile_pdf(
+        ops, _mini_ttf({"H": 3}), second_ttf=_mini_ttf({"Z": 3})
+    )
+    # sanity: both alive -> conflicting maps raise already
+    with _pytest.raises(ValueError, match="conflicting glyph maps"):
+        extract_pdf_text(pdf)
+    # second font redefined away: must STILL raise, never decode 'H'
+    with _pytest.raises(ValueError, match="redefined away"):
+        extract_pdf_text(pdf + b"10 0 obj\nnull\nendobj\n")
 
 
 def test_pdf_identical_duplicate_type0_still_decodes():
