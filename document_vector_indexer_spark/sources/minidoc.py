@@ -442,14 +442,44 @@ def _sfnt_cmap_unicode_to_gid(font: bytes) -> dict[int, int]:
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R\b")
 
 
+def _skip_string(data: bytes, i: int) -> int:
+    """Index just past the ``(...)`` literal string starting at ``i``
+    (escape- and nesting-aware, ISO 32000-1 §7.3.4.2). Raises on an
+    unterminated string."""
+    depth, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b == 0x5C:  # backslash escape
+            i += 2
+            continue
+        if b == 0x28:
+            depth += 1
+        elif b == 0x29:
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("pdf: unterminated string")
+
+
 def _balanced_dict(data: bytes, start: int) -> bytes:
-    """The ``<<...>>`` dict bytes beginning at ``start`` (nesting-
-    aware). Raises on unbalanced input — resolution then fails toward
-    an error row, never a guess."""
+    """The ``<<...>>`` dict bytes beginning at ``start`` (nesting-,
+    string- and comment-aware: ``>>`` inside a ``(...)`` string or a
+    %-comment does not close the dict — r9 review pass 10). Raises on
+    unbalanced input — resolution then fails toward an error row,
+    never a guess."""
     if data[start : start + 2] != b"<<":
         raise ValueError("pdf: expected dictionary")
-    depth, i = 0, start
-    while i < len(data) - 1:
+    depth, i, n = 0, start, len(data)
+    while i < n - 1:
+        c = data[i]
+        if c == 0x28:
+            i = _skip_string(data, i)
+            continue
+        if c == 0x25:  # comment to EOL (legal between tokens)
+            while i < n and data[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
         pair = data[i : i + 2]
         if pair == b"<<":
             depth += 1
@@ -495,8 +525,9 @@ _AMBIGUOUS_DEF_MSG = (
 def _value_extent(data: bytes, v: int) -> "Optional[int]":
     """End offset of the single PDF value starting at ``v``, or None
     when the bytes do not form one (ISO 32000-1 §7.3: dict, hex or
-    literal string, array, name, number, null/true/false). Bounded
-    scans; nesting-aware for dicts/arrays/strings."""
+    literal string, array, name, number, indirect reference,
+    null/true/false). String-, comment- and NUL-whitespace-aware (r9
+    review pass 10); bounded scans."""
     c = data[v : v + 1]
     if c == b"<":
         if data[v : v + 2] == b"<<":
@@ -504,12 +535,22 @@ def _value_extent(data: bytes, v: int) -> "Optional[int]":
                 return v + len(_balanced_dict(data, v))
             except ValueError:
                 return None
-        m = re.match(rb"<[0-9A-Fa-f\s]*>", data[v : v + 65536])
+        m = re.match(rb"<[0-9A-Fa-f\x00\t\n\x0c\r ]*>", data[v : v + 65536])
         return v + m.end() if m else None
     if c == b"[":
         depth, i, limit = 0, v, min(len(data), v + 65536)
         while i < limit:
             b = data[i]
+            if b == 0x28:
+                try:
+                    i = _skip_string(data, i)
+                except ValueError:
+                    return None
+                continue
+            if b == 0x25:
+                while i < limit and data[i] not in (0x0A, 0x0D):
+                    i += 1
+                continue
             if b == 0x5B:
                 depth += 1
             elif b == 0x5D:
@@ -519,43 +560,49 @@ def _value_extent(data: bytes, v: int) -> "Optional[int]":
             i += 1
         return None
     if c == b"(":
-        depth, i, limit = 0, v, min(len(data), v + 65536)
-        while i < limit:
-            b = data[i]
-            if b == 0x5C:
-                i += 2
-                continue
-            if b == 0x28:
-                depth += 1
-            elif b == 0x29:
-                depth -= 1
-                if depth == 0:
-                    return i + 1
-            i += 1
-        return None
+        try:
+            return _skip_string(data, v)
+        except ValueError:
+            return None
     if c == b"/":
-        m = re.match(rb"/[^\s\[\]()<>/%]*", data[v : v + 4096])
+        m = re.match(
+            rb"/[^\x00\t\n\x0c\r \[\]()<>/%]*", data[v : v + 4096]
+        )
         return v + m.end() if m else None
+    m = re.match(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R\b", data[v : v + 64])
+    if m:
+        return v + m.end()
     m = re.match(rb"[+-]?(\d+\.?\d*|\.\d+)", data[v : v + 64])
     if m:
         return v + m.end()
     for kw in (b"null", b"true", b"false"):
-        if data[v : v + len(kw)] == kw:
+        if data[v : v + len(kw)] == kw and not re.match(
+            rb"[A-Za-z0-9]", data[v + len(kw) : v + len(kw) + 1]
+        ):
             return v + len(kw)
     return None
 
 
-def _object_defs(data: bytes) -> "list[tuple[int, int]]":
-    """File-ordered (object number, value offset) claims, one owner per
-    value offset (first claimant wins, see the invariant above). A
-    claim whose "value" is itself an object HEADER is dropped: no legal
-    object value starts with ``N M obj``, so such a claimant (a header
-    token inside a trailing comment or stream bytes, lexing onto the
-    next real object) is not a definition — while a real redefinition
-    to ``null``/a non-dict value still claims, so a live redefinition
-    is never shadowed by a stale copy (r9 review pass 7)."""
+def _object_defs(data: bytes) -> "list[tuple[int, int, bool]]":
+    """File-ordered (object number, value offset, well_formed) claims,
+    one owner per value offset (first claimant wins, see the invariant
+    above). Three tiers (r9 review passes 7-10):
+
+    - NOT A CLAIM (skipped): the lexed "value" is the next object's
+      header, or starts with a byte no legal PDF value can start with
+      (prose after a header-shaped token inside a comment or string —
+      '% edited 8 0 obj in rev2', '(see 8 0 obj)').
+    - WELL-FORMED (ok=True): the value parses as one legal PDF value
+      and is followed, through whitespace/comments, by ``endobj`` (word
+      -bounded) or ``stream`` + EOL — the grammar of an indirect
+      object.
+    - MALFORMED (ok=False): value-like but ill-formed. These must
+      POISON resolution (the resolvers raise), never vanish — vanishing
+      resurrects a stale earlier copy SILENTLY, raising costs only an
+      error row. The residual boundary: a comment containing a COMPLETE
+      well-formed definition is indistinguishable without the xref."""
     claimed: set[int] = set()
-    defs: list[tuple[int, int]] = []
+    defs: list[tuple[int, int, bool]] = []
     for m in re.finditer(rb"(\d+)\s+0\s+obj\b", data):
         v = _object_value_at(data, m.end(), m.end() + 256)
         if v is None or v in claimed:
@@ -563,54 +610,78 @@ def _object_defs(data: bytes) -> "list[tuple[int, int]]":
         claimed.add(v)
         if re.match(rb"\d+\s+\d+\s+obj\b", data[v : v + 64]):
             continue
-        # A definition is a WELL-FORMED indirect object: the value must
-        # parse as a single legal PDF value AND be followed (through
-        # whitespace/comments) by the 'endobj' or 'stream' terminator.
-        # This is the grammar itself, not a heuristic — header-shaped
-        # tokens inside comments/strings followed by prose ('in rev2',
-        # 'twice', '(fixed)') or even by a dict-shaped payload never
-        # carry the terminator, so they are not definitions and cannot
-        # poison or redirect resolution of the real object (r9 review
-        # passes 8-9). The residual — a comment containing a COMPLETE
-        # object definition including 'endobj' — is indistinguishable
-        # without the xref and affects only files crafted to contain
-        # it.
+        if data[v] not in _VALUE_START_BYTES:
+            continue
+        ok = False
         end = _value_extent(data, v)
-        if end is None:
-            continue
-        t = _object_value_at(data, end, end + 256)
-        if t is None or data[t : t + 6] not in (b"endobj", b"stream"):
-            continue
-        defs.append((int(m.group(1)), v))
+        if end is not None:
+            t = _object_value_at(data, end, len(data))
+            if t is not None:
+                if re.match(rb"endobj\b", data[t : t + 8]) is not None:
+                    ok = True
+                elif re.match(
+                    rb"stream(?:\r\n|\n|\r)", data[t : t + 8]
+                ) is not None and data.find(b"endstream", t) != -1:
+                    # a stream keyword without a terminated body is not
+                    # a definition (ISO 32000-1 §7.3.8.1) — a bare
+                    # '... >> stream' comment payload spoofed one (r9
+                    # pass 10)
+                    ok = True
+        defs.append((int(m.group(1)), v, ok))
     return defs
 
 
-def _defs_for(defs: "list[tuple[int, int]]", num: int) -> "list[int]":
-    return [v for n, v in defs if n == num]
+# Bytes a legal PDF object value can start with: dict/hex-string '<',
+# array '[', literal string '(', name '/', numbers/refs,
+# null/true/false.
+_VALUE_START_BYTES = frozenset(b"<[(/+-.0123456789ntf")
+
+
+def _defs_for(
+    defs: "list[tuple[int, int, bool]]", num: int
+) -> "list[tuple[int, bool]]":
+    return [(v, ok) for n, v, ok in defs if n == num]
 
 
 def _resolve_last(
     data: bytes,
-    defs: "list[tuple[int, int]]",
+    defs: "list[tuple[int, int, bool]]",
     num: int,
     raw_len: int,
     parse,
 ):
-    """The LAST raw-side definition GOVERNS (real incremental-update
-    semantics; if it parses to the wrong type the object is
-    unresolvable — an earlier stale copy must not win over a live
-    redefinition, r9 review pass 7). The synthesized /ObjStm sections
-    are always appended after the raw bytes and container order says
-    nothing about liveness either, so ALL packed copies must agree
-    with each other AND with the raw side when both exist — otherwise
-    raise (the xref names the live one); identical values resolve."""
-    raw_vs = [v for v in _defs_for(defs, num) if v < raw_len]
-    packed_vs = [v for v in _defs_for(defs, num) if v >= raw_len]
+    """The LAST raw-side claim GOVERNS (real incremental-update
+    semantics); if it is malformed, or parses to the wrong type only
+    when a malformed claim shadows nothing — see below — the object
+    resolves accordingly:
+
+    - last raw claim well-formed: parse it (wrong type → None — a live
+      redefinition is never shadowed by a stale copy).
+    - last raw claim MALFORMED: raise — it may be a live redefinition
+      the grammar tier cannot read; falling back to an earlier copy
+      would be silent staleness (r9 review pass 10).
+    - packed side (synthesized /ObjStm sections): container order
+      carries no liveness, so ALL packed claims must be well-formed
+      and parse identically, and must agree with the raw side when
+      both exist — otherwise raise."""
+    raw = [(v, ok) for v, ok in _defs_for(defs, num) if v < raw_len]
+    packed = [(v, ok) for v, ok in _defs_for(defs, num) if v >= raw_len]
     results = []
-    if raw_vs:
-        results.append(parse(raw_vs[-1]))
-    if packed_vs:
-        packed_vals = [parse(v) for v in packed_vs]
+    if raw:
+        v, ok = raw[-1]
+        if not ok:
+            raise ValueError(
+                "pdf: an object definition could not be parsed — "
+                "native-kernel territory"
+            )
+        results.append(parse(v))
+    if packed:
+        if not all(ok for _v, ok in packed):
+            raise ValueError(
+                "pdf: a packed object definition could not be parsed "
+                "— native-kernel territory"
+            )
+        packed_vals = [parse(v) for v, _ok in packed]
         if any(x != packed_vals[0] for x in packed_vals):
             raise ValueError(_AMBIGUOUS_DEF_MSG)
         results.append(packed_vals[0])
@@ -622,25 +693,20 @@ def _resolve_last(
 
 
 def _claimed_dicts(
-    data: bytes, defs: "Optional[list[tuple[int, int]]]" = None
+    data: bytes, defs: "Optional[list[tuple[int, int, bool]]]" = None
 ) -> "list[tuple[int, int, bytes]]":
-    """Claimed DICT values in file order as (object number, value
-    offset, dict bytes). Overlapping dict spans raise after the scan
-    (sorted adjacent check, O(n log n)): real top-level values never
-    overlap, while a pseudo-dict opened inside a comment or string
-    either nests inside or spans a real one — geometry cannot say
-    which is bogus, so the file is ambiguous (r9 review passes 6-7).
-    A '<<' claim that does not balance is skipped here; if it was a
-    font dict the seen-vs-token accounting in the caller raises."""
+    """WELL-FORMED claimed dict values in file order as (object number,
+    value offset, dict bytes). Overlapping dict spans raise after the
+    scan (sorted adjacent check): real top-level values never overlap,
+    while a pseudo-dict opened inside a comment or string either nests
+    inside or spans a real one — geometry cannot say which is bogus,
+    so the file is ambiguous (r9 review passes 6-7)."""
     out: list[tuple[int, int, bytes]] = []
     spans: list[tuple[int, int]] = []
-    for num, at in (defs if defs is not None else _object_defs(data)):
-        if data[at : at + 2] != b"<<":
+    for num, at, ok in (defs if defs is not None else _object_defs(data)):
+        if not ok or data[at : at + 2] != b"<<":
             continue
-        try:
-            dct = _balanced_dict(data, at)
-        except ValueError:
-            continue
+        dct = _balanced_dict(data, at)
         out.append((num, at, dct))
         spans.append((at, at + len(dct)))
     spans.sort()
@@ -654,10 +720,14 @@ def _claimed_dicts(
 
 
 def _obj_dict(
-    data: bytes, defs: "list[tuple[int, int]]", num: int, raw_len: int
+    data: bytes,
+    defs: "list[tuple[int, int, bool]]",
+    num: int,
+    raw_len: int,
 ) -> "Optional[bytes]":
-    """Dict value of object ``num`` — last definition wins per side; a
-    corrupt dict raises (never silently falls back to a stale copy)."""
+    """Dict value of object ``num`` under the ``_resolve_last`` policy;
+    a governing non-dict value yields None (the object is not a dict in
+    the live revision)."""
 
     def parse(v: int) -> "Optional[bytes]":
         if data[v : v + 2] != b"<<":
@@ -668,37 +738,37 @@ def _obj_dict(
 
 
 def _obj_array(
-    data: bytes, defs: "list[tuple[int, int]]", num: int, raw_len: int
+    data: bytes,
+    defs: "list[tuple[int, int, bool]]",
+    num: int,
+    raw_len: int,
 ) -> "Optional[bytes]":
-    """``[...]`` value of object ``num`` (last definition wins per
-    side; nesting-aware, bounded). Used for indirect /DescendantFonts."""
+    """``[...]`` value of object ``num`` under the ``_resolve_last``
+    policy. Used for indirect /DescendantFonts."""
 
     def parse(v: int) -> "Optional[bytes]":
         if data[v : v + 1] != b"[":
             return None
-        depth, i, limit = 0, v, min(len(data), v + 4096)
-        while i < limit:
-            c = data[i]
-            if c == 0x5B:
-                depth += 1
-            elif c == 0x5D:
-                depth -= 1
-                if depth == 0:
-                    return data[v : i + 1]
-            i += 1
-        raise ValueError("pdf: unterminated array value")
+        end = _value_extent(data, v)
+        if end is None:
+            raise ValueError("pdf: unterminated array value")
+        return data[v:end]
 
     return _resolve_last(data, defs, num, raw_len, parse)
 
 
 def _obj_stream_body(
-    data: bytes, defs: "list[tuple[int, int]]", num: int, raw_len: int
+    data: bytes,
+    defs: "list[tuple[int, int, bool]]",
+    num: int,
+    raw_len: int,
 ) -> "Optional[bytes]":
-    """Decoded stream body of object ``num`` — last dict+stream
-    definition per side wins, and ITS body must decode (an unreadable
-    live body raises rather than silently yielding a stale one); the
-    dict is taken BALANCED from the value lexer (the loose
-    ``_STREAM_DICT_RE`` group can span unrelated preceding bytes)."""
+    """Decoded stream body of object ``num`` under the
+    ``_resolve_last`` policy; the governing definition's body must
+    decode (an unreadable live body raises rather than silently
+    yielding a stale one). The dict is taken BALANCED from the value
+    lexer (the loose ``_STREAM_DICT_RE`` group can span unrelated
+    preceding bytes)."""
 
     def parse(v: int) -> "Optional[bytes]":
         if data[v : v + 2] != b"<<":

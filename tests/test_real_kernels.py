@@ -1202,12 +1202,12 @@ def test_pdf_objstm_duplicate_definition_raises():
         extract_pdf_text(pdf[:at] + stale + pdf[at:])
 
 
-def test_pdf_objstm_instring_angle_brackets_raise_not_skip():
-    """r9 review repro: '<<' inside a string literal in the ObjStm's own
-    dict breaks the balance walk — the container must then RAISE (its
-    packed objects would stay unresolved), never be silently skipped
-    with ok=True. The raw-token count guard is what catches it."""
-    import pytest as _pytest
+def test_pdf_objstm_instring_angle_brackets_parse_correctly():
+    """r9 (passes 5 and 10): '<<'/'>>' inside a string literal in the
+    ObjStm's own dict must not confuse the dict parser — originally the
+    balance walk silently SKIPPED the container; the string-aware
+    parser now reads the dict correctly and the container synthesizes
+    (never silence, and no longer even an error row)."""
     import zlib as _zlib
 
     from document_vector_indexer_spark.sources.minidoc import (
@@ -1220,8 +1220,7 @@ def test_pdf_objstm_instring_angle_brackets_raise_not_skip():
         b"/N 1 /First 4 /Length %d /Filter /FlateDecode >>\nstream\n"
         b"%s\nendstream\nendobj\n" % (len(comp), comp)
     )
-    with _pytest.raises(ValueError):
-        _objstm_synthesized(doc)
+    assert b"5 0 obj" in _objstm_synthesized(doc)
 
 
 def test_pdf_plain_stream_with_instring_angles_still_decodes():
@@ -1450,16 +1449,28 @@ def test_pdf_header_tokens_in_prose_do_not_poison_resolution():
     object."""
     from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
 
+    import pytest as _pytest
+
     ttf = _mini_ttf({"H": 3})
     ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
     base = _fontfile_pdf(ops, ttf)
+    # prose that cannot start a PDF value: not a claim at all — decode
     for tail in (
         b"% edited 8 0 obj in rev2\n",
-        b"% edited 8 0 obj twice\n",  # 't' is a legal value start
-        b"% edited 8 0 obj (fixed)\n",  # a full value, no terminator
         b"30 0 obj\n(see 8 0 obj)\nendobj\n",
     ):
         assert extract_pdf_text(base + tail) == "H", tail
+    # value-LIKE prose ('twice' starts like 'true'; '(fixed)' is a full
+    # string value with no endobj): MALFORMED claims — these poison the
+    # object and raise (error row) rather than vanish, because
+    # vanishing would let a stale copy silently win over a live
+    # redefinition the grammar tier cannot read (r9 pass 10)
+    for tail in (
+        b"% edited 8 0 obj twice\n",
+        b"% edited 8 0 obj (fixed)\n",
+    ):
+        with _pytest.raises(ValueError, match="could not be parsed"):
+            extract_pdf_text(base + tail)
 
 
 def test_pdf_comment_dict_payload_cannot_redirect_font_chain():
@@ -1467,7 +1478,11 @@ def test_pdf_comment_dict_payload_cannot_redirect_font_chain():
     >>' — a header token in a comment followed by a dict-shaped payload
     — previously became object 8's last raw definition and silently
     redirected the font chain to a decoy program ('Z' with ok=True).
-    Without an endobj terminator it is not a definition."""
+    Without an endobj terminator it is a MALFORMED claim: the file
+    becomes an error row (never 'Z'; suffix-spoofed terminators like
+    'streamlined'/'endobjective' and a bare 'stream' with no EOL are
+    equally non-terminators, r9 pass 10)."""
+    import pytest as _pytest
     import zlib as _zlib
 
     from document_vector_indexer_spark.sources.minidoc import extract_pdf_text
@@ -1477,13 +1492,24 @@ def test_pdf_comment_dict_payload_cannot_redirect_font_chain():
     pdf = _fontfile_pdf(ops, ttf)
     decoy = _zlib.compress(_mini_ttf({"Z": 3}))
     at = pdf.rindex(b"xref\n")
-    extra = (
+    head = (
         b"20 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n%s\n"
-        b"endstream\nendobj\n"
-        b"%% note: 8 0 obj << /Type /FontDescriptor /FontFile2 20 0 R >>\n"
-        % (len(decoy), decoy)
+        b"endstream\nendobj\n" % (len(decoy), decoy)
     )
-    assert extract_pdf_text(pdf[:at] + extra + pdf[at:]) == "H"
+    for suffix in (
+        b">>",
+        b">> streamlined junk",
+        b">> endobjective",
+        b">> stream",
+    ):
+        extra = (
+            head
+            + b"%% note: 8 0 obj << /Type /FontDescriptor /FontFile2 20 0 R "
+            + suffix
+            + b"\n"
+        )
+        with _pytest.raises(ValueError, match="could not be parsed"):
+            extract_pdf_text(pdf[:at] + extra + pdf[at:])
 
 
 def test_pdf_redefined_away_font_raises_not_merged_map_decode():
