@@ -489,6 +489,11 @@ def _balanced_dict(data: bytes, start: int) -> bytes:
             i += 2
             if depth == 0:
                 return data[start:i]
+        elif c == 0x3C:  # single '<': hex string — its '>' must not
+            j = data.find(b">", i + 1, i + 65536)  # pair with a dict
+            if j == -1:  # closer ('<</ID<FEFF>>>', r9 review pass 11)
+                raise ValueError("pdf: unterminated hex string")
+            i = j + 1
         else:
             i += 1
     raise ValueError("pdf: unterminated dictionary")
@@ -615,18 +620,37 @@ def _object_defs(data: bytes) -> "list[tuple[int, int, bool]]":
         ok = False
         end = _value_extent(data, v)
         if end is not None:
-            t = _object_value_at(data, end, len(data))
+            # terminator reached through whitespace/comments, BOUNDED
+            # (hostile giant gaps must not turn the claim scan
+            # quadratic — r9 pass 11)
+            t = _object_value_at(data, end, min(end + 65536, len(data)))
             if t is not None:
                 if re.match(rb"endobj\b", data[t : t + 8]) is not None:
                     ok = True
-                elif re.match(
-                    rb"stream(?:\r\n|\n|\r)", data[t : t + 8]
-                ) is not None and data.find(b"endstream", t) != -1:
-                    # a stream keyword without a terminated body is not
-                    # a definition (ISO 32000-1 §7.3.8.1) — a bare
-                    # '... >> stream' comment payload spoofed one (r9
-                    # pass 10)
-                    ok = True
+                else:
+                    sm = re.match(
+                        rb"stream(?:\r\n|\n|\r)", data[t : t + 8]
+                    )
+                    if sm is not None:
+                        # a stream claim is well-formed only when its
+                        # body VERIFIABLY terminates: direct /Length +
+                        # 'endstream' at that exact offset. Any later
+                        # endstream in the file is another object's
+                        # (the '>> stream' comment payload placed
+                        # before a real stream spoofed that — r9 pass
+                        # 11); an indirect /Length is unverifiable
+                        # here, so the claim stays malformed
+                        # (fail-closed; the font chain's stream
+                        # objects carry direct lengths in practice).
+                        lm = _LENGTH_RE.search(data[v:end])
+                        if lm is not None:
+                            b0 = t + sm.end() - sm.start()
+                            expect = b0 + int(lm.group(1))
+                            if re.match(
+                                rb"(?:\r\n|\n|\r)?\s*endstream",
+                                data[expect : expect + 16],
+                            ):
+                                ok = True
         defs.append((int(m.group(1)), v, ok))
     return defs
 
@@ -774,8 +798,11 @@ def _obj_stream_body(
         if data[v : v + 2] != b"<<":
             return None
         sdict = _balanced_dict(data, v)
-        sm = re.compile(rb"\s*stream(?:\r\n|\n|\r)").match(
-            data, v + len(sdict)
+        st = _object_value_at(data, v + len(sdict), len(data))
+        sm = (
+            None
+            if st is None
+            else re.compile(rb"stream(?:\r\n|\n|\r)").match(data, st)
         )
         if sm is None:
             return None
@@ -887,8 +914,11 @@ def _objstm_synthesized(content: bytes) -> bytes:
     for _num, at, sdict in _claimed_dicts(content):
         if re.search(rb"/Type\s*/ObjStm\b", sdict) is None:
             continue
-        sm = re.compile(rb"\s*stream(?:\r\n|\n|\r)").match(
-            content, at + len(sdict)
+        st = _object_value_at(content, at + len(sdict), len(content))
+        sm = (
+            None
+            if st is None
+            else re.compile(rb"stream(?:\r\n|\n|\r)").match(content, st)
         )
         if sm is None:
             raise ValueError("pdf: object stream container has no stream")

@@ -1497,19 +1497,62 @@ def test_pdf_comment_dict_payload_cannot_redirect_font_chain():
         b"endstream\nendobj\n" % (len(decoy), decoy)
     )
     for suffix in (
-        b">>",
-        b">> streamlined junk",
-        b">> endobjective",
-        b">> stream",
+        b">>\n",
+        b">> streamlined junk\n",
+        b">> endobjective\n",
+        b">> stream",  # truly bare: no EOL after the keyword
+        b">> stream\n",  # EOL but no /Length, so no verifiable body
     ):
         extra = (
             head
             + b"%% note: 8 0 obj << /Type /FontDescriptor /FontFile2 20 0 R "
             + suffix
-            + b"\n"
         )
         with _pytest.raises(ValueError, match="could not be parsed"):
             extract_pdf_text(pdf[:at] + extra + pdf[at:])
+    # ordering variant (r9 pass 11): the decoy stream AFTER the comment
+    # payload — its own endstream must not certify the spoofed claim
+    extra2 = (
+        b"%% note: 8 0 obj << /Type /FontDescriptor /FontFile2 20 0 R "
+        b">> stream\n" + head
+    )
+    with _pytest.raises(ValueError, match="could not be parsed"):
+        extract_pdf_text(pdf[:at] + extra2 + pdf[at:])
+
+
+def test_pdf_compact_hex_string_in_dict_parses():
+    """r9 review (pass 11): the compact form '<</ID<FEFF>>>' — a hex
+    string's closing '>' directly abutting the dict's '>>' — must parse
+    to the full dict, not truncate one byte short (which marked legal
+    objects malformed under the poison policy)."""
+    from document_vector_indexer_spark.sources.minidoc import (
+        _balanced_dict,
+        _object_defs,
+    )
+
+    assert _balanced_dict(b"<</ID<FEFF>>>", 0) == b"<</ID<FEFF>>>"
+    defs = _object_defs(b"8 0 obj\n<</ID<FEFF>>>\nendobj\n")
+    assert defs == [(8, 8, True)]
+
+
+def test_pdf_objstm_comment_before_stream_keyword_parses():
+    """r9 review (pass 11): a %-comment between the container dict and
+    the stream keyword is legal between tokens — the container must
+    still synthesize (the grammar tier certified it; the synthesizer's
+    own stream match must agree)."""
+    import zlib as _zlib
+
+    from document_vector_indexer_spark.sources.minidoc import (
+        _objstm_synthesized,
+    )
+
+    comp = _zlib.compress(b"5 0 << /X 1 >>\n")
+    doc = (
+        b"%%PDF-1.5\n40 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Length "
+        b"%d /Filter /FlateDecode >> %% see rev2\nstream\n%s\nendstream\n"
+        b"endobj\n" % (len(comp), comp)
+    )
+    assert b"5 0 obj" in _objstm_synthesized(doc)
 
 
 def test_pdf_redefined_away_font_raises_not_merged_map_decode():
