@@ -588,26 +588,69 @@ def _value_extent(data: bytes, v: int) -> "Optional[int]":
     return None
 
 
+_STREAM_KW_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
+
+
+def _stream_kw_at(data: bytes, pos: int) -> "Optional[re.Match[bytes]]":
+    """Match for the stream keyword reached from ``pos`` through
+    whitespace/comments, or None — the ONE copy of this lookup shared
+    by the claims tier, the ObjStm synthesizer, and the stream
+    resolver (r9 review pass 12)."""
+    t = _object_value_at(data, pos, len(data))
+    if t is None:
+        return None
+    return _STREAM_KW_RE.match(data, t)
+
+
+def _strip_strings_comments(dct: bytes) -> bytes:
+    """Dict bytes with ``(...)`` string spans and %-comments removed,
+    so token searches (e.g. /Length) cannot match inside them (r9
+    review pass 12: '/Length 1' inside a /Note string shadowed the
+    real key)."""
+    out: list[bytes] = []
+    i, n = 0, len(dct)
+    while i < n:
+        c = dct[i]
+        if c == 0x28:
+            try:
+                i = _skip_string(dct, i)
+            except ValueError:
+                break
+            continue
+        if c == 0x25:
+            while i < n and dct[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        out.append(dct[i : i + 1])
+        i += 1
+    return b"".join(out)
+
+
 def _object_defs(data: bytes) -> "list[tuple[int, int, bool]]":
     """File-ordered (object number, value offset, well_formed) claims,
     one owner per value offset (first claimant wins, see the invariant
-    above). Three tiers (r9 review passes 7-10):
+    above). Three tiers (r9 review passes 7-12):
 
     - NOT A CLAIM (skipped): the lexed "value" is the next object's
       header, or starts with a byte no legal PDF value can start with
       (prose after a header-shaped token inside a comment or string —
       '% edited 8 0 obj in rev2', '(see 8 0 obj)').
     - WELL-FORMED (ok=True): the value parses as one legal PDF value
-      and is followed, through whitespace/comments, by ``endobj`` (word
-      -bounded) or ``stream`` + EOL — the grammar of an indirect
-      object.
-    - MALFORMED (ok=False): value-like but ill-formed. These must
-      POISON resolution (the resolvers raise), never vanish — vanishing
+      and is followed, through whitespace/comments, by ``endobj``
+      (word-bounded) — or, for stream objects, by a VERIFIED stream:
+      the keyword + EOL, a /Length that is direct or resolves through
+      an integer object, ``endstream`` at exactly that offset, and
+      ``endobj`` after it. Any later endstream belongs to another
+      object; accepting it let a '>> stream' comment payload spoof a
+      definition (r9 passes 11-12).
+    - MALFORMED (ok=False): value-like but ill-formed. These POISON
+      resolution (the resolvers raise), never vanish — vanishing
       resurrects a stale earlier copy SILENTLY, raising costs only an
-      error row. The residual boundary: a comment containing a COMPLETE
-      well-formed definition is indistinguishable without the xref."""
+      error row. The residual boundary: a comment containing a
+      COMPLETE well-formed definition is indistinguishable without
+      the xref and affects only files crafted to contain one."""
     claimed: set[int] = set()
-    defs: list[tuple[int, int, bool]] = []
+    cands: list[tuple[int, int, "Optional[int]"]] = []
     for m in re.finditer(rb"(\d+)\s+0\s+obj\b", data):
         v = _object_value_at(data, m.end(), m.end() + 256)
         if v is None or v in claimed:
@@ -617,41 +660,61 @@ def _object_defs(data: bytes) -> "list[tuple[int, int, bool]]":
             continue
         if data[v] not in _VALUE_START_BYTES:
             continue
+        cands.append((int(m.group(1)), v, _value_extent(data, v)))
+
+    def _terminator_at(end: int) -> "Optional[int]":
+        """Offset of the token after the value (bounded ws/comment
+        skip), or None."""
+        return _object_value_at(data, end, min(end + 65536, len(data)))
+
+    # integer objects first: stream claims with an INDIRECT /Length
+    # (legal and common, e.g. Ghostscript) resolve their length here
+    # instead of hard-failing (r9 pass 12); last definition wins.
+    int_objs: dict[int, int] = {}
+    for num, v, end in cands:
+        if end is None:
+            continue
+        txt = data[v:end]
+        if re.fullmatch(rb"[+-]?\d+", txt):
+            t = _terminator_at(end)
+            if t is not None and re.match(rb"endobj\b", data[t : t + 8]):
+                int_objs[num] = int(txt)
+
+    defs: list[tuple[int, int, bool]] = []
+    for num, v, end in cands:
         ok = False
-        end = _value_extent(data, v)
         if end is not None:
-            # terminator reached through whitespace/comments, BOUNDED
-            # (hostile giant gaps must not turn the claim scan
-            # quadratic — r9 pass 11)
-            t = _object_value_at(data, end, min(end + 65536, len(data)))
+            t = _terminator_at(end)
             if t is not None:
                 if re.match(rb"endobj\b", data[t : t + 8]) is not None:
                     ok = True
                 else:
-                    sm = re.match(
-                        rb"stream(?:\r\n|\n|\r)", data[t : t + 8]
-                    )
+                    sm = _STREAM_KW_RE.match(data, t)
                     if sm is not None:
-                        # a stream claim is well-formed only when its
-                        # body VERIFIABLY terminates: direct /Length +
-                        # 'endstream' at that exact offset. Any later
-                        # endstream in the file is another object's
-                        # (the '>> stream' comment payload placed
-                        # before a real stream spoofed that — r9 pass
-                        # 11); an indirect /Length is unverifiable
-                        # here, so the claim stays malformed
-                        # (fail-closed; the font chain's stream
-                        # objects carry direct lengths in practice).
-                        lm = _LENGTH_RE.search(data[v:end])
+                        toks = _strip_strings_comments(data[v:end])
+                        length: "Optional[int]" = None
+                        lm = _LENGTH_RE.search(toks)
                         if lm is not None:
-                            b0 = t + sm.end() - sm.start()
-                            expect = b0 + int(lm.group(1))
-                            if re.match(
+                            length = int(lm.group(1))
+                        else:
+                            im = re.search(
+                                rb"/Length\s+(\d+)\s+0\s+R\b", toks
+                            )
+                            if im is not None:
+                                length = int_objs.get(int(im.group(1)))
+                        if length is not None:
+                            expect = sm.end() + length
+                            em = re.match(
                                 rb"(?:\r\n|\n|\r)?\s*endstream",
                                 data[expect : expect + 16],
-                            ):
-                                ok = True
-        defs.append((int(m.group(1)), v, ok))
+                            )
+                            if em is not None:
+                                t2 = _terminator_at(expect + em.end())
+                                if t2 is not None and re.match(
+                                    rb"endobj\b", data[t2 : t2 + 8]
+                                ):
+                                    ok = True
+        defs.append((num, v, ok))
     return defs
 
 
@@ -798,12 +861,7 @@ def _obj_stream_body(
         if data[v : v + 2] != b"<<":
             return None
         sdict = _balanced_dict(data, v)
-        st = _object_value_at(data, v + len(sdict), len(data))
-        sm = (
-            None
-            if st is None
-            else re.compile(rb"stream(?:\r\n|\n|\r)").match(data, st)
-        )
+        sm = _stream_kw_at(data, v + len(sdict))
         if sm is None:
             return None
         body = _decoded_body(sdict, data, sm.end())
@@ -914,12 +972,7 @@ def _objstm_synthesized(content: bytes) -> bytes:
     for _num, at, sdict in _claimed_dicts(content):
         if re.search(rb"/Type\s*/ObjStm\b", sdict) is None:
             continue
-        st = _object_value_at(content, at + len(sdict), len(content))
-        sm = (
-            None
-            if st is None
-            else re.compile(rb"stream(?:\r\n|\n|\r)").match(content, st)
-        )
+        sm = _stream_kw_at(content, at + len(sdict))
         if sm is None:
             raise ValueError("pdf: object stream container has no stream")
         parsed_objstm += 1

@@ -1520,6 +1520,50 @@ def test_pdf_comment_dict_payload_cannot_redirect_font_chain():
         extract_pdf_text(pdf[:at] + extra2 + pdf[at:])
 
 
+def test_pdf_stream_claim_verification_edges():
+    """r9 review (pass 12): three stream-claim edges — a spoofed
+    comment payload WITH its own /Length+body+endstream but no endobj
+    raises (never 'Z'); '/Length 1' inside a string does not shadow
+    the real key; an INDIRECT /Length resolves through its integer
+    object and stays well-formed."""
+    import pytest as _pytest
+    import zlib as _zlib
+
+    from document_vector_indexer_spark.sources.minidoc import (
+        _object_defs,
+        extract_pdf_text,
+    )
+
+    # 1. /Length-carrying spoof without endobj: malformed -> raise
+    ttf = _mini_ttf({"H": 3})
+    ops = b"BT /F1 12 Tf 0 0 Td <0003> Tj ET"
+    pdf = _fontfile_pdf(ops, ttf)
+    decoy = _zlib.compress(_mini_ttf({"Z": 3}))
+    at = pdf.rindex(b"xref\n")
+    extra = (
+        b"20 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n%s\n"
+        b"endstream\nendobj\n"
+        b"%% note: 8 0 obj << /Type /FontDescriptor /FontFile2 20 0 R "
+        b"/Length 4 >> stream\nABCD\nendstream\n" % (len(decoy), decoy)
+    )
+    with _pytest.raises(ValueError, match="could not be parsed"):
+        extract_pdf_text(pdf[:at] + extra + pdf[at:])
+
+    # 2. '/Length 1' inside a string must not shadow the real key
+    doc = (
+        b"5 0 obj\n<< /Note (/Length 1) /Length 4 >>\nstream\nABCD\n"
+        b"endstream\nendobj\n"
+    )
+    assert _object_defs(doc) == [(5, 8, True)]
+
+    # 3. indirect /Length resolves through the integer object
+    doc2 = (
+        b"5 0 obj\n<< /Length 6 0 R >>\nstream\nABCD\nendstream\nendobj\n"
+        b"6 0 obj\n4\nendobj\n"
+    )
+    assert (5, 8, True) in _object_defs(doc2)
+
+
 def test_pdf_compact_hex_string_in_dict_parses():
     """r9 review (pass 11): the compact form '<</ID<FEFF>>>' — a hex
     string's closing '>' directly abutting the dict's '>>' — must parse
