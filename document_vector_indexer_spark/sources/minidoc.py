@@ -593,9 +593,9 @@ _STREAM_KW_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
 
 def _stream_kw_at(data: bytes, pos: int) -> "Optional[re.Match[bytes]]":
     """Match for the stream keyword reached from ``pos`` through
-    whitespace/comments, or None — the ONE copy of this lookup shared
-    by the claims tier, the ObjStm synthesizer, and the stream
-    resolver (r9 review pass 12)."""
+    whitespace/comments, or None — shared by the ObjStm synthesizer
+    and the stream resolver (the claims tier matches ``_STREAM_KW_RE``
+    at its own precomputed, BOUNDED terminator offset)."""
     t = _object_value_at(data, pos, len(data))
     if t is None:
         return None
@@ -616,6 +616,19 @@ def _strip_strings_comments(dct: bytes) -> bytes:
                 i = _skip_string(dct, i)
             except ValueError:
                 break
+            continue
+        pair = dct[i : i + 2]
+        if pair in (b"<<", b">>"):  # dict brackets pass through whole
+            out.append(pair)
+            i += 2
+            continue
+        if c == 0x3C:
+            # hex-string span: '%' or '(' bytes inside it must not
+            # derail the stripper (mirrors _balanced_dict, r9 pass 13)
+            j = dct.find(b">", i + 1, i + 65536)
+            if j == -1:
+                break
+            i = j + 1
             continue
         if c == 0x25:
             while i < n and dct[i] not in (0x0A, 0x0D):
@@ -669,18 +682,27 @@ def _object_defs(data: bytes) -> "list[tuple[int, int, bool]]":
 
     # integer objects first: stream claims with an INDIRECT /Length
     # (legal and common, e.g. Ghostscript) resolve their length here
-    # instead of hard-failing (r9 pass 12); last definition wins.
+    # instead of hard-failing (r9 pass 12). A number is usable only
+    # when EVERY claim on it is a well-terminated NON-NEGATIVE integer
+    # (r9 pass 13: a negative length let `expect` point backwards or
+    # wrap; a malformed/non-integer claim alongside would make the
+    # resolver raise, so the claims tier must not quietly use a stale
+    # integer either); last such definition wins.
     int_objs: dict[int, int] = {}
+    int_bad: set[int] = set()
     for num, v, end in cands:
-        if end is None:
-            continue
-        txt = data[v:end]
-        if re.fullmatch(rb"[+-]?\d+", txt):
+        txt = data[v:end] if end is not None else b""
+        if end is not None and re.fullmatch(rb"\d+", txt):
             t = _terminator_at(end)
             if t is not None and re.match(rb"endobj\b", data[t : t + 8]):
                 int_objs[num] = int(txt)
+            else:
+                int_bad.add(num)
+        else:
+            int_bad.add(num)
 
     defs: list[tuple[int, int, bool]] = []
+    stream_claims: dict[int, list[int]] = {}
     for num, v, end in cands:
         ok = False
         if end is not None:
@@ -701,8 +723,10 @@ def _object_defs(data: bytes) -> "list[tuple[int, int, bool]]":
                                 rb"/Length\s+(\d+)\s+0\s+R\b", toks
                             )
                             if im is not None:
-                                length = int_objs.get(int(im.group(1)))
-                        if length is not None:
+                                ln = int(im.group(1))
+                                if ln not in int_bad:
+                                    length = int_objs.get(ln)
+                        if length is not None and length >= 0:
                             expect = sm.end() + length
                             em = re.match(
                                 rb"(?:\r\n|\n|\r)?\s*endstream",
@@ -713,8 +737,22 @@ def _object_defs(data: bytes) -> "list[tuple[int, int, bool]]":
                                 if t2 is not None and re.match(
                                     rb"endobj\b", data[t2 : t2 + 8]
                                 ):
+                                    es_off = expect + em.end() - 9
+                                    stream_claims.setdefault(
+                                        es_off, []
+                                    ).append(len(defs))
                                     ok = True
         defs.append((num, v, ok))
+    # each endstream terminates exactly ONE object: two stream claims
+    # verifying against the same endstream mean one of them borrowed
+    # the other's terminator by tuning its /Length (r9 pass 13) —
+    # geometry cannot say which, so both poison (fail-closed; honest
+    # files never share one)
+    for idxs in stream_claims.values():
+        if len(idxs) > 1:
+            for i in idxs:
+                num, v, _ok = defs[i]
+                defs[i] = (num, v, False)
     return defs
 
 
@@ -864,7 +902,25 @@ def _obj_stream_body(
         sm = _stream_kw_at(data, v + len(sdict))
         if sm is None:
             return None
-        body = _decoded_body(sdict, data, sm.end())
+        # resolve an indirect /Length through the SAME per-side policy
+        # (its integer object may itself be redefined), so the decode
+        # tier slices the exact body instead of endstream-guessing
+        # (r9 pass 13)
+        length = None
+        im = re.search(
+            rb"/Length\s+(\d+)\s+0\s+R\b",
+            _strip_strings_comments(sdict),
+        )
+        if im is not None:
+
+            def parse_int(iv: int) -> "Optional[int]":
+                mnum = re.match(rb"\d+", data[iv : iv + 20])
+                return int(mnum.group(0)) if mnum else None
+
+            length = _resolve_last(
+                data, defs, int(im.group(1)), raw_len, parse_int
+            )
+        body = _decoded_body(sdict, data, sm.end(), length)
         if body is None:
             raise ValueError(
                 "pdf: unreadable stream body for a font object"
@@ -915,13 +971,20 @@ def _object_value_at(
     return None
 
 
-def _decoded_body(sdict: bytes, data: bytes, start: int) -> "Optional[bytes]":
+def _decoded_body(
+    sdict: bytes,
+    data: bytes,
+    start: int,
+    length: "Optional[int]" = None,
+) -> "Optional[bytes]":
     """Decoded stream body following ``start`` (plain or FlateDecode per
     ``sdict``), or None — the candidates/decompress-retry loop shared
     by ``_obj_stream_body`` and ``_objstm_synthesized``
     (``_content_streams`` keeps its own loop: its EOL-ambiguity retry
-    order is round-6 behavior pinned by the chunker golden tests)."""
-    cands = _body_candidates(sdict, data, start)
+    order is round-6 behavior pinned by the chunker golden tests).
+    ``length`` carries a resolved indirect /Length so the exact slice
+    is preferred over the endstream-scan guess (r9 pass 13)."""
+    cands = _body_candidates(sdict, data, start, length)
     if not cands:
         return None
     if b"/FlateDecode" in sdict:
@@ -1189,12 +1252,17 @@ def _cid_decoder(cmap: dict[int, str], width: int) -> Callable[[bytes], str]:
     return decode
 
 
-def _body_candidates(sdict: bytes, data: bytes, start: int) -> list[bytes]:
+def _body_candidates(
+    sdict: bytes, data: bytes, start: int, length: "Optional[int]" = None
+) -> list[bytes]:
     """Possible stream bodies at ``start``, most-trustworthy first.
 
     Primary: slice exactly /Length bytes when the dict carries a direct
-    length AND ``endstream`` really follows (after at most one EOL) —
-    this is exact even when the stream data itself ends in EOL bytes.
+    length (searched over string/comment-stripped tokens — '/Length 1'
+    inside a /Note string must not shadow the real key, r9 pass 13),
+    or when the caller passes a resolved ``length`` (indirect /Length),
+    AND ``endstream`` really follows (after at most one EOL) — exact
+    even when the stream data itself ends in EOL bytes.
     Fallback: scan to ``endstream`` and guess-strip the separator EOL.
     The guess is ambiguous when the data's own last byte is 0x0d or
     0x0a (≈1/128 of compressed streams), so the less-stripped variants
@@ -1202,9 +1270,12 @@ def _body_candidates(sdict: bytes, data: bytes, start: int) -> list[bytes]:
     zlib checksum arbitrates (round-5 verdict bug: the single-guess
     version truncated valid FlateDecode streams ending in 0x0d)."""
     cands: list[bytes] = []
-    lm = _LENGTH_RE.search(sdict)
-    if lm:
-        end = start + int(lm.group(1))
+    if length is None:
+        lm = _LENGTH_RE.search(_strip_strings_comments(sdict))
+        if lm:
+            length = int(lm.group(1))
+    if length is not None and length >= 0:
+        end = start + length
         tail = data[end : end + 11]
         if tail[:2] == b"\r\n":
             tail = tail[2:]

@@ -1564,6 +1564,43 @@ def test_pdf_stream_claim_verification_edges():
     assert (5, 8, True) in _object_defs(doc2)
 
 
+def test_pdf_stream_claim_hardening_pass13():
+    """r9 review (pass 13): a NEGATIVE indirect /Length must not verify
+    a stream claim (expect pointed backwards/wrapped); a claim that
+    tunes its /Length to borrow the NEXT object's endstream poisons
+    BOTH claims (each endstream terminates exactly one object); and
+    '(/Length 2)' inside a string must not shadow the real length at
+    the DECODE tier either."""
+    from document_vector_indexer_spark.sources.minidoc import (
+        _body_candidates,
+        _object_defs,
+    )
+
+    # negative indirect length -> malformed
+    doc = (
+        b"5 0 obj\n<< /Length 6 0 R /A endstream endobj >>\n"
+        b"stream\nGARBAGE"
+        b"6 0 obj\n-27\nendobj\n"
+    )
+    assert all(not ok for n, v, ok in _object_defs(doc) if n == 5)
+
+    # borrowed endstream: both claims poisoned
+    body = b"ABCDEFGH"
+    doc2 = (
+        b"8 0 obj\n<< /Length 21 >>\nstream\n"  # tuned to land on 9's
+        b"9 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(body), body)
+    )
+    got = {n: ok for n, v, ok in _object_defs(doc2)}
+    assert got.get(8) is not True
+
+    # string-shadowed /Length at the decode tier
+    sdict = b"<< /Note (/Length 2) /Length 4 >>"
+    data = b"X" * 10 + b"ABCD\nendstream\n"
+    cands = _body_candidates(sdict, data, 10)
+    assert cands[0] == b"ABCD"
+
+
 def test_pdf_compact_hex_string_in_dict_parses():
     """r9 review (pass 11): the compact form '<</ID<FEFF>>>' — a hex
     string's closing '>' directly abutting the dict's '>>' — must parse
