@@ -616,7 +616,8 @@ def _strip_strings_comments(dct: bytes) -> bytes:
                 i = _skip_string(dct, i)
             except ValueError:
                 break
-            continue
+            out.append(b"\x00")  # placeholder: spans must not JOIN the
+            continue  # surrounding tokens ('/Length (x) 4', r9 pass 14)
         pair = dct[i : i + 2]
         if pair in (b"<<", b">>"):  # dict brackets pass through whole
             out.append(pair)
@@ -629,10 +630,12 @@ def _strip_strings_comments(dct: bytes) -> bytes:
             if j == -1:
                 break
             i = j + 1
+            out.append(b"\x00")
             continue
         if c == 0x25:
             while i < n and dct[i] not in (0x0A, 0x0D):
                 i += 1
+            out.append(b"\x00")
             continue
         out.append(dct[i : i + 1])
         i += 1
@@ -682,24 +685,21 @@ def _object_defs(data: bytes) -> "list[tuple[int, int, bool]]":
 
     # integer objects first: stream claims with an INDIRECT /Length
     # (legal and common, e.g. Ghostscript) resolve their length here
-    # instead of hard-failing (r9 pass 12). A number is usable only
-    # when EVERY claim on it is a well-terminated NON-NEGATIVE integer
-    # (r9 pass 13: a negative length let `expect` point backwards or
-    # wrap; a malformed/non-integer claim alongside would make the
-    # resolver raise, so the claims tier must not quietly use a stale
-    # integer either); last such definition wins.
-    int_objs: dict[int, int] = {}
-    int_bad: set[int] = set()
+    # instead of hard-failing (r9 pass 12). LAST claim governs, like
+    # _resolve_last: a number is usable only when its governing claim
+    # is a well-terminated NON-NEGATIVE integer ('+27' counts, r9 pass
+    # 14); a negative length let `expect` point backwards or wrap (r9
+    # pass 13), and an earlier non-integer claim must not poison a
+    # later honest integer redefinition.
+    int_objs: dict[int, "Optional[int]"] = {}
     for num, v, end in cands:
+        val: "Optional[int]" = None
         txt = data[v:end] if end is not None else b""
-        if end is not None and re.fullmatch(rb"\d+", txt):
+        if end is not None and re.fullmatch(rb"\+?\d+", txt):
             t = _terminator_at(end)
             if t is not None and re.match(rb"endobj\b", data[t : t + 8]):
-                int_objs[num] = int(txt)
-            else:
-                int_bad.add(num)
-        else:
-            int_bad.add(num)
+                val = int(txt)
+        int_objs[num] = val  # last claim overwrites
 
     defs: list[tuple[int, int, bool]] = []
     stream_claims: dict[int, list[int]] = {}
@@ -723,9 +723,7 @@ def _object_defs(data: bytes) -> "list[tuple[int, int, bool]]":
                                 rb"/Length\s+(\d+)\s+0\s+R\b", toks
                             )
                             if im is not None:
-                                ln = int(im.group(1))
-                                if ln not in int_bad:
-                                    length = int_objs.get(ln)
+                                length = int_objs.get(int(im.group(1)))
                         if length is not None and length >= 0:
                             expect = sm.end() + length
                             em = re.match(
@@ -902,25 +900,13 @@ def _obj_stream_body(
         sm = _stream_kw_at(data, v + len(sdict))
         if sm is None:
             return None
-        # resolve an indirect /Length through the SAME per-side policy
-        # (its integer object may itself be redefined), so the decode
-        # tier slices the exact body instead of endstream-guessing
-        # (r9 pass 13)
-        length = None
-        im = re.search(
-            rb"/Length\s+(\d+)\s+0\s+R\b",
-            _strip_strings_comments(sdict),
+        # direct-first /Length, indirect resolved through the SAME
+        # per-side policy — the decode tier slices the exact body the
+        # claims tier verified instead of endstream-guessing (r9
+        # passes 13-14)
+        body = _decoded_body(
+            sdict, data, sm.end(), _stream_length(data, defs, sdict, raw_len)
         )
-        if im is not None:
-
-            def parse_int(iv: int) -> "Optional[int]":
-                mnum = re.match(rb"\d+", data[iv : iv + 20])
-                return int(mnum.group(0)) if mnum else None
-
-            length = _resolve_last(
-                data, defs, int(im.group(1)), raw_len, parse_int
-            )
-        body = _decoded_body(sdict, data, sm.end(), length)
         if body is None:
             raise ValueError(
                 "pdf: unreadable stream body for a font object"
@@ -969,6 +955,32 @@ def _object_value_at(
         else:
             return i
     return None
+
+
+def _stream_length(
+    data: bytes,
+    defs: "list[tuple[int, int, bool]]",
+    sdict: bytes,
+    raw_len: int,
+) -> "Optional[int]":
+    """The stream dict's /Length: DIRECT first (matching the claims
+    tier's priority — a dict carrying both a direct and an indirect
+    key must not decode with a different length than the one geometry
+    verification approved, r9 pass 14), else the indirect integer
+    resolved through the per-side policy."""
+    toks = _strip_strings_comments(sdict)
+    lm = _LENGTH_RE.search(toks)
+    if lm is not None:
+        return int(lm.group(1))
+    im = re.search(rb"/Length\s+(\d+)\s+0\s+R\b", toks)
+    if im is None:
+        return None
+
+    def parse_int(iv: int) -> "Optional[int]":
+        mnum = re.match(rb"\+?\d+", data[iv : iv + 20])
+        return int(mnum.group(0)) if mnum else None
+
+    return _resolve_last(data, defs, int(im.group(1)), raw_len, parse_int)
 
 
 def _decoded_body(
@@ -1032,7 +1044,8 @@ def _objstm_synthesized(content: bytes) -> bytes:
     if total_objstm == 0:
         return b""
     parsed_objstm = 0
-    for _num, at, sdict in _claimed_dicts(content):
+    defs = _object_defs(content)
+    for _num, at, sdict in _claimed_dicts(content, defs):
         if re.search(rb"/Type\s*/ObjStm\b", sdict) is None:
             continue
         sm = _stream_kw_at(content, at + len(sdict))
@@ -1049,7 +1062,12 @@ def _objstm_synthesized(content: bytes) -> bytes:
         n, first = int(n_m.group(1)), int(first_m.group(1))
         if n > _OBJSTM_MAX_OBJECTS:
             raise ValueError("pdf: object stream header exceeds budget")
-        body = _decoded_body(sdict, content, sm.end())
+        body = _decoded_body(
+            sdict,
+            content,
+            sm.end(),
+            _stream_length(content, defs, sdict, len(content)),
+        )
         if body is None:
             raise ValueError("pdf: unreadable object stream body")
         if first > len(body):

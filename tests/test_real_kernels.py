@@ -1562,6 +1562,12 @@ def test_pdf_stream_claim_verification_edges():
         b"6 0 obj\n4\nendobj\n"
     )
     assert (5, 8, True) in _object_defs(doc2)
+    # 3b. '+4' is a legal non-negative integer (r9 pass 14)
+    assert (5, 8, True) in _object_defs(doc2.replace(b"\n4\n", b"\n+4\n"))
+    # 3c. an EARLIER non-integer claim on the length object must not
+    # poison a later honest integer redefinition (last claim governs)
+    doc3 = b"6 0 obj\n<< /Old 1 >>\nendobj\n" + doc2
+    assert (5, 36, True) in _object_defs(doc3)
 
 
 def test_pdf_stream_claim_hardening_pass13():
@@ -1584,15 +1590,22 @@ def test_pdf_stream_claim_hardening_pass13():
     )
     assert all(not ok for n, v, ok in _object_defs(doc) if n == 5)
 
-    # borrowed endstream: both claims poisoned
+    # borrowed endstream: both claims poisoned. Tune 8's /Length so
+    # its expect lands EXACTLY on object 9's endstream (r9 pass 14:
+    # the first cut used a mis-tuned 21 and never exercised the
+    # uniqueness loop) — compute the offset instead of hand-counting.
     body = b"ABCDEFGH"
-    doc2 = (
-        b"8 0 obj\n<< /Length 21 >>\nstream\n"  # tuned to land on 9's
+    inner = (
         b"9 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
         % (len(body), body)
     )
+    tuned = inner.index(b"\nendstream")  # 8's body = everything before
+    doc2 = (
+        b"8 0 obj\n<< /Length %d >>\nstream\n" % tuned
+    ) + inner
     got = {n: ok for n, v, ok in _object_defs(doc2)}
     assert got.get(8) is not True
+    assert got.get(9) is not True  # the borrowed terminator poisons 9 too
 
     # string-shadowed /Length at the decode tier
     sdict = b"<< /Note (/Length 2) /Length 4 >>"
