@@ -117,7 +117,16 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                          #     are re-serialized into the resolver's
                          #     object space (stretch item) — packed
                          #     Type0 font chains now decode; malformed/
-                         #     ambiguous containers raise; fuzz-tested
+                         #     ambiguous containers raise; fuzz-tested.
+                         #     Object resolution then hardened through
+                         #     a 14-pass adversarial review chain into
+                         #     a grammar-based design (well-formed
+                         #     indirect objects only; malformed claims
+                         #     poison; ~35 pinned shapes; residual =
+                         #     complete crafted definitions in comments,
+                         #     needs xref — documented). Sim green at
+                         #     sf0.001/0.01/0.1 raw + 0.01/0.1 ingested
+                         #     on the final tree
 ]
 # (The whole round-6 list — the 20 keys re-fronted after the norm
 # hoist / checkpoint / multi_global_rank / ngram-tail rewrites — got
