@@ -635,7 +635,11 @@ def _strip_strings_comments(dct: bytes) -> bytes:
         if c == 0x25:
             while i < n and dct[i] not in (0x0A, 0x0D):
                 i += 1
-            out.append(b"\x00")
+            # comments are pure token separators (ISO 32000-1 §7.2.4), so
+            # a space keeps '/Length % note\n42' resolvable; strings keep
+            # the NUL placeholder — there it is load-bearing against
+            # '/Length (x) 4' token joining (r9 pass 14)
+            out.append(b" ")
             continue
         out.append(dct[i : i + 1])
         i += 1
@@ -1077,9 +1081,16 @@ def _objstm_synthesized(content: bytes) -> bytes:
             raise ValueError("pdf: malformed object stream header")
         pairs = [(int(toks[2 * i]), int(toks[2 * i + 1])) for i in range(n)]
         offs = [o for _, o in pairs]
-        if offs != sorted(offs) or (offs and first + offs[-1] > len(body)):
+        if (
+            any(b <= a for a, b in zip(offs, offs[1:]))
+            or (offs and first + offs[-1] > len(body))
+        ):
+            # strictly ascending: a DUPLICATED offset would synthesize a
+            # zero-length value for the first object (its bytes attributed
+            # wholly to the next) and degrade to a vague downstream
+            # unresolved-font failure instead of this eager raise
             raise ValueError(
-                "pdf: object stream offsets not ascending in-range"
+                "pdf: object stream offsets not strictly ascending in-range"
             )
         for i, (num, off) in enumerate(pairs):
             end = first + offs[i + 1] if i + 1 < n else len(body)

@@ -147,7 +147,11 @@ _RAW_STREAM_SCHEMA = _stream_schema(T.TimestampNTZType())
 _INGESTED_STREAM_SCHEMA = _stream_schema(T.TimestampType())
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: "int | None" = None,
+) -> DataFrame:
     """``readStream`` over the events parquet (file source — swap for
     kafka in production; the query shapes are identical).
 
@@ -160,16 +164,38 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r8 driver-sim catch: q_stream_stateful returned 0 rows on the
     ingest layout) — so the directory case streams the table dir
     directly, which is already single-table.
+
+    ``max_files_per_trigger`` is the file source's backpressure knob:
+    it bounds each micro-batch to N files (availableNow still drains
+    everything, in multiple batches), which at 100 TB/day is what keeps
+    a catch-up restart from planning one giant batch — and is what lets
+    tests drive the watermark across real micro-batch boundaries.
     """
     import hashlib
     import os
     import tempfile
 
+    def _reader(schema: T.StructType):
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r
+
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
-        # Spark-written table dir (ingest layout): ts is already LTZ
-        # TIMESTAMP on disk — declare it as such (see _stream_schema).
-        return spark.readStream.schema(_INGESTED_STREAM_SCHEMA).parquet(src)
+        # Directory = already single-table, stream it directly. But dir
+        # shape is LAYOUT, not PROVENANCE (r9 ADVICE): a directory of
+        # raw NTZ-ts files not written by ingest_engine_layout would be
+        # value-shifted if declared LTZ blindly. Probe the footers' ts
+        # type with one driver-side batch schema read and declare what
+        # the files actually store.
+        ts_type = dict(
+            (f.name, f.dataType) for f in spark.read.parquet(src).schema
+        )["ts"]
+        if isinstance(ts_type, T.TimestampNTZType):
+            raw = _reader(_RAW_STREAM_SCHEMA).parquet(src)
+            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return _reader(_INGESTED_STREAM_SCHEMA).parquet(src)
 
     # md5 of the path, not hash(): Python string hashing is randomized
     # per process (PYTHONHASHSEED), which would leak one stage dir per
@@ -183,7 +209,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
 
-    raw = spark.readStream.schema(_RAW_STREAM_SCHEMA).parquet(stage)
+    raw = _reader(_RAW_STREAM_SCHEMA).parquet(stage)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

