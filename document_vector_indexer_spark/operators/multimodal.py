@@ -149,6 +149,58 @@ def image_features(
     return df.filter(F.col("kind") == "image").mapInPandas(run, schema=out_schema)
 
 
+def image_stats(df: DataFrame, backend: Backend = "fake") -> DataFrame:
+    """Per-image decoded stats as EXACT integers — the oracle-able face
+    of the decode tier (sniffed format, decoded dims, grayscale pixel
+    total). The stdlib tier's decode is deterministic pure arithmetic,
+    so these columns can hash-match a DuckDB oracle over mirrored
+    literals (unlike ``image_features``'s float pooling). Decoded dims
+    are the pixels' truth — metadata dims are ignored except by the
+    fake backend, which has no bytes to trust. Null/undecodable content
+    yields null stat columns (corrupt media must never kill a 100 TB
+    job)."""
+    import pandas as pd
+
+    _require_backend(backend)
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("px_total", T.LongType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from document_vector_indexer_spark.sources import miniimage
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = r.content
+                if content is None or len(content) == 0:
+                    rows.append((r.media_id, None, None, None, None))
+                    continue
+                data = bytes(content)
+                if backend == "fake":
+                    w, h = int(r.width or 8), int(r.height or 8)
+                    px = _fake_pixels(data, w, h)
+                    rows.append((r.media_id, "fake", w, h, sum(px)))
+                    continue
+                fmt = miniimage.sniff_format(data)
+                decoded = _decode_pixels(backend, data, 0, 0)
+                if decoded is None:
+                    rows.append((r.media_id, fmt, None, None, None))
+                    continue
+                w, h, px = decoded
+                rows.append((r.media_id, fmt, w, h, sum(px)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, schema=out_schema)
+
+
 def image_resize(
     df: DataFrame,
     target: tuple[int, int] = (4, 4),

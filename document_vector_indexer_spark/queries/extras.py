@@ -807,6 +807,103 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.crossJoin(frames)
 
 
+_PINNED_IMG_N = 48
+
+
+def _pinned_image(doc_id: int) -> "tuple[int, int, list[int], str]":
+    """(width, height, grayscale pixels, format) of the planted image
+    for ``doc_id`` — pure arithmetic shared by the Spark encode stage
+    and the oracle literal generator (single source of truth, the
+    q_embed_portable pattern). Dims vary per id so the oracle pins the
+    DECODED geometry, not a constant."""
+    w = 8 + doc_id % 5
+    h = 6 + doc_id % 4
+    px = [
+        (doc_id * 7 + y * 31 + x * 3) % 256
+        for y in range(h)
+        for x in range(w)
+    ]
+    return w, h, px, ("png", "bmp", "pnm")[doc_id % 3]
+
+
+def q_multimodal_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled sibling of q_multimodal (r9 VERDICT item 3): planted
+    grayscale images ENCODED on executors (PNG with per-id filter types
+    0-4, 24-bit BMP, binary P5), DECODED back by the stdlib tier
+    (sources/miniimage.py), reduced to exact integers — sniffed format,
+    decoded dims, pixel-value total. DuckDB mirrors the same pure
+    arithmetic as literals. Grayscale is planted r=g=b so BMP's luma
+    conversion is the identity and every value survives bit-exactly.
+    Both stages are mapInPandas over the documents scan — per-partition
+    Arrow batches, no media blob through the driver."""
+    import pandas as pd
+
+    from document_vector_indexer_spark.operators import multimodal as MM
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PINNED_IMG_N)
+        .select("doc_id")
+    )
+    media_cols = [f.name for f in MM.MEDIA_SCHEMA.fields]
+
+    def encode(batches):
+        from document_vector_indexer_spark.sources import miniimage
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, px, fmt = _pinned_image(did)
+                if fmt == "png":
+                    content = miniimage.encode_png(
+                        w, h, px, color_type=0, filter_type=did % 5
+                    )
+                elif fmt == "bmp":
+                    content = miniimage.encode_bmp(
+                        w, h, [(v, v, v) for v in px]
+                    )
+                else:
+                    content = miniimage.encode_pnm(w, h, px, gray=True)
+                rows.append((did, "image", content, None, None, None, None))
+            yield pd.DataFrame(rows, columns=media_cols)
+
+    media = docs.mapInPandas(encode, schema=MM.MEDIA_SCHEMA)
+    stats = MM.image_stats(media, backend="stdlib")
+    return stats.select(
+        "media_id",
+        "fmt",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "px_total",
+    )
+
+
+def _sql_multimodal_pinned() -> str:
+    """Oracle generated from the SAME _pinned_image arithmetic, joined
+    against documents so the row set is keyed to the actual table (a
+    missing doc_id shrinks both sides identically)."""
+    values = ", ".join(
+        "({d}, '{f}', {w}, {h}, {t})".format(
+            d=did, f=fmt, w=w, h=h, t=sum(px)
+        )
+        for did, (w, h, px, fmt) in (
+            (i, _pinned_image(i)) for i in range(_PINNED_IMG_N)
+        )
+    )
+    return f"""
+SELECT CAST(d.doc_id AS BIGINT) AS media_id, v.fmt,
+       CAST(v.w AS BIGINT) AS width, CAST(v.h AS BIGINT) AS height,
+       CAST(v.t AS BIGINT) AS px_total
+FROM documents d
+JOIN (VALUES {values}) AS v(media_id, fmt, w, h, t)
+  ON v.media_id = d.doc_id
+"""
+
+
+SQL_MULTIMODAL_PINNED = _sql_multimodal_pinned()
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO emulated without Delta (guide's CDC pattern): a base
     snapshot (orders before 2000) upserted with a change set (orders
@@ -1303,7 +1400,14 @@ QUERIES: dict[str, QuerySpec] = {
         "media decode/frame-sample plumbing — ROWS-ONLY BY DESIGN: the "
         "real decode kernels are env-gated (libs absent here); the "
         "deterministic fake path's schema/batching is pinned by "
-        "tests/test_multimodal.py",
+        "tests/test_multimodal.py; the stdlib decode tier itself is "
+        "oracle-checked by q_multimodal_pinned",
+    ),
+    "q_multimodal_pinned": QuerySpec(
+        q_multimodal_pinned, SQL_MULTIMODAL_PINNED,
+        "stdlib image decode tier, oracle-checked: executor-encoded "
+        "PNG/BMP/PNM round-tripped to exact-integer stats vs mirrored "
+        "pure-arithmetic literals",
     ),
     "q_agg_stats": QuerySpec(q_agg_stats, SQL_AGG_STATS),
     "q_agg_percentile": QuerySpec(q_agg_percentile, SQL_AGG_PERCENTILE),

@@ -81,57 +81,35 @@ def all_queries() -> dict[str, QuerySpec]:
 # the back of the queue. tests/test_registry.py simulates the rotation
 # forward and asserts the staleness bound.
 
-# Changed in round 9: see rule 1 above.
+# Changed in round 10: see rule 1 above.
 _CHANGED_SINCE_VERIFIED: list[str] = [
-    "q_stream_stateful", # r9: read_events_stream's ingest-layout branch
-                         #     declared ts as NTZ+cast, silently shifting
-                         #     every event time by the session-TZ offset
-                         #     on ingested dirs (r8 ADVICE medium; latent
-                         #     under the pinned-UTC session). Now reads
-                         #     LTZ TIMESTAMP directly; TZ-invariance
-                         #     value test pinned; sim green on BOTH
-                         #     layouts
-    "q_stream_session",  # r9: io._load_events_bucketed now gates
-                         #     registration on the writer's _SUCCESS
-                         #     marker + valid bucket-id suffixes (a
-                         #     crashed ingest's partial dir would have
-                         #     silently dropped rows), and renders the
-                         #     CREATE TABLE DDL via public schema APIs
-                         #     (was _jdf). Fallback identical; sim green
-                         #     on the ingested layout
-    "q_join_asof",       # r9: filter-split single-scan form replaces
-                         #     the union of two scans (same tag-sort-
-                         #     carry semantics, values identical) — the
-                         #     bucketed layout's asof plan now carries
-                         #     ZERO exchanges (was 1 corpus-sized;
-                         #     UnionExec reports UnknownPartitioning
-                         #     over bucketed children). Plan-pinned;
-                         #     sim green at sf0.001/0.01/0.1 raw AND
-                         #     sf0.01 ingested
-    "q_source_binary",   # r9: minidoc Type0 all-or-nothing accounting
-                         #     now counts raw /Subtype /Type0 tokens, so
-                         #     a font dict beyond the 64-byte object-scan
-                         #     window can no longer decode through other
-                         #     fonts' merged cmap (r8 ADVICE); pinned
-                         #     repro test. ALSO r9: /ObjStm containers
-                         #     are re-serialized into the resolver's
-                         #     object space (stretch item) — packed
-                         #     Type0 font chains now decode; malformed/
-                         #     ambiguous containers raise; fuzz-tested.
-                         #     Object resolution then hardened through
-                         #     a 14-pass adversarial review chain into
-                         #     a grammar-based design (well-formed
-                         #     indirect objects only; malformed claims
-                         #     poison; ~35 pinned shapes; residual =
-                         #     complete crafted definitions in comments,
-                         #     needs xref — documented). Sim green at
-                         #     sf0.001/0.01/0.1 raw + 0.01/0.1 ingested
-                         #     on the final tree
+    "q_multimodal_pinned",  # NEW r10 (r9 VERDICT item 3): oracled
+                            #     sibling of q_multimodal — executor-
+                            #     encoded PNG/BMP/PNM round-tripped
+                            #     through the stdlib decode tier to
+                            #     exact-integer stats vs mirrored
+                            #     pure-arithmetic literals. Rows-only
+                            #     count drops 5 -> 4
+    "q_stream_stateful",    # r10: read_events_stream's directory branch
+                            #     now probes the parquet footer's ts type
+                            #     (NTZ dir -> NTZ schema + cast) instead
+                            #     of declaring every directory LTZ (r9
+                            #     ADVICE: dir shape is layout, not
+                            #     provenance), and grew the
+                            #     maxFilesPerTrigger backpressure knob.
+                            #     Late-data watermark tests pinned on
+                            #     both layouts under hostile TZ
+    "q_source_binary",      # r10: minidoc ADVICE fixes — duplicated
+                            #     ObjStm offsets raise eagerly (strict-
+                            #     ascending check); %-comment spans
+                            #     strip to a token-separator space so
+                            #     '/Length % note\n42' resolves (NUL
+                            #     kept for string spans). Both pinned
 ]
-# (The whole round-6 list — the 20 keys re-fronted after the norm
-# hoist / checkpoint / multi_global_rank / ngram-tail rewrites — got
-# green rows in CORRECTNESS_r07.json and rotates by age like
-# everything else now, exactly as the round-5 list did before it.)
+# (The round-9 list — the TZ fix, the _SUCCESS gate, the asof rewrite
+# and the ObjStm/grammar-resolver keys — got green rows in
+# CORRECTNESS_r09.json and rotates by age like everything else now,
+# exactly as the round-5/6 lists did before it.)
 
 
 def _last_verified_rounds() -> dict[str, int]:
