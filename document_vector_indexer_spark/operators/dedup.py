@@ -573,6 +573,38 @@ def minhash_portable_pairs(
     )
 
 
+def recommended_lsh_bits(
+    n_rows: int,
+    target_bucket_rows: int = 64,
+    floor: int = 4,
+    cap: int = 24,
+) -> int:
+    """The bits knob sized to the corpus: smallest ``bits`` whose
+    expected sign-LSH bucket occupancy n/2^bits is at or below
+    ``target_bucket_rows``.
+
+    This is the anti-quadratic lever for embedding blocking — the
+    within-bucket pair count is O(occupancy²), so FIXED bits turn a
+    10x corpus into a 100x candidate set. Measured (r10 one-decade
+    sweep): bits=4 at ~sf1 (24k vectors -> ~1,500 per bucket) emits
+    ~10⁸ candidate rows each carrying two 64-dim vectors and fills the
+    local disk with shuffle spill; bits sized by this rule keeps the
+    candidate volume ~n·target·bands/2 — linear in the corpus.
+
+    Recall trade (standard LSH tuning): per-band match probability is
+    (1 − θ/π)^bits, so more bits means fewer false candidates AND
+    lower recall at a fixed band count; raise ``bands`` to buy recall
+    back. Pairs at the dedup thresholds used here (cosine ≥ 0.95,
+    θ ≤ 18°) keep ≥ 0.93 recall at 6 bands up to bits=9; identical
+    vectors (exact dups) collide at ANY bits.
+    """
+    import math
+
+    if n_rows <= 0:
+        return floor
+    return max(floor, min(cap, math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows)))))
+
+
 def lsh_hyperplanes(dim: int, bands: int, bits: int, seed: int = 7):
     """Seeded ±1 random-hyperplane matrix, shape (bands, bits, dim).
     ±1 components keep the projection dot product an exact sequence of
@@ -678,7 +710,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     dim: int | None = None,
     bands: int = 6,
-    bits: int = 4,
+    bits: int | str = "auto",
     seed: int = 7,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold. ALWAYS blocked:
@@ -686,7 +718,21 @@ def embedding_near_dup_pairs(
     ``block_col`` is None, by vector-derived sign-LSH buckets
     (``embedding_lsh_blocks`` — requires ``dim``). There is no
     all-pairs path: a crossJoin fallback is quadratic and unrunnable at
-    scale, so it does not exist here. Returns (id_a, id_b, sim)."""
+    scale, so it does not exist here. Returns (id_a, id_b, sim).
+
+    ``bits="auto"`` (default since r10) sizes the bucket key to the
+    corpus via ``recommended_lsh_bits`` — one count() job at build
+    time, the fit step that keeps candidate volume LINEAR in the
+    corpus. The r10 one-decade sweep measured the fixed-bits failure:
+    bucket occupancy grows with n, within-bucket pairs with n², and at
+    ~sf1 the bits=4 default emitted ~10⁸ wide candidate rows (disk
+    full). Pass an int to pin the knob (oracle mirrors must pin it).
+
+    The candidate self-join is SHUFFLE-pinned: both sides are the same
+    corpus-derived frame, so there is no broadcastable side at scale —
+    left unhinted, Catalyst's post-projection size estimate broadcasts
+    the build at ~sf1 (the q_tpch_q4 failure class, r10 audit).
+    """
     # Per-ROW norms are hoisted BEFORE the pair join (r6): cosine per
     # candidate pair ran three interpreted array folds (dot + both
     # norms); the norm is a row property, so computing it once per side
@@ -706,13 +752,19 @@ def embedding_near_dup_pairs(
             F.col(vec_col).alias("vec_b"),
             norm.alias("n_b"),
         )
-        cand = a.join(b, on="blk", how="inner").filter(F.col("id_a") < F.col("id_b"))
+        cand = a.join(b.hint("shuffle_hash"), on="blk", how="inner").filter(
+            F.col("id_a") < F.col("id_b")
+        )
     else:
         if dim is None:
             raise ValueError(
                 "block_col=None requires dim= for LSH-bucket blocking "
                 "(all-pairs comparison is not supported)"
             )
+        if bits == "auto":
+            bits = recommended_lsh_bits(df.count())
+        elif not isinstance(bits, int):
+            raise ValueError(f"bits must be an int or 'auto', got {bits!r}")
         blocks = embedding_lsh_blocks(
             df, dim=dim, vec_col=vec_col, id_col=id_col, bands=bands, bits=bits, seed=seed
         )
@@ -738,7 +790,7 @@ def embedding_near_dup_pairs(
         # near-dup candidates match in most bands, so the duplicated
         # folds outweigh the narrower exchange.
         cand = (
-            a.join(b, on=["band", "bucket"], how="inner")
+            a.join(b.hint("shuffle_hash"), on=["band", "bucket"], how="inner")
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )

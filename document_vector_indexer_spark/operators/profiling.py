@@ -54,14 +54,23 @@ def zscore_outliers(
 
         (n·v − s)²  >  z² · (n·q − s²)
 
-    Long-range bound: safe while z²·n²·max(v)² < 2⁶³ — at sf0.1
-    (n ≈ 2·10⁴, v ≤ 3.3·10⁴) both sides stay < 3·10¹⁸; at 100 TB
-    promote s/q and the products to DECIMAL(38,0) (same shape — noted
-    rather than paid here because the decimal path costs ~2× in
-    codegen and the driver hash is over the long outputs).
-    A reporting column z_milli_obs = floor(|n·v − s| / sqrt(n·q − s²)
-    · 1000) is the ONE double expression per row; IEEE division and
-    sqrt are correctly-rounded, so it is cross-engine exact.
+    Range: s/q and every product in the comparison are computed in
+    DECIMAL(38,0) (r10 — the promotion this docstring used to defer
+    was MEASURED necessary one decade up: at ~sf1, n ≈ 2·10⁵ per
+    group makes num² ≈ 4·10¹⁹ > 2⁶³ and the ANSI session throws
+    ARITHMETIC_OVERFLOW; the r10 sweep caught it). Decimal sums and
+    products are exact integers up to 10³⁸, which covers 100 TB
+    (n = 10¹² rows/group, v ≤ 10⁶ cents → num² ≈ 10³³,
+    n·q ≈ 10³³). The DuckDB oracle mirrors with HUGEINT (int128,
+    max ≈ 1.7·10³⁸ — same headroom). Output columns stay BIGINT, so
+    driver hashes are unchanged. The decimal filter costs ~2× the
+    long form in codegen — paid, because the long form is WRONG one
+    decade up, and the filter is map-side over a broadcast join
+    anyway. A reporting column z_milli_obs = floor(|n·v − s| /
+    sqrt(n·q − s²) · 1000) is the ONE double expression per row;
+    decimal→double and HUGEINT→double are both correctly rounded, and
+    IEEE division and sqrt are correctly-rounded, so it is
+    cross-engine exact at driver-checked magnitudes (< 2⁵³).
 
     Scale shape: one tiny per-group aggregate (|groups| rows) joined
     back as a broadcast, then a map-side filter — the corpus never
@@ -74,20 +83,28 @@ def zscore_outliers(
         # of n the same way sum() drops them from s/q, or mu/sigma skew
         .agg(
             F.count("__v").cast("long").alias("__n"),
-            F.sum("__v").cast("long").alias("__s"),
-            F.sum(F.col("__v") * F.col("__v")).cast("long").alias("__q"),
+            # per-term decimal BEFORE the sum: a long sum wraps (or, ANSI,
+            # throws) once n·v̄ or n·v̄² passes 2⁶³ — measured at ~sf1
+            F.sum(F.col("__v").cast("decimal(38,0)")).alias("__s"),
+            # cast each FACTOR, not the product: v*v in long already
+            # overflows for v > ~3·10⁹ (the regression test plants it)
+            F.sum(
+                F.col("__v").cast("decimal(38,0)")
+                * F.col("__v").cast("decimal(38,0)")
+            ).alias("__q"),
         )
     )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     flagged = (
         df.withColumn("__v", value_cents)
         .join(F.broadcast(stats), key_col)
-        .withColumn("__num", F.col("__n") * F.col("__v") - F.col("__s"))
+        .withColumn("__num", dec(F.col("__n")) * dec(F.col("__v")) - F.col("__s"))
         .withColumn(
-            "__den", F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")
+            "__den", dec(F.col("__n")) * F.col("__q") - F.col("__s") * F.col("__s")
         )
         .filter(
             F.col("__num") * F.col("__num")
-            > F.lit(int(z) * int(z)) * F.col("__den")
+            > F.lit(int(z) * int(z)).cast("decimal(38,0)") * F.col("__den")
         )
     )
     z_obs = F.floor(

@@ -105,6 +105,27 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     strip to a token-separator space so
                             #     '/Length % note\n42' resolves (NUL
                             #     kept for string spans). Both pinned
+    "q_dedup_embed",        # r10 decade-sweep fix: sign-LSH bits now
+                            #     "auto" (sized ~log2(n); fixed bits=4
+                            #     went quadratic at ~sf1 and filled the
+                            #     disk) and the candidate self-join is
+                            #     shuffle-pinned. Oracle (brute force)
+                            #     unchanged — bits-independent on the
+                            #     planted-identical corpus
+    "q_cross_cosine",       # r10: alias of q_dedup_embed — same rework
+    "q_outliers",           # r10 decade-sweep fix: comparison terms
+                            #     promoted to DECIMAL(38,0) (num² passes
+                            #     2^63 at ~sf1 under the ANSI session);
+                            #     oracle mirrors with HUGEINT. Outputs
+                            #     stay BIGINT
+    "q_tpch_q4",            # r10: the sweep's one super-linear key —
+                            #     Catalyst broadcast the corpus-sized
+                            #     l_orderkey build (18.8x at 10x data);
+                            #     semi-join shuffle-pinned (Q17 rule)
+    "q_tpch_q21",           # r10 broadcast-audit fix: raw lineitem
+                            #     EXISTS/NOT EXISTS builds shuffle-
+                            #     pinned (same class; 3.73 -> 2.28 s
+                            #     at ~sf1)
 ]
 # (The round-9 list — the TZ fix, the _SUCCESS gate, the asof rewrite
 # and the ObjStm/grammar-resolver keys — got green rows in

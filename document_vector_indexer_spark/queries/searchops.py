@@ -146,19 +146,24 @@ WITH c AS (
   FROM events
 ),
 s AS (
+  -- HUGEINT (int128) mirrors the Spark side's DECIMAL(38,0)
+  -- promotion (r10): at ~sf1 the num² term passes 2^63, so the
+  -- whole comparison runs in 128-bit on both engines
   SELECT event_type, CAST(count(v) AS BIGINT) AS n,
-         CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS q
+         CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS HUGEINT) AS q
   FROM c GROUP BY 1
 ),
 f AS (
   SELECT c.event_id, c.event_type, c.v, s.n,
-         s.n * c.v - s.s AS num, s.n * s.q - s.s * s.s AS den
+         CAST(s.n AS HUGEINT) * CAST(c.v AS HUGEINT) - s.s AS num,
+         CAST(s.n AS HUGEINT) * s.q - s.s * s.s AS den
   FROM c JOIN s USING (event_type)
 )
 SELECT event_id, event_type, v AS value_cents, n AS group_n,
        CAST(floor(abs(num)::DOUBLE / sqrt(den::DOUBLE) * 1000.0)
             AS BIGINT) AS z_milli_obs
-FROM f WHERE num * num > 9 * den ORDER BY event_id
+FROM f WHERE num * num > CAST(9 AS HUGEINT) * den ORDER BY event_id
 """
 
 

@@ -340,6 +340,14 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force oracle then checks the LSH path returns *exactly* the
     true pair set — recall and precision 1.0 on this data, with
     spark_rows > 0.
+
+    r10: bits rides the operator's "auto" sizing (one count() fit job;
+    bucket key grows ~log2(n) so candidate volume stays LINEAR in the
+    corpus — the r10 decade sweep measured fixed bits=4 going
+    quadratic at ~sf1 and filling the disk). The brute-force oracle is
+    bits-INDEPENDENT: identical planted vectors collide in every band
+    at any bits, and nothing non-identical reaches 0.95 on this
+    corpus, so recall stays exactly 1.0 while the knob tracks n.
     """
     from document_vector_indexer_spark.operators.dedup import embedding_near_dup_pairs
 

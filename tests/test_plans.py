@@ -475,3 +475,42 @@ def test_decontaminate_codegen_window_shape(spark):
     # beyond the two REPARTITION_BY_COL barriers
     ens = [l for l in p.splitlines() if "ENSURE_REQUIREMENTS" in l and "hashpartitioning" in l]
     assert all("gram" in l for l in ens), ens
+
+
+def test_tpch_q4_semi_build_never_broadcasts_lineitem(spark):
+    """r10 (the one super-linear key in the one-decade sweep): left
+    unhinted, Catalyst broadcast Q4's projected l_orderkey column — a
+    build side that grows with the corpus (3.6 M keys at ~sf1, ~1.9 s
+    of driver hash-relation build; unbroadcastable at 100 TB). The
+    semi-join is shuffle-pinned; a BroadcastHashJoin LeftSemi here
+    means the pin regressed."""
+    tree = _tree(_plan(spark, "q_tpch_q4"))
+    assert "ShuffledHashJoin LeftSemi" in tree, f"semi-join not shuffle-pinned:\n{tree}"
+    assert "BroadcastHashJoin LeftSemi" not in tree, (
+        f"corpus-sized lineitem keys broadcast into the semi-join:\n{tree}"
+    )
+
+
+def test_tpch_q21_exists_builds_shuffle_pinned(spark):
+    """Q21's EXISTS / NOT EXISTS sides are raw lineitem projections —
+    the same q_tpch_q4 class (r10 broadcast audit): post-projection
+    size estimates let Catalyst broadcast 6 M-row builds at ~sf1.
+    Both are shuffle-pinned (measured 3.73 -> 2.28 s at ~sf1); the
+    orders-"F" probe side and the supplier dim may still broadcast."""
+    tree = _tree(_plan(spark, "q_tpch_q21"))
+    assert "ShuffledHashJoin LeftSemi" in tree, f"EXISTS side not pinned:\n{tree}"
+    assert "ShuffledHashJoin LeftAnti" in tree, f"NOT EXISTS side not pinned:\n{tree}"
+    for bad in ("BroadcastHashJoin LeftSemi", "BroadcastHashJoin LeftAnti"):
+        assert bad not in tree, f"lineitem build broadcast ({bad}):\n{tree}"
+
+
+def test_embedding_near_dup_candidate_join_shuffle_pinned(spark):
+    """The sign-LSH candidate self-join joins a corpus-derived frame
+    to itself — there is no broadcastable side at any scale, and the
+    r10 audit caught Catalyst broadcasting it at ~sf1 from the
+    post-projection size estimate. Pinned to a shuffled hash join."""
+    tree = _tree(_plan(spark, "q_dedup_embed"))
+    assert "ShuffledHashJoin Inner" in tree, f"candidate join not pinned:\n{tree}"
+    assert "BroadcastHashJoin" not in tree, (
+        f"corpus-derived blocks frame broadcast:\n{tree}"
+    )

@@ -498,3 +498,60 @@ def test_embed_backoff_sequence_matches_reference(spark):
     )
     assert out.count() == 1
     assert sleeps.value == [1, 2, 4, 8, 16, 16]
+
+
+def test_recommended_lsh_bits_sizes_to_corpus():
+    """The anti-quadratic knob rule: smallest bits with expected
+    occupancy at or below target, clamped to [floor, cap]."""
+    from document_vector_indexer_spark.operators.dedup import recommended_lsh_bits
+
+    assert recommended_lsh_bits(0) == 4
+    assert recommended_lsh_bits(1_000) == 4          # floor
+    assert recommended_lsh_bits(24_000) == 9         # ceil(log2(375))
+    assert recommended_lsh_bits(24_000, target_bucket_rows=1500) == 4
+    assert recommended_lsh_bits(10**12) == 24        # cap
+    # monotone in n
+    prev = 0
+    for n in (10, 10**3, 10**5, 10**7, 10**9):
+        b = recommended_lsh_bits(n)
+        assert b >= prev
+        prev = b
+
+
+def test_embedding_near_dup_auto_bits_matches_explicit(spark):
+    """bits="auto" must be EXACTLY bits=recommended_lsh_bits(n) — one
+    count() fit job, no other semantic difference (r10: auto is the
+    default because the fixed-bits default went quadratic one decade
+    up and filled the disk)."""
+    from document_vector_indexer_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        recommended_lsh_bits,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    allv = emb.unionByName(planted)
+    explicit = recommended_lsh_bits(allv.count())
+    auto_rows = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            allv, threshold=0.95, block_col=None, dim=64, bits="auto"
+        ).collect()
+    )
+    explicit_rows = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            allv, threshold=0.95, block_col=None, dim=64, bits=explicit
+        ).collect()
+    )
+    assert auto_rows == explicit_rows and len(auto_rows) > 0
+    import pytest
+
+    with pytest.raises(ValueError, match="int or 'auto'"):
+        embedding_near_dup_pairs(
+            allv, threshold=0.95, block_col=None, dim=64, bits="lots"
+        )

@@ -164,6 +164,43 @@ def test_outliers_match_pure_python(spark):
     assert len(got) > 0, "outlier query went vacuous"
 
 
+def test_outliers_decimal_survives_past_long_range(spark):
+    """r10 regression (caught by the one-decade sweep): with per-group
+    n ≈ 2·10⁵ the num² term passes 2⁶³ and the old all-long comparison
+    threw ARITHMETIC_OVERFLOW under the ANSI session. The operator now
+    runs the comparison in DECIMAL(38,0); this test plants magnitudes
+    where num² > 2⁶³ already at 4 rows (v ~ 3·10⁹ cents) and checks
+    the flags and z_milli_obs against arbitrary-precision Python ints
+    — if anyone reverts the promotion, this throws (ANSI) or flags
+    wrong rows (non-ANSI wraparound)."""
+    from pyspark.sql import functions as F
+
+    from document_vector_indexer_spark.operators.profiling import zscore_outliers
+
+    # 15 tightly-jittered baseline values + one far outlier: n must be
+    # ≥ ~12 for any single point to reach z > 3 (max z in a sample of
+    # n is (n-1)/sqrt(n)), and every row's num² exceeds 2⁶³ here
+    vals = [3_000_000_000 + 7 * i - 49 for i in range(15)] + [9_500_000_000]
+    df = spark.createDataFrame(
+        [(i, "big", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, v long",
+    )
+    n, s = len(vals), sum(vals)
+    q = sum(v * v for v in vals)
+    expect = {}
+    for i, v in enumerate(vals):
+        num, den = n * v - s, n * q - s * s
+        assert num * num > 2**63, "test lost its overflow bite"
+        if num * num > 9 * den:
+            expect[i] = (v, math.floor(abs(num) / math.sqrt(den) * 1000.0))
+    assert expect, "planted outlier missing"
+    got = {
+        r["event_id"]: (r["value_cents"], r["z_milli_obs"])
+        for r in zscore_outliers(df, F.col("v"), id_col="event_id").collect()
+    }
+    assert got == expect
+
+
 def test_outliers_plan_broadcasts_stats_only(spark):
     from document_vector_indexer_spark.queries.searchops import outliers_q
 

@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""Plan-shape audit: flag corpus-sized broadcast builds at a given
+fixture dir (meant for the BIG one — size estimates drive Catalyst's
+broadcast decisions, so an audit at sf0.01 can't see what flips in at
+~sf1).
+
+The r10 one-decade sweep found exactly one super-linear key, and its
+root cause was this pattern: q_tpch_q4 left unhinted let Catalyst
+broadcast the projected l_orderkey column of LINEITEM — a build side
+that grows with the corpus (3.6 M keys at ~sf1, ~1.9 s of driver hash-
+relation build; unbroadcastable at 100 TB). This tool makes the class
+visible for every registered key so the fix can't regress silently:
+
+  flagged = a BroadcastExchange whose subtree scans a CORPUS table
+            (lineitem/orders/events/documents/embeddings/customer)
+            with NO aggregation/limit between the scan and the
+            broadcast — i.e. the broadcast payload is raw corpus rows,
+            not a bounded stats/top-k frame.
+
+Broadcasts of dimension tables (nation/region/part/supplier) and of
+aggregated frames (per-group stats, top-k, 1-row totals) are the
+normal, wanted shapes and are not flagged.
+
+CONSTRUCTION-ONLY: plans are built and explained, never executed
+(a few Spark jobs may still run for ingest/layout registration).
+
+Usage: python tools/broadcast_audit.py [sf_dir] [--raw]
+       (default /root/repo/.scale/sf1, ingested to a temp dir first
+        like the sweep does; --raw audits the dir as-is)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import shutil
+import sys
+import tempfile
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+CORPUS_TABLES = (
+    "lineitem",
+    "orders",
+    "events",
+    "documents",
+    "embeddings",
+    "customer",
+)
+
+# Nodes that bound the broadcast payload regardless of input size.
+BOUNDING = re.compile(
+    r"HashAggregate|ObjectHashAggregate|SortAggregate|"
+    r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit"
+)
+
+
+def _tree_lines(explained: str) -> list[str]:
+    """The physical-plan tree section of a formatted explain."""
+    lines = explained.splitlines()
+    out = []
+    started = False
+    for ln in lines:
+        if ln.startswith("== Physical Plan =="):
+            started = True
+            continue
+        if started:
+            if not ln.strip():
+                break
+            out.append(ln)
+    return out
+
+
+def _indent(ln: str) -> int:
+    """Tree depth of a plan line (each level prints 3 chars of
+    ':- ' / '+- ' / '   ' prefix before the operator name)."""
+    m = re.match(r"^[\s:+|-]*", ln)
+    return len(m.group(0)) if m else 0
+
+
+def _scan_ids_by_table(explained: str) -> dict[str, str]:
+    """Map '(n)' operator ids of parquet scans to the table they read,
+    from the detail section's Location lines."""
+    ids: dict[str, str] = {}
+    cur = None
+    for ln in explained.splitlines():
+        m = re.match(r"^\((\d+)\) Scan parquet", ln)
+        if m:
+            cur = m.group(1)
+            continue
+        if cur and ln.startswith("Location"):
+            for t in CORPUS_TABLES:
+                if re.search(rf"[/_]{t}(\.parquet|__|/|\b)", ln):
+                    ids[cur] = t
+                    break
+            cur = None
+    return ids
+
+
+def audit_plan(explained: str) -> list[str]:
+    """Return descriptions of unbounded corpus broadcasts in one
+    formatted explain string."""
+    tree = _tree_lines(explained)
+    scan_tables = _scan_ids_by_table(explained)
+    findings = []
+    for i, ln in enumerate(tree):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = _indent(ln)
+        # subtree = following lines strictly deeper than this node
+        j = i + 1
+        bounded_depths: list[int] = []  # depths at which a bounding op sits
+        while j < len(tree) and _indent(tree[j]) > depth:
+            sub = tree[j]
+            sd = _indent(sub)
+            # leaving a bounded branch: pop bounding ops deeper than us
+            bounded_depths = [d for d in bounded_depths if d < sd]
+            if BOUNDING.search(sub):
+                bounded_depths.append(sd)
+            m = re.search(r"Scan parquet.*\((\d+)\)", sub)
+            if m and not bounded_depths:
+                t = scan_tables.get(m.group(1))
+                if t:
+                    findings.append(
+                        f"BroadcastExchange over raw {t} scan: {ln.strip()}"
+                    )
+            j += 1
+    return findings
+
+
+def main() -> None:
+    from bench import _ingest_subprocess
+    from document_vector_indexer_spark.queries.registry import all_queries
+    from document_vector_indexer_spark.session import get_spark
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
+    raw = "--raw" in sys.argv
+    if raw:
+        sf_dir, tmp = src, None
+    else:
+        tmp = tempfile.mkdtemp(prefix="dvi_bcast_audit_")
+        _ingest_subprocess([(src, tmp)])
+        sf_dir = tmp
+    spark = get_spark(app_name="dvi-broadcast-audit", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    flagged = 0
+    try:
+        for name, spec in all_queries().items():
+            try:
+                df = spec.fn(spark, sf_dir)
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
+                hits = audit_plan(buf.getvalue())
+            except Exception as e:  # keep auditing past a broken key
+                print(f"ERR {name}: {str(e)[:100]}", file=sys.stderr)
+                continue
+            for h in hits:
+                flagged += 1
+                print(f"FLAG {name}: {h}")
+        print(f"audited {len(all_queries())} keys, flagged {flagged}")
+    finally:
+        if tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
