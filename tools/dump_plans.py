@@ -35,14 +35,21 @@ EXTRA = {
     "broadcast offsets; the only empty-partitionBy window runs over the "
     "per-partition counts frame (#rows == #partitions)",
     "q_dedup_embed": "sign-LSH band blocking: hyperplane projections -> band "
-    "equi-join -> exact cosine filter; no all-pairs anywhere",
+    "equi-join (shuffle-pinned r10 — both sides corpus-derived, no "
+    "broadcastable side exists) -> exact cosine filter; bits auto-sized "
+    "~log2(n) so candidates stay linear; no all-pairs anywhere",
     "q_dedup_semantic": "map-side 12-bit LSH cell id -> ONE narrow shuffle with "
     "partial min/count — exact-dedup cost profile for semantic dedup",
     "q_unigram_logprob": "tokenize behind the exchange barrier; vocab built by one "
     "word-keyed agg; token->weight lookup is a word-keyed shuffle join "
     "(vocab side arrives pre-partitioned from its own agg)",
     "q_tpch_q21": "EXISTS/NOT EXISTS as semi/anti joins equi-keyed on l_orderkey "
-    "with the supplier/shipdate inequalities as join residuals — no cartesian",
+    "with the supplier/shipdate inequalities as join residuals — no cartesian; "
+    "both lineitem builds shuffle-pinned (r10: post-projection size estimates "
+    "broadcast 6M-row builds at ~sf1)",
+    "q_tpch_q4": "orders semi-join lineitem, shuffle-pinned (r10: the decade "
+    "sweep's one super-linear key — Catalyst broadcast the corpus-sized "
+    "l_orderkey build from its post-projection size estimate)",
     "q_dedup_substrings": "stride-1 word-8-gram char-fold hashes; hash-keyed "
     "distinct-doc agg; shuffle-pinned join-back (never a vocab broadcast); "
     "doc-keyed integer-ppm rollup — no pair term anywhere",
