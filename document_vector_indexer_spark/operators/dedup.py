@@ -712,6 +712,8 @@ def embedding_near_dup_pairs(
     bands: int = 6,
     bits: int | str = "auto",
     seed: int = 7,
+    target_bucket_rows: int = 32,
+    max_bucket_rows: int | None = 512,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold. ALWAYS blocked:
     either by an explicit ``block_col`` (e.g. a cluster id) or, when
@@ -721,17 +723,38 @@ def embedding_near_dup_pairs(
     scale, so it does not exist here. Returns (id_a, id_b, sim).
 
     ``bits="auto"`` (default since r10) sizes the bucket key to the
-    corpus via ``recommended_lsh_bits`` — one count() job at build
-    time, the fit step that keeps candidate volume LINEAR in the
-    corpus. The r10 one-decade sweep measured the fixed-bits failure:
-    bucket occupancy grows with n, within-bucket pairs with n², and at
-    ~sf1 the bits=4 default emitted ~10⁸ wide candidate rows (disk
-    full). Pass an int to pin the knob (oracle mirrors must pin it).
+    corpus via ``recommended_lsh_bits(n, target_bucket_rows)`` — one
+    count() job at build time, the fit step that keeps candidate
+    volume LINEAR in the corpus (~n·target·bands/2). The r10
+    one-decade sweep measured the fixed-bits failure: bucket occupancy
+    grows with n, within-bucket pairs with n², and at ~sf1 the bits=4
+    default emitted ~10⁸ wide candidate rows (disk full). Pass an int
+    to pin the knob (oracle mirrors must pin it).
 
-    The candidate self-join is SHUFFLE-pinned: both sides are the same
-    corpus-derived frame, so there is no broadcastable side at scale —
-    left unhinted, Catalyst's post-projection size estimate broadcasts
-    the build at ~sf1 (the q_tpch_q4 failure class, r10 audit).
+    ``max_bucket_rows`` (r10, second decade) clips the occupancy TAIL:
+    real embeddings are anisotropic, so sign patterns concentrate —
+    measured at ~sf10, p99 occupancy is ~7x the expectation target and
+    Σocc² lands ~4x the uniform-cell estimate, which together with the
+    two carried vectors per candidate row was the difference between
+    fitting and filling the local disk. Buckets above the cap are
+    DROPPED, the ``minhash_portable_pairs.max_band_df`` precedent: a
+    bucket that hot at correctly-sized bits means the band carries
+    little discriminative signal there, and a pair lost from a hot
+    bucket still pairs in any of its other (colder) bands. The
+    documented blind spot is identical-vector clusters LARGER than the
+    cap (hot in every band) — that regime belongs to exact dedup /
+    ``semantic_dedup_survivors``, which handle arbitrarily large
+    clusters in one aggregation. The cap is ~16x the expectation
+    target, so it never binds at driver-oracle scales (measured max
+    occupancy ≤ 80 there); None disables it.
+
+    Both candidate self-joins are MERGE-pinned (r10): the sides are
+    the same corpus-derived frame, so no broadcast build is legal at
+    scale (left unhinted, Catalyst's post-projection size estimate
+    broadcasts at ~sf1 — the q_tpch_q4 failure class), and a forced
+    shuffle_hash build measurably dies once a partition's build side
+    outgrows execution memory (hash relations cannot spill; sorts
+    can — the q_tpch_q21-at-~sf10 lesson).
     """
     # Per-ROW norms are hoisted BEFORE the pair join (r6): cosine per
     # candidate pair ran three interpreted array folds (dot + both
@@ -752,7 +775,7 @@ def embedding_near_dup_pairs(
             F.col(vec_col).alias("vec_b"),
             norm.alias("n_b"),
         )
-        cand = a.join(b.hint("shuffle_hash"), on="blk", how="inner").filter(
+        cand = a.join(b.hint("merge"), on="blk", how="inner").filter(
             F.col("id_a") < F.col("id_b")
         )
     else:
@@ -762,12 +785,24 @@ def embedding_near_dup_pairs(
                 "(all-pairs comparison is not supported)"
             )
         if bits == "auto":
-            bits = recommended_lsh_bits(df.count())
+            bits = recommended_lsh_bits(
+                df.count(), target_bucket_rows=target_bucket_rows
+            )
         elif not isinstance(bits, int):
             raise ValueError(f"bits must be an int or 'auto', got {bits!r}")
         blocks = embedding_lsh_blocks(
             df, dim=dim, vec_col=vec_col, id_col=id_col, bands=bands, bits=bits, seed=seed
         )
+        if max_bucket_rows is not None:
+            # occupancy via a window over the SAME (band, bucket) key
+            # the candidate join shuffles on — the exchange is shared,
+            # the cap only adds sorts/filters to it
+            occ_w = Window.partitionBy("band", "bucket")
+            blocks = (
+                blocks.withColumn("__occ", F.count("*").over(occ_w))
+                .filter(F.col("__occ") <= max_bucket_rows)
+                .drop("__occ")
+            )
         a = blocks.select(
             "band",
             "bucket",
@@ -790,7 +825,7 @@ def embedding_near_dup_pairs(
         # near-dup candidates match in most bands, so the duplicated
         # folds outweigh the narrower exchange.
         cand = (
-            a.join(b.hint("shuffle_hash"), on=["band", "bucket"], how="inner")
+            a.join(b.hint("merge"), on=["band", "bucket"], how="inner")
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )

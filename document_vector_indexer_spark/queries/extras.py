@@ -208,15 +208,16 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order priority checking): EXISTS semi-join from
     orders into lineitem, then priority counts.
 
-    The semi-join's lineitem side is SHUFFLE-pinned (r10, the Q17
-    treatment): left unhinted, Catalyst broadcasts the projected
-    l_orderkey column — a build side that GROWS WITH THE CORPUS (the
-    one super-linear key in the r10 one-decade sweep: 0.23 s -> 4.4 s,
-    ~1.9 s of it the driver building a 3.6 M-key hash relation at
-    ~sf1). A corpus-derived frame must never be a broadcast build; the
-    shuffled hash join is 4.7x faster at ~sf1 (0.49 s) and is the only
-    shape that survives 100 TB, where the 3-month orders window isn't
-    broadcastable either. Plan-pinned in tests/test_plans.py.
+    The semi-join's lineitem side is MERGE-pinned (r10): left
+    unhinted, Catalyst broadcasts the projected l_orderkey column — a
+    build side that GROWS WITH THE CORPUS (the one super-linear key in
+    the r10 one-decade sweep: 0.23 s -> 4.4 s, ~1.9 s of it the driver
+    building a 3.6 M-key hash relation at ~sf1). A corpus-derived
+    frame must never be a broadcast build (shuffle beats it 4.7x at
+    ~sf1), and of the shuffle strategies only sort-merge survives
+    arbitrary per-partition build sizes (forced shuffle_hash builds
+    cannot spill — the q_tpch_q21-at-~sf10 lesson). Plan-pinned in
+    tests/test_plans.py.
     """
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
@@ -227,7 +228,7 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(
-            late.hint("shuffle_hash"), orders.o_orderkey == late.l_orderkey, "left_semi"
+            late.hint("merge"), orders.o_orderkey == late.l_orderkey, "left_semi"
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))

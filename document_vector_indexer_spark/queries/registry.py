@@ -106,12 +106,17 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     '/Length % note\n42' resolves (NUL
                             #     kept for string spans). Both pinned
     "q_dedup_embed",        # r10 decade-sweep fix: sign-LSH bits now
-                            #     "auto" (sized ~log2(n); fixed bits=4
-                            #     went quadratic at ~sf1 and filled the
-                            #     disk) and the candidate self-join is
-                            #     shuffle-pinned. Oracle (brute force)
-                            #     unchanged — bits-independent on the
-                            #     planted-identical corpus
+                            #     "auto" (sized ~log2(n/32); fixed
+                            #     bits=4 went quadratic at ~sf1 and
+                            #     filled the disk), hot buckets capped
+                            #     at 512 (second decade: anisotropic
+                            #     sign skew — p99 occupancy ~7x the
+                            #     target at ~sf10), candidate join
+                            #     MERGE-pinned (hash builds can't
+                            #     spill). Oracle (brute force)
+                            #     unchanged — bits/cap-independent on
+                            #     the planted corpus (cap never binds
+                            #     below ~sf1; measured max 80 vs 512)
     "q_cross_cosine",       # r10: alias of q_dedup_embed — same rework
     "q_outliers",           # r10 decade-sweep fix: comparison terms
                             #     promoted to DECIMAL(38,0) (num² passes
@@ -121,11 +126,14 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
     "q_tpch_q4",            # r10: the sweep's one super-linear key —
                             #     Catalyst broadcast the corpus-sized
                             #     l_orderkey build (18.8x at 10x data);
-                            #     semi-join shuffle-pinned (Q17 rule)
+                            #     semi-join merge-pinned (shuffle_hash
+                            #     died at ~sf10 in q21 — sorts spill,
+                            #     hash builds don't)
     "q_tpch_q21",           # r10 broadcast-audit fix: raw lineitem
-                            #     EXISTS/NOT EXISTS builds shuffle-
-                            #     pinned (same class; 3.73 -> 2.28 s
-                            #     at ~sf1)
+                            #     EXISTS/NOT EXISTS builds merge-pinned
+                            #     (broadcast died at ~sf1 by plan cost,
+                            #     shuffle_hash at ~sf10 by build memory;
+                            #     completes at ~sf10 only as SMJ)
 ]
 # (The round-9 list — the TZ fix, the _SUCCESS gate, the asof rewrite
 # and the ObjStm/grammar-resolver keys — got green rows in

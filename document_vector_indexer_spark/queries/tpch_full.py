@@ -660,14 +660,16 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     no cartesian anywhere. The commit/receipt-lag predicate becomes
     "this supplier's lineitem is the order's latest shipment".
 
-    The semi/anti build sides l2/l3 are SHUFFLE-pinned (r10 broadcast
-    audit, the q_tpch_q4 class): they are raw two/three-column lineitem
-    projections, and Catalyst's post-projection size estimate
-    broadcasts them even at ~sf1 (6 M-row driver hash builds, twice) —
-    a shape that cannot survive corpus growth. Measured at ~sf1:
-    3.73 s -> 2.28 s with the pins. The orders-"F" side stays
-    unhinted: its estimate carries full row width, so Catalyst's
-    size-based flip handles it (pinning it measured slower, 2.48 s).
+    The semi/anti build sides l2/l3 are MERGE-pinned (r10): raw
+    two/three-column lineitem projections whose post-projection size
+    estimates let Catalyst broadcast 6 M-row driver hash builds at
+    ~sf1 (3.73 s -> 2.28 s with shuffle pins). shuffle_hash was the
+    first pin and DIED one decade further (~sf10, 60 M rows / 8 local
+    partitions: "Can't acquire ... to build hash relation" — hash
+    builds cannot spill, sorts can), so the durable pin for a
+    corpus x corpus join is merge. The orders-"F" side stays unhinted:
+    its estimate carries full row width, so Catalyst's size-based
+    flip handles it (pinning it measured slower).
     """
     li = load_table(spark, sf_dir, "lineitem")
     fo = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -676,12 +678,12 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l2 = li.select(
         F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    ).hint("shuffle_hash")
+    ).hint("merge")
     l3 = li.select(
         F.col("l_orderkey").alias("k3"),
         F.col("l_suppkey").alias("s3"),
         F.col("l_shipdate").alias("d3"),
-    ).hint("shuffle_hash")
+    ).hint("merge")
     waiting = l1.join(
         l2,
         (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),

@@ -482,10 +482,11 @@ def test_tpch_q4_semi_build_never_broadcasts_lineitem(spark):
     unhinted, Catalyst broadcast Q4's projected l_orderkey column — a
     build side that grows with the corpus (3.6 M keys at ~sf1, ~1.9 s
     of driver hash-relation build; unbroadcastable at 100 TB). The
-    semi-join is shuffle-pinned; a BroadcastHashJoin LeftSemi here
-    means the pin regressed."""
+    semi-join is MERGE-pinned (not shuffle_hash: forced hash builds
+    cannot spill and died at ~sf10 in q_tpch_q21 — sorts can); a
+    BroadcastHashJoin LeftSemi here means the pin regressed."""
     tree = _tree(_plan(spark, "q_tpch_q4"))
-    assert "ShuffledHashJoin LeftSemi" in tree, f"semi-join not shuffle-pinned:\n{tree}"
+    assert "SortMergeJoin LeftSemi" in tree, f"semi-join not merge-pinned:\n{tree}"
     assert "BroadcastHashJoin LeftSemi" not in tree, (
         f"corpus-sized lineitem keys broadcast into the semi-join:\n{tree}"
     )
@@ -495,11 +496,14 @@ def test_tpch_q21_exists_builds_shuffle_pinned(spark):
     """Q21's EXISTS / NOT EXISTS sides are raw lineitem projections —
     the same q_tpch_q4 class (r10 broadcast audit): post-projection
     size estimates let Catalyst broadcast 6 M-row builds at ~sf1.
-    Both are shuffle-pinned (measured 3.73 -> 2.28 s at ~sf1); the
-    orders-"F" probe side and the supplier dim may still broadcast."""
+    Both are MERGE-pinned (shuffle beats broadcast 3.73 -> 2.28 s at
+    ~sf1; the first shuffle_hash pin then died at ~sf10 — "Can't
+    acquire ... to build hash relation": forced hash builds cannot
+    spill, sorts can); the orders-"F" probe side and the supplier dim
+    may still broadcast."""
     tree = _tree(_plan(spark, "q_tpch_q21"))
-    assert "ShuffledHashJoin LeftSemi" in tree, f"EXISTS side not pinned:\n{tree}"
-    assert "ShuffledHashJoin LeftAnti" in tree, f"NOT EXISTS side not pinned:\n{tree}"
+    assert "SortMergeJoin LeftSemi" in tree, f"EXISTS side not pinned:\n{tree}"
+    assert "SortMergeJoin LeftAnti" in tree, f"NOT EXISTS side not pinned:\n{tree}"
     for bad in ("BroadcastHashJoin LeftSemi", "BroadcastHashJoin LeftAnti"):
         assert bad not in tree, f"lineitem build broadcast ({bad}):\n{tree}"
 
@@ -508,9 +512,10 @@ def test_embedding_near_dup_candidate_join_shuffle_pinned(spark):
     """The sign-LSH candidate self-join joins a corpus-derived frame
     to itself — there is no broadcastable side at any scale, and the
     r10 audit caught Catalyst broadcasting it at ~sf1 from the
-    post-projection size estimate. Pinned to a shuffled hash join."""
+    post-projection size estimate. MERGE-pinned (hash builds cannot
+    spill; the candidate side grows with the corpus)."""
     tree = _tree(_plan(spark, "q_dedup_embed"))
-    assert "ShuffledHashJoin Inner" in tree, f"candidate join not pinned:\n{tree}"
+    assert "SortMergeJoin Inner" in tree, f"candidate join not pinned:\n{tree}"
     assert "BroadcastHashJoin" not in tree, (
         f"corpus-derived blocks frame broadcast:\n{tree}"
     )
