@@ -555,3 +555,36 @@ def test_embedding_near_dup_auto_bits_matches_explicit(spark):
         embedding_near_dup_pairs(
             allv, threshold=0.95, block_col=None, dim=64, bits="lots"
         )
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """The r10 second-decade guard: (band, bucket) cells above
+    max_bucket_rows are DROPPED before the candidate join (anisotropic
+    sign skew measurably put p99 occupancy ~7x the expectation target
+    at ~sf10). Plant 41 IDENTICAL vectors — identical inputs land in
+    the same bucket of every band, so every band holds exactly one
+    41-member cell: with the cap above 41 all pairs are found; with
+    the cap below it every cell is hot, everything is dropped, and
+    the result is empty (the documented blind spot — identical
+    clusters larger than the cap belong to exact/semantic dedup).
+    Fixtures never trip the cap (measured max occupancy 80 vs cap
+    512), so this is the only place the drop path is exercised."""
+    from document_vector_indexer_spark.operators.dedup import embedding_near_dup_pairs
+
+    base = [float(1 + (j % 7)) for j in range(64)]
+    rows = [(i, base) for i in range(40)] + [(100, base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairs(cap):
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                df, threshold=0.9999999, block_col=None, dim=64, bits=4,
+                max_bucket_rows=cap,
+            ).collect()
+        )
+
+    with_room = pairs(64)
+    assert (7, 100) in with_room, with_room
+    assert pairs(16) == [], "hot buckets above the cap must be dropped"
+    assert pairs(None) == with_room, "cap=None must disable the guard"
