@@ -575,7 +575,7 @@ def minhash_portable_pairs(
 
 def recommended_lsh_bits(
     n_rows: int,
-    target_bucket_rows: int = 64,
+    target_bucket_rows: int = 32,
     floor: int = 4,
     cap: int = 24,
 ) -> int:
@@ -590,6 +590,15 @@ def recommended_lsh_bits(
     ~10⁸ candidate rows each carrying two 64-dim vectors and fills the
     local disk with shuffle spill; bits sized by this rule keeps the
     candidate volume ~n·target·bands/2 — linear in the corpus.
+
+    The default ``target_bucket_rows=32`` is the SAME value
+    ``embedding_near_dup_pairs(bits="auto")`` uses (aligned r11 —
+    they diverged 64 vs 32 in r10, so the helper standalone sized a
+    bit looser than the operator): the r10 second-decade probe
+    measured p99 occupancy ~7x the expectation target under real
+    (anisotropic) embedding sign skew, and 32 is the target that kept
+    the candidate volume disk-fittable at ~sf10 with the 512-row
+    hot-bucket cap as the tail guard.
 
     Recall trade (standard LSH tuning): per-band match probability is
     (1 − θ/π)^bits, so more bits means fewer false candidates AND
@@ -616,6 +625,38 @@ def lsh_hyperplanes(dim: int, bands: int, bits: int, seed: int = 7):
     return rng.choice([-1.0, 1.0], size=(bands, bits, dim))
 
 
+def _lsh_pack_codes(X, S, bands: int, bits: int):
+    """Vectorized sign-LSH codes for a (n, dim) float64 batch against
+    the (bands*bits, dim) ±1 sign matrix ``S`` — BIT-IDENTICAL to the
+    interpreted expression fold and to the DuckDB oracle's add/subtract
+    chains, by construction:
+
+    the accumulation runs as ``dim`` vectorized steps IN ARRAY-INDEX
+    ORDER (``acc += X[:, i] * S[:, i]``), so every (row, plane) cell
+    sees exactly the left-to-right sequence ``((0.0 ± x_0) ± x_1) ...``
+    of IEEE double additions that ``F.aggregate``'s fold and the
+    oracle's literal ``0.0 + e[1] - e[2] ...`` chain perform — the
+    multiply by ±1.0 is exact (a sign flip), each ``+=`` is one IEEE
+    add per cell, and numpy does not fuse or reorder separate ufunc
+    calls. A single BLAS matmul would be ~dim/4x fewer instructions but
+    uses pairwise/SIMD summation whose rounding can flip the sign of a
+    near-zero projection — the sign-stability risk SCALE.md r10
+    recorded; this kernel keeps the speed (vectorized over n·P cells
+    per step) without taking it.
+
+    Returns an (n, bands) int32 code matrix.
+    """
+    import numpy as np
+
+    n = X.shape[0]
+    acc = np.zeros((n, S.shape[0]), dtype=np.float64)
+    for i in range(X.shape[1]):
+        acc += X[:, i, None] * S[:, i]
+    hit = acc > 0.0
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    return (hit.reshape(n, bands, bits) * weights).sum(axis=2).astype(np.int32)
+
+
 def embedding_lsh_blocks(
     df: DataFrame,
     dim: int,
@@ -624,6 +665,8 @@ def embedding_lsh_blocks(
     bands: int = 6,
     bits: int = 4,
     seed: int = 7,
+    impl: str = "arrow",
+    carry_vec: bool = True,
 ) -> DataFrame:
     """Sign-LSH banding of an embedding column: one output row per
     (vector, band) with the band's bucket = the ``bits``-bit sign
@@ -635,27 +678,102 @@ def embedding_lsh_blocks(
     data size (~log2(n_rows) - log2(target_bucket_rows)); 4 bits suits
     the test corpus, web scale wants 16-20. ``bands`` trades recall for
     candidate volume (union over bands).
+
+    ``impl`` (r11): ``"arrow"`` (default) computes all bands*bits
+    projections per row in ONE vectorized numpy pass inside
+    ``mapInPandas`` — the constant-factor lever the r10 second-decade
+    sweep named (the per-bit interpreted HOF folds were bits·bands·dim
+    work per row with bits ~ log n; measured 147–187 s per key at
+    ~sf10). Bit-identical to the expression path by the index-order
+    accumulation argument in ``_lsh_pack_codes`` (verified by the
+    pinned ``q_lsh_buckets`` DuckDB oracle and an expr-vs-arrow parity
+    test on the real fixtures). ``"expr"`` keeps the pure-JVM
+    column-expression path (no Python boundary; the parity reference).
+    ``carry_vec=False`` drops the vector from the output (callers that
+    only need (id, band, bucket) — e.g. semantic dedup — then shuffle
+    narrow rows).
     """
+    from pyspark.sql import types as T
+
     H = lsh_hyperplanes(dim, bands, bits, seed)
-    band_structs = []
-    for b in range(bands):
-        bucket: Column | None = None
-        for j in range(bits):
-            plane = F.array(*[F.lit(float(v)) for v in H[b][j]])
-            bit = F.when(V.dot(F.col(vec_col), plane) > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
+    if impl == "expr":
+        band_structs = []
+        for b in range(bands):
+            bucket: Column | None = None
+            for j in range(bits):
+                plane = F.array(*[F.lit(float(v)) for v in H[b][j]])
+                bit = F.when(
+                    V.dot(F.col(vec_col), plane) > 0, F.lit(1 << j)
+                ).otherwise(F.lit(0))
+                bucket = bit if bucket is None else bucket + bit
+            band_structs.append(
+                F.struct(F.lit(b).alias("band"), bucket.cast("int").alias("bucket"))
             )
-            bucket = bit if bucket is None else bucket + bit
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), bucket.cast("int").alias("bucket"))
+        out = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.array(*band_structs)).alias("bb"),
+        ).select(
+            id_col,
+            vec_col,
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
         )
-    return df.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(
-        id_col,
-        vec_col,
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
+        return out if carry_vec else out.drop(vec_col)
+    if impl != "arrow":
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+
+    base = df.select(F.col(id_col), F.col(vec_col))
+    keep = [id_col, vec_col] if carry_vec else [id_col]
+    out_schema = T.StructType(
+        [f for f in base.schema.fields if f.name in keep]
+        + [T.StructField("__buckets", T.ArrayType(T.IntegerType(), False), False)]
+    )
+    S = H.reshape(bands * bits, dim)  # ±1.0 rows
+
+    def codes_batches(batches):
+        import numpy as np  # worker-side
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vals = pdf[vec_col].to_numpy()
+            X = None
+            try:
+                X = np.stack(vals)
+                if X.ndim != 2 or X.shape[1] != dim:
+                    X = None
+            except Exception:
+                X = None
+            if X is not None:
+                codes = _lsh_pack_codes(
+                    X.astype(np.float64, copy=False), S, bands, bits
+                )
+            else:
+                # Ragged/null rows: the expression path's fold over a
+                # zip_with length mismatch yields NULL -> no bit set ->
+                # bucket 0 in every band; mirror that exactly.
+                codes = np.zeros((n, bands), dtype=np.int32)
+                ok = np.fromiter(
+                    (v is not None and len(v) == dim for v in vals),
+                    dtype=bool,
+                    count=n,
+                )
+                if ok.any():
+                    codes[ok] = _lsh_pack_codes(
+                        np.stack(vals[ok]).astype(np.float64, copy=False),
+                        S,
+                        bands,
+                        bits,
+                    )
+            out = pdf[keep].copy()
+            out["__buckets"] = list(codes)
+            yield out
+
+    coded = base.mapInPandas(codes_batches, schema=out_schema)
+    return coded.select(
+        *keep, F.posexplode("__buckets").alias("band", "bucket")
     )
 
 
@@ -683,22 +801,65 @@ def semantic_dedup_survivors(
 
     Returns (bucket, survivor_id, n_members), one row per occupied
     cell; n_members > 1 cells are the semantic-duplicate groups.
+
+    r11: the cell id rides the shared vectorized sign-LSH kernel
+    (``embedding_lsh_blocks`` with bands=1 and ``carry_vec=False`` —
+    same seeded hyperplanes as before, bit-identical codes per
+    ``_lsh_pack_codes``), so only narrow (id, bucket) rows reach the
+    shuffle.
     """
-    H = lsh_hyperplanes(dim, 1, bits, seed)
-    bucket: Column | None = None
-    for j in range(bits):
-        plane = F.array(*[F.lit(float(v)) for v in H[0][j]])
-        bit = F.when(V.dot(F.col(vec_col), plane) > 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        )
-        bucket = bit if bucket is None else bucket + bit
     return (
-        df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+        embedding_lsh_blocks(
+            df,
+            dim=dim,
+            vec_col=vec_col,
+            id_col=id_col,
+            bands=1,
+            bits=bits,
+            seed=seed,
+            carry_vec=False,
+        )
+        .select(F.col(id_col), "bucket")
         .groupBy("bucket")
         .agg(
             F.min(id_col).alias("survivor_id"),
             F.count("*").alias("n_members"),
         )
+    )
+
+
+def _resolve_lsh_bits(
+    df: DataFrame, bits: int | str, target_bucket_rows: int
+) -> int:
+    """``bits="auto"`` resolution, factored out of the operator so
+    tests can pin the RESOLVED value directly (r10 ADVICE gap: the
+    planted oracle corpus is bits-independent — identical vectors
+    collide at any bits — so result parity alone cannot catch a
+    regression in this plumbing). ``bool`` is rejected explicitly:
+    ``isinstance(True, int)`` holds, and bits=True would otherwise run
+    silently with 1-bit buckets (near-all-pairs candidates)."""
+    if bits == "auto":
+        return recommended_lsh_bits(
+            df.count(), target_bucket_rows=target_bucket_rows
+        )
+    if isinstance(bits, bool) or not isinstance(bits, int):
+        raise ValueError(f"bits must be an int or 'auto', got {bits!r}")
+    return bits
+
+
+def lsh_hot_bucket_stats(blocks: DataFrame, max_bucket_rows: int) -> DataFrame:
+    """(band, bucket, occupancy) of the LSH cells ABOVE the hot-bucket
+    drop cap — the runtime signal for the cap's documented blind spot
+    (identical-vector clusters larger than the cap are hot in EVERY
+    band and silently emit no pairs; that regime belongs to exact /
+    semantic dedup). Run it on ``embedding_lsh_blocks`` output to see
+    exactly which cells a capped ``embedding_near_dup_pairs`` call
+    drops; ``log_dropped_buckets=True`` on the operator does this
+    eagerly and warns."""
+    return (
+        blocks.groupBy("band", "bucket")
+        .agg(F.count("*").alias("occupancy"))
+        .filter(F.col("occupancy") > max_bucket_rows)
     )
 
 
@@ -714,6 +875,7 @@ def embedding_near_dup_pairs(
     seed: int = 7,
     target_bucket_rows: int = 32,
     max_bucket_rows: int | None = 512,
+    log_dropped_buckets: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold. ALWAYS blocked:
     either by an explicit ``block_col`` (e.g. a cluster id) or, when
@@ -784,16 +946,36 @@ def embedding_near_dup_pairs(
                 "block_col=None requires dim= for LSH-bucket blocking "
                 "(all-pairs comparison is not supported)"
             )
-        if bits == "auto":
-            bits = recommended_lsh_bits(
-                df.count(), target_bucket_rows=target_bucket_rows
-            )
-        elif not isinstance(bits, int):
-            raise ValueError(f"bits must be an int or 'auto', got {bits!r}")
+        bits = _resolve_lsh_bits(df, bits, target_bucket_rows)
         blocks = embedding_lsh_blocks(
             df, dim=dim, vec_col=vec_col, id_col=id_col, bands=bands, bits=bits, seed=seed
         )
         if max_bucket_rows is not None:
+            if log_dropped_buckets:
+                # Opt-in eager probe (one extra narrow-agg job): the cap
+                # drops hot cells SILENTLY in the lazy plan, so callers
+                # that want a runtime signal pay one count-per-cell pass
+                # up front. Off by default to keep benched plans
+                # identical.
+                import logging
+
+                hot = lsh_hot_bucket_stats(blocks, max_bucket_rows).agg(
+                    F.count("*").alias("cells"),
+                    F.sum("occupancy").alias("rows_in_hot_cells"),
+                    F.max("occupancy").alias("max_occupancy"),
+                ).collect()[0]
+                if (hot["cells"] or 0) > 0:
+                    logging.getLogger(__name__).warning(
+                        "embedding_near_dup_pairs: dropping %d hot (band,"
+                        "bucket) cells (>%d rows; %d rows total, max "
+                        "occupancy %d) — identical-vector clusters above "
+                        "the cap emit NO pairs here and belong to exact/"
+                        "semantic dedup",
+                        hot["cells"],
+                        max_bucket_rows,
+                        hot["rows_in_hot_cells"],
+                        hot["max_occupancy"],
+                    )
             # occupancy via a window over the SAME (band, bucket) key
             # the candidate join shuffles on — the exchange is shared,
             # the cap only adds sorts/filters to it

@@ -64,10 +64,20 @@ def salted_join(
     ``stable_col`` must be a (nearly) row-unique column of the skewed
     side (its primary key): salting by the JOIN key would put every
     row of the hot key in the same salt bucket and change nothing.
+
+    The join is MERGE-pinned (r11 raw-layout broadcast audit): left
+    unhinted, Catalyst broadcast the narrow PROJECTION of the skewed
+    corpus side at ~sf1 (the q_tpch_q4 class — post-projection size
+    estimates ride under the threshold long after the build is
+    millions of rows), which both breaks at 100 TB and silently
+    bypasses the salting this operator exists to provide. Merge per
+    the r10 durable pin rule: the replicated side is |small|·salt —
+    caller-asserted small but not provably partition-bounded here, and
+    sorts spill where hash builds cannot.
     """
     a = with_salt(skewed, salt, stable_col)
     b = replicate(small, salt)
-    out = a.join(b, [*on, "_salt"], how)
+    out = a.join(b.hint("merge"), [*on, "_salt"], how)
     return out.drop("_salt")
 
 

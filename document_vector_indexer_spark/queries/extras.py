@@ -1194,9 +1194,16 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
     )
+    # Stage joins are merge-pinned (r11 raw-layout audit): one side of
+    # each is a RAW event-type slice of the corpus whose narrow
+    # projection Catalyst broadcast at ~sf1 (the q_tpch_q4 class); the
+    # other (per-user stage frame) is corpus-proportional too, so merge
+    # per the r10 durable pin rule. The final left-joins below stay
+    # unhinted — every side there is aggregate-bounded and the
+    # size-estimate flip is the adaptive behavior we want.
     clicks = (
         ev.filter(F.col("event_type") == "click")
-        .join(views, "user_id")
+        .join(views.hint("merge"), "user_id")
         .filter(
             (F.col("ts") > F.col("t_view"))
             & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 12 HOURS"))
@@ -1206,7 +1213,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
+        .join(clicks.hint("merge"), "user_id")
         .filter(
             (F.col("ts") > F.col("t_click"))
             & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 12 HOURS"))

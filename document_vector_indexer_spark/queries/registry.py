@@ -81,64 +81,59 @@ def all_queries() -> dict[str, QuerySpec]:
 # the back of the queue. tests/test_registry.py simulates the rotation
 # forward and asserts the staleness bound.
 
-# Changed in round 10: see rule 1 above.
+# Changed in round 11: see rule 1 above.
 _CHANGED_SINCE_VERIFIED: list[str] = [
-    "q_multimodal_pinned",  # NEW r10 (r9 VERDICT item 3): oracled
-                            #     sibling of q_multimodal — executor-
-                            #     encoded PNG/BMP/PNM round-tripped
-                            #     through the stdlib decode tier to
-                            #     exact-integer stats vs mirrored
-                            #     pure-arithmetic literals. Rows-only
-                            #     count drops 5 -> 4
-    "q_stream_stateful",    # r10: read_events_stream's directory branch
-                            #     now probes the parquet footer's ts type
-                            #     (NTZ dir -> NTZ schema + cast) instead
-                            #     of declaring every directory LTZ (r9
-                            #     ADVICE: dir shape is layout, not
-                            #     provenance), and grew the
-                            #     maxFilesPerTrigger backpressure knob.
-                            #     Late-data watermark tests pinned on
-                            #     both layouts under hostile TZ
-    "q_source_binary",      # r10: minidoc ADVICE fixes — duplicated
-                            #     ObjStm offsets raise eagerly (strict-
-                            #     ascending check); %-comment spans
-                            #     strip to a token-separator space so
-                            #     '/Length % note\n42' resolves (NUL
-                            #     kept for string spans). Both pinned
-    "q_dedup_embed",        # r10 decade-sweep fix: sign-LSH bits now
-                            #     "auto" (sized ~log2(n/32); fixed
-                            #     bits=4 went quadratic at ~sf1 and
-                            #     filled the disk), hot buckets capped
-                            #     at 512 (second decade: anisotropic
-                            #     sign skew — p99 occupancy ~7x the
-                            #     target at ~sf10), candidate join
-                            #     MERGE-pinned (hash builds can't
-                            #     spill). Oracle (brute force)
-                            #     unchanged — bits/cap-independent on
-                            #     the planted corpus (cap never binds
-                            #     below ~sf1; measured max 80 vs 512)
-    "q_cross_cosine",       # r10: alias of q_dedup_embed — same rework
-    "q_outliers",           # r10 decade-sweep fix: comparison terms
-                            #     promoted to DECIMAL(38,0) (num² passes
-                            #     2^63 at ~sf1 under the ANSI session);
-                            #     oracle mirrors with HUGEINT. Outputs
-                            #     stay BIGINT
-    "q_tpch_q4",            # r10: the sweep's one super-linear key —
-                            #     Catalyst broadcast the corpus-sized
-                            #     l_orderkey build (18.8x at 10x data);
-                            #     semi-join merge-pinned (shuffle_hash
-                            #     died at ~sf10 in q21 — sorts spill,
-                            #     hash builds don't)
-    "q_tpch_q21",           # r10 broadcast-audit fix: raw lineitem
-                            #     EXISTS/NOT EXISTS builds merge-pinned
-                            #     (broadcast died at ~sf1 by plan cost,
-                            #     shuffle_hash at ~sf10 by build memory;
-                            #     completes at ~sf10 only as SMJ)
+    "q_lsh_buckets",        # r11: sign-LSH projections vectorized —
+                            #     ONE numpy pass per Arrow batch inside
+                            #     mapInPandas instead of bits·bands·dim
+                            #     interpreted HOF folds (the r10-named
+                            #     constant-factor lever; the engine's
+                            #     slowest measured family at ~sf10).
+                            #     Bit-identical by construction: the
+                            #     kernel accumulates in array-index
+                            #     order (one IEEE add per plane per
+                            #     step — see dedup._lsh_pack_codes),
+                            #     never a reordered BLAS sum. Oracle
+                            #     text unchanged; sim re-greened at
+                            #     sf0.001/0.01/0.1 under hostile TZ
+    "q_dedup_embed",        # r11: rides the vectorized kernel (blocks
+                            #     build measured 6.0x faster at sf0.1,
+                            #     4.6x at ~sf1); candidate join and cap
+                            #     unchanged. Also: bits="auto" seam
+                            #     factored to _resolve_lsh_bits (bool
+                            #     rejected), hot-bucket drops now have
+                            #     an opt-in runtime signal
+    "q_cross_cosine",       # r11: alias of q_dedup_embed — same kernel
+    "q_dedup_semantic",     # r11: cell id now computed by the shared
+                            #     vectorized kernel with carry_vec=False
+                            #     (only narrow (id, bucket) rows reach
+                            #     the shuffle); same seeded hyperplanes,
+                            #     bit-identical codes, oracle untouched
+    "q_knn_lsh_pinned",     # r11: corpus/query banding rides the same
+                            #     vectorized kernel; oracle untouched
+    "q_join_skew",          # r11 raw-layout broadcast audit: Catalyst
+                            #     broadcast the narrow projection of the
+                            #     skewed EVENTS side at ~sf1 (q_tpch_q4
+                            #     class — and it silently bypassed the
+                            #     salting). salted_join merge-pinned
+    "q_funnel",             # r11 raw-layout audit: purchase-stage join
+                            #     broadcast the raw filtered events
+                            #     projection at ~sf1; both stage joins
+                            #     merge-pinned (final left-joins stay
+                            #     adaptive — aggregate-bounded sides)
+    "q_stream_join",        # r11 raw-layout audit: the batch analog of
+                            #     attribution_join broadcast the
+                            #     projected clicks side; merge-pinned in
+                            #     the batch path only (streaming frames
+                            #     keep the stream-stream join)
+    "q_join_range",         # r11 raw-layout audit: bucketized range
+                            #     join broadcast the projected clicks
+                            #     side at ~sf1; merge-pinned
 ]
-# (The round-9 list — the TZ fix, the _SUCCESS gate, the asof rewrite
-# and the ObjStm/grammar-resolver keys — got green rows in
-# CORRECTNESS_r09.json and rotates by age like everything else now,
-# exactly as the round-5/6 lists did before it.)
+# (The round-10 list — the LSH auto-bits/cap keys, the DECIMAL
+# promotion, the q4/q21 merge pins, the multimodal/stateful/minidoc
+# keys — got green rows in CORRECTNESS_r10.json and rotates by age
+# like everything else now, exactly as the round-5/6/9 lists did.)
 
 
 def _last_verified_rounds() -> dict[str, int]:

@@ -339,8 +339,12 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("bucket", F.explode(F.array(F.col("pb"), F.col("pb") - 1)))
     )
+    # merge-pinned (r11 raw-layout audit): both sides are raw corpus
+    # slices — unhinted, Catalyst broadcast the projected clicks side
+    # at ~sf1 (the q_tpch_q4 narrow-projection class, unbroadcastable
+    # at 100 TB); merge per the r10 durable pin rule
     pairs = purch.join(
-        clicks,
+        clicks.hint("merge"),
         (purch.user_id == clicks.cu) & (purch.bucket == clicks.bucket),
     ).filter(
         (F.col("p_epoch") >= F.col("c_epoch"))

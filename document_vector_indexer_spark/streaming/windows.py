@@ -109,6 +109,13 @@ def attribution_join(
         F.col("ts").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
     )
+    if not (clicks.isStreaming or purchases.isStreaming):
+        # Batch analog only: both sides are raw corpus slices, so the
+        # join is merge-pinned per the r10 durable rule (r11 raw-layout
+        # audit caught Catalyst broadcasting the projected click side
+        # at ~sf1 — the q_tpch_q4 class). Streaming frames keep the
+        # engine's stream-stream join; hints don't apply there.
+        p = p.hint("merge")
     return c.join(
         p,
         [

@@ -505,9 +505,12 @@ def test_recommended_lsh_bits_sizes_to_corpus():
     occupancy at or below target, clamped to [floor, cap]."""
     from document_vector_indexer_spark.operators.dedup import recommended_lsh_bits
 
+    # default target_bucket_rows=32 — ALIGNED with the operator's
+    # bits="auto" sizing (r11; they diverged 64 vs 32 in r10)
     assert recommended_lsh_bits(0) == 4
-    assert recommended_lsh_bits(1_000) == 4          # floor
-    assert recommended_lsh_bits(24_000) == 9         # ceil(log2(375))
+    assert recommended_lsh_bits(512) == 4            # floor (512/32 = 2^4)
+    assert recommended_lsh_bits(1_000) == 5          # ceil(log2(31.25))
+    assert recommended_lsh_bits(24_000) == 10        # ceil(log2(750))
     assert recommended_lsh_bits(24_000, target_bucket_rows=1500) == 4
     assert recommended_lsh_bits(10**12) == 24        # cap
     # monotone in n
@@ -522,8 +525,16 @@ def test_embedding_near_dup_auto_bits_matches_explicit(spark):
     """bits="auto" must be EXACTLY bits=recommended_lsh_bits(n) — one
     count() fit job, no other semantic difference (r10: auto is the
     default because the fixed-bits default went quadratic one decade
-    up and filled the disk)."""
+    up and filled the disk).
+
+    r11 (ADVICE): the planted corpus is bits-INDEPENDENT (identical
+    vectors collide at any bits), so result parity alone cannot catch
+    a regression in the auto-sizing plumbing — the resolved value is
+    asserted DIRECTLY against the helper at the operator's own target
+    (the two defaults are now aligned at 32), and the result-parity
+    check runs at that same explicitly-passed target."""
     from document_vector_indexer_spark.operators.dedup import (
+        _resolve_lsh_bits,
         embedding_near_dup_pairs,
         recommended_lsh_bits,
     )
@@ -535,7 +546,10 @@ def test_embedding_near_dup_auto_bits_matches_explicit(spark):
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
     )
     allv = emb.unionByName(planted)
-    explicit = recommended_lsh_bits(allv.count())
+    # the seam the operator's bits="auto" branch calls, pinned exactly
+    explicit = recommended_lsh_bits(allv.count(), target_bucket_rows=32)
+    assert _resolve_lsh_bits(allv, "auto", target_bucket_rows=32) == explicit
+    assert _resolve_lsh_bits(allv, 7, target_bucket_rows=32) == 7
     auto_rows = sorted(
         (r["id_a"], r["id_b"])
         for r in embedding_near_dup_pairs(
@@ -554,6 +568,12 @@ def test_embedding_near_dup_auto_bits_matches_explicit(spark):
     with pytest.raises(ValueError, match="int or 'auto'"):
         embedding_near_dup_pairs(
             allv, threshold=0.95, block_col=None, dim=64, bits="lots"
+        )
+    with pytest.raises(ValueError, match="int or 'auto'"):
+        # bool is an int subclass: bits=True would silently mean 1-bit
+        # buckets (near-all-pairs candidates) if accepted
+        embedding_near_dup_pairs(
+            allv, threshold=0.95, block_col=None, dim=64, bits=True
         )
 
 
@@ -588,3 +608,128 @@ def test_embedding_near_dup_hot_bucket_cap(spark):
     assert (7, 100) in with_room, with_room
     assert pairs(16) == [], "hot buckets above the cap must be dropped"
     assert pairs(None) == with_room, "cap=None must disable the guard"
+
+
+def test_hot_bucket_drop_signal(spark, caplog):
+    """The cap's silent-drop blind spot gets a runtime signal (r10
+    ADVICE): ``lsh_hot_bucket_stats`` reports exactly the cells above
+    the cap, and ``log_dropped_buckets=True`` warns eagerly when (and
+    only when) cells are actually dropped."""
+    import logging
+
+    from document_vector_indexer_spark.operators.dedup import (
+        embedding_lsh_blocks,
+        embedding_near_dup_pairs,
+        lsh_hot_bucket_stats,
+    )
+
+    base = [float(1 + (j % 7)) for j in range(64)]
+    rows = [(i, base) for i in range(41)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    blocks = embedding_lsh_blocks(df, dim=64, bits=4)
+    hot = lsh_hot_bucket_stats(blocks, max_bucket_rows=16).collect()
+    # identical vectors: one 41-member cell per band, all above cap 16
+    assert len(hot) == 6 and all(r["occupancy"] == 41 for r in hot)
+    assert lsh_hot_bucket_stats(blocks, max_bucket_rows=64).collect() == []
+
+    with caplog.at_level(logging.WARNING,
+                         logger="document_vector_indexer_spark.operators.dedup"):
+        out = embedding_near_dup_pairs(
+            df, threshold=0.9, block_col=None, dim=64, bits=4,
+            max_bucket_rows=16, log_dropped_buckets=True,
+        ).collect()
+    assert out == []
+    assert any("dropping 6 hot" in r.message for r in caplog.records), (
+        [r.message for r in caplog.records]
+    )
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="document_vector_indexer_spark.operators.dedup"):
+        ok = embedding_near_dup_pairs(
+            df, threshold=0.9, block_col=None, dim=64, bits=4,
+            max_bucket_rows=64, log_dropped_buckets=True,
+        ).collect()
+    assert len(ok) == 41 * 40 // 2
+    assert not any("dropping" in r.message for r in caplog.records)
+
+
+def test_lsh_arrow_kernel_bit_identical_to_expr(spark):
+    """The r11 vectorized sign-LSH kernel must be BIT-IDENTICAL to the
+    interpreted expression fold — same (id, band, bucket) set on the
+    REAL fixture embeddings (float32 inputs widened to double), across
+    bit widths, because the kernel accumulates in array-index order
+    (see ``_lsh_pack_codes``: one IEEE add per plane per step, never a
+    reordered/pairwise BLAS sum). This is the sign-stability check
+    SCALE.md r10 required before shipping the matmul-style rewrite."""
+    from document_vector_indexer_spark.operators.dedup import embedding_lsh_blocks
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    for bands, bits in ((6, 4), (3, 12), (1, 20)):
+        arrow = sorted(
+            map(tuple, embedding_lsh_blocks(
+                emb, dim=64, bands=bands, bits=bits, impl="arrow"
+            ).select("vec_id", "band", "bucket").collect())
+        )
+        expr = sorted(
+            map(tuple, embedding_lsh_blocks(
+                emb, dim=64, bands=bands, bits=bits, impl="expr"
+            ).select("vec_id", "band", "bucket").collect())
+        )
+        assert arrow == expr and len(arrow) == emb.count() * bands, (bands, bits)
+    import pytest
+
+    with pytest.raises(ValueError, match="arrow.*expr|impl"):
+        embedding_lsh_blocks(emb, dim=64, impl="nope")
+
+
+def test_lsh_arrow_kernel_edge_rows(spark):
+    """Malformed vectors (NULL or wrong length) must land in bucket 0
+    of every band under BOTH impls — the expression fold over a
+    zip_with length mismatch yields NULL -> no bit set; the arrow
+    kernel mirrors that rule explicitly."""
+    from document_vector_indexer_spark.operators.dedup import embedding_lsh_blocks
+
+    rows = [
+        (1, [float(j % 5) - 1.7 for j in range(64)]),
+        (2, None),
+        (3, [1.0, 2.0]),                                   # too short
+        (4, [float(j % 3) + 0.25 for j in range(80)]),     # too long
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for impl in ("arrow", "expr"):
+        got = {
+            (r["vec_id"], r["band"]): r["bucket"]
+            for r in embedding_lsh_blocks(df, dim=64, impl=impl).collect()
+        }
+        assert len(got) == 4 * 6, impl
+        for (vid, _band), bucket in got.items():
+            if vid == 1:
+                continue
+            assert bucket == 0, (impl, vid, bucket)
+    # the well-formed row must agree across impls
+    a = sorted(
+        map(tuple, embedding_lsh_blocks(df, dim=64, impl="arrow")
+            .filter("vec_id = 1").select("band", "bucket").collect())
+    )
+    e = sorted(
+        map(tuple, embedding_lsh_blocks(df, dim=64, impl="expr")
+            .filter("vec_id = 1").select("band", "bucket").collect())
+    )
+    assert a == e
+
+
+def test_lsh_carry_vec_false_narrow_output(spark):
+    """carry_vec=False (the semantic-dedup shape) must emit only
+    (id, band, bucket) — narrow rows into the shuffle — with the same
+    codes as the carrying variant."""
+    from document_vector_indexer_spark.operators.dedup import embedding_lsh_blocks
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    narrow = embedding_lsh_blocks(emb, dim=64, carry_vec=False)
+    assert narrow.columns == ["vec_id", "band", "bucket"]
+    wide = embedding_lsh_blocks(emb, dim=64).select("vec_id", "band", "bucket")
+    assert sorted(map(tuple, narrow.collect())) == sorted(map(tuple, wide.collect()))

@@ -131,12 +131,103 @@ def audit_plan(explained: str) -> list[str]:
     return findings
 
 
-def main() -> None:
-    from bench import _ingest_subprocess
+# --- triaged benign flags (r10 VERDICT / SCALE.md three-class triage) ------
+#
+# Every (key, corpus-table) pair the audit is EXPECTED to flag, each in
+# one of the three classes measured benign in r10. The CI gate
+# (tests/test_broadcast_gate.py) asserts the audited families' flags
+# are a SUBSET of this list, so a NEW corpus-sided broadcast build (the
+# q_tpch_q4 class that rode under green rows for nine rounds) fails CI
+# instead of waiting for the next decade sweep.
+#
+# Class 1 — bounded-by-filter query sets: the broadcast side scans a
+#   corpus table but a literal-id filter bounds it to a handful of rows
+#   at ANY corpus size (query vectors / probe documents). Correct shape.
+# Class 2 — Catalyst size-based dim-side picks: the broadcast side is a
+#   FILTERED corpus frame whose size estimate carries full row width,
+#   so the pick flips to a shuffle join automatically as data grows —
+#   the adaptive behavior we want (pinning q21's orders-"F" side
+#   measured SLOWER, SCALE.md r10). Flagged because the audit can't
+#   prove the bound statically; benign because the estimate is honest
+#   (no narrow projection hiding millions of keys under the threshold).
+# Class 3 — MLlib-internal plans (MinHashLSH approxSimilarityJoin
+#   internals), not our join code.
+BENIGN = {
+    # class 1: literal-bounded query/probe sides
+    ("q_knn_brute", "embeddings"),
+    ("q_knn_lsh", "embeddings"),
+    ("q_knn_lsh_pinned", "embeddings"),
+    ("q_knn_ivf", "embeddings"),
+    ("q_knn_pq", "embeddings"),
+    ("q_knn_per_query", "embeddings"),
+    ("q_vec_cosine", "embeddings"),
+    ("q_hybrid_rrf", "documents"),
+    ("q_decontaminate", "documents"),
+    # class 2: size-estimate dim-side picks on filtered corpus frames
+    ("q_tpch_q3", "orders"),
+    ("q_tpch_q3", "customer"),
+    ("q_tpch_q5", "orders"),
+    ("q_tpch_q5", "customer"),
+    ("q_tpch_q7", "orders"),
+    ("q_tpch_q7", "customer"),
+    ("q_tpch_q8", "orders"),
+    ("q_tpch_q8", "customer"),
+    ("q_tpch_q9", "orders"),
+    ("q_tpch_q10", "orders"),
+    ("q_tpch_q10", "customer"),
+    ("q_tpch_q12", "orders"),
+    ("q_tpch_q13", "orders"),
+    ("q_tpch_q18", "customer"),
+    ("q_tpch_q21", "orders"),
+    ("q_tpch_q22", "orders"),
+    ("q_tpch_q22", "customer"),
+    ("q_join_inner", "orders"),
+    ("q_join_left", "orders"),
+    ("q_join_semi", "orders"),
+    ("q_join_anti", "orders"),
+    ("q_join_broadcast", "orders"),
+    ("q_null_funcs", "orders"),
+    ("q_null_funcs", "customer"),
+    ("q_kanonymity", "customer"),
+    ("q_agg_cube", "customer"),
+    # class 3: MLlib-internal
+    ("q_dedup_minhash_mllib", "documents"),
+}
+
+
+def run_audit(spark, sf_dir: str, keys=None):
+    """Plan every registry key (or ``keys``) against ``sf_dir`` and
+    return ``(flags, errors)``: flags is a list of (key, table,
+    description) for unbounded corpus broadcasts; errors maps key ->
+    message for keys whose plan could not be built (counted separately
+    — an errored key is NOT an audited key, r10 ADVICE)."""
     from document_vector_indexer_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    names = list(keys) if keys is not None else list(qs)
+    flags, errors = [], {}
+    for name in names:
+        try:
+            df = qs[name].fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            hits = audit_plan(buf.getvalue())
+        except Exception as e:  # keep auditing past a broken key
+            errors[name] = str(e)[:200]
+            continue
+        for h in hits:
+            m = re.match(r"BroadcastExchange over raw (\w+) scan", h)
+            flags.append((name, m.group(1) if m else "?", h))
+    return flags, errors
+
+
+def main() -> int:
+    from bench import _ingest_subprocess
     from document_vector_indexer_spark.session import get_spark
 
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src = argv[0] if argv else "/root/repo/.scale/sf1"
     raw = "--raw" in sys.argv
     if raw:
         sf_dir, tmp = src, None
@@ -146,26 +237,31 @@ def main() -> None:
         sf_dir = tmp
     spark = get_spark(app_name="dvi-broadcast-audit", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    flagged = 0
     try:
-        for name, spec in all_queries().items():
-            try:
-                df = spec.fn(spark, sf_dir)
-                buf = io.StringIO()
-                with contextlib.redirect_stdout(buf):
-                    df.explain("formatted")
-                hits = audit_plan(buf.getvalue())
-            except Exception as e:  # keep auditing past a broken key
-                print(f"ERR {name}: {str(e)[:100]}", file=sys.stderr)
-                continue
-            for h in hits:
-                flagged += 1
-                print(f"FLAG {name}: {h}")
-        print(f"audited {len(all_queries())} keys, flagged {flagged}")
+        flags, errors = run_audit(spark, sf_dir)
+        new = []
+        for name, table, desc in flags:
+            known = (name, table) in BENIGN
+            print(f"FLAG{'' if known else ' [NEW]'} {name}: {desc}")
+            if not known:
+                new.append((name, table))
+        for name, msg in errors.items():
+            print(f"ERR {name}: {msg[:100]}", file=sys.stderr)
+        from document_vector_indexer_spark.queries.registry import all_queries
+
+        total = len(all_queries())
+        print(
+            f"audited {total - len(errors)}/{total} keys "
+            f"({len(errors)} errored), flagged {len(flags)} "
+            f"({len(new)} outside the triaged-benign list)"
+        )
+        # exit nonzero only on NON-benign flags: the triaged classes are
+        # expected on every run, a new corpus-sided build is the defect
+        return 1 if new else 0
     finally:
         if tmp:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -10,10 +10,18 @@ its plan shape is right.
 Usage:
     python tools/scaling_sweep.py [small_sf_dir] [big_sf_dir]
     (defaults /root/testdata/sf0.001 and /root/testdata/sf0.1)
+    SWEEP_KEYS=q_a,q_b  limits to a key subset (targeted ramps)
+    SWEEP_CONFS=engine  uses the ENGINE session defaults instead of
+                        the pinned bench confs — REQUIRED past ~sf1:
+                        the r10 second decade measured the pinned
+                        8-partition uncompressed confs kneeing at sf10
+                        (q_dedup_near 6.2x slower on identical data;
+                        SCALE.md), so sweep absolutes at that scale
+                        are only meaningful under engine confs.
 
-Bench-session confs (AQE off, 8 shuffle partitions, locality/compress
-off) so numbers are comparable with bench.py's; min-of-2 warm runs per
-(key, sf) after a warmup run.
+Default bench-session confs (AQE off, 8 shuffle partitions,
+locality/compress off) keep numbers comparable with bench.py's;
+min-of-2 warm runs per (key, sf) after a warmup run.
 """
 
 from __future__ import annotations
@@ -37,23 +45,31 @@ def main() -> None:
     big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     dests = {s: tempfile.mkdtemp(prefix="dvi_sweep_") for s in (small, big)}
     _ingest_subprocess([(s, d) for s, d in dests.items()])
-    spark = get_spark(
-        app_name="dvi-scaling-sweep",
-        shuffle_partitions=8,
-        extra_conf={
-            "spark.locality.wait": "0ms",
-            "spark.shuffle.compress": "false",
-            "spark.shuffle.spill.compress": "false",
-            "spark.rdd.compress": "false",
-        },
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    engine_confs = os.environ.get("SWEEP_CONFS") == "engine"
+    if engine_confs:
+        spark = get_spark(app_name="dvi-scaling-sweep")
+    else:
+        spark = get_spark(
+            app_name="dvi-scaling-sweep",
+            shuffle_partitions=8,
+            extra_conf={
+                "spark.locality.wait": "0ms",
+                "spark.shuffle.compress": "false",
+                "spark.shuffle.spill.compress": "false",
+                "spark.rdd.compress": "false",
+            },
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("ERROR")
 
+    only = os.environ.get("SWEEP_KEYS")
+    keys = [k.strip() for k in only.split(",") if k.strip()] if only else None
     res: dict[str, tuple[float, float]] = {}
     try:
         for name, spec in all_queries().items():
+            if keys is not None and name not in keys:
+                continue
             try:
                 times = []
                 for s in (small, big):
