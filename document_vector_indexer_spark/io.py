@@ -19,6 +19,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from document_vector_indexer_spark.session import autosize_shuffle_partitions
+
 TABLES = (
     "region",
     "nation",
@@ -417,6 +419,19 @@ def ingest_engine_layout(
         futs.append(pool.submit(rewrite_events_bucketed))
         for fut in futs:
             fut.result()  # propagate the first failure
+    # Auto-size the session's shuffle partitions to the bytes just
+    # ingested (r11; raise-only — see session.recommended_shuffle_
+    # partitions for the measured conf-knee this removes). Uses the
+    # DEST layout's compressed bytes: that is what every later scan of
+    # this corpus actually reads.
+    total = 0
+    for dirpath, _dirs, files in os.walk(dest):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    autosize_shuffle_partitions(spark, total)
     return dest
 
 

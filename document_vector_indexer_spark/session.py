@@ -23,6 +23,60 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def recommended_shuffle_partitions(
+    total_input_bytes: int,
+    target_partition_bytes: int = 64 << 20,
+    expansion: float = 4.0,
+    cap: int = 32768,
+) -> int:
+    """Shuffle-partition FLOOR sized to the data, not the machine.
+
+    The r10 second decade measured the deploy-time footgun this
+    removes: q_dedup_near at ~sf10 ran 110.6 s under a static
+    8-partition conf and 17.8 s under 32 — 6.2x from partition count
+    alone, on identical data and code (SCALE.md, "conf knee"). The
+    engine knows the bytes it ingested, so the conf should follow
+    them: partitions = ceil(compressed_bytes · expansion /
+    target_partition_bytes) — ``expansion`` ~4x covers parquet
+    decompression + row-format inflation in flight, ``target`` 64 MB
+    keeps a partition's build comfortably inside executor memory.
+    Capped (default 32,768) because past that AQE's
+    ``coalescePartitions`` is the right owner of the upper end: the
+    recommended production pattern is exactly "high initial partition
+    count + AQE coalesce" (see get_spark's scale notes).
+
+    Returns a FLOOR: callers must only ever RAISE the session conf to
+    this value (``autosize_shuffle_partitions``), so a bench or test
+    that pinned a low count for small fixtures keeps it, and a session
+    that already runs wide is never narrowed.
+    """
+    import math
+
+    if total_input_bytes <= 0:
+        return 1
+    return max(
+        1,
+        min(
+            cap,
+            math.ceil(total_input_bytes * expansion / target_partition_bytes),
+        ),
+    )
+
+
+def autosize_shuffle_partitions(spark: SparkSession, total_input_bytes: int) -> int:
+    """Raise (never lower) ``spark.sql.shuffle.partitions`` to the
+    data-derived floor; returns the value now in effect. Called by
+    ``io.ingest_engine_layout`` with the bytes it just wrote — the
+    ingest is the moment the engine learns the corpus size, exactly
+    like a real cluster sizing its shuffle to the tables it loaded."""
+    rec = recommended_shuffle_partitions(total_input_bytes)
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if rec > cur:
+        spark.conf.set("spark.sql.shuffle.partitions", str(rec))
+        return rec
+    return cur
+
+
 def get_spark(
     app_name: str = "document-vector-indexer-spark",
     shuffle_partitions: int | None = None,

@@ -139,8 +139,12 @@ def test_blocked_similarity_join_is_hash_join(spark):
 def test_range_join_is_equi_on_buckets(spark):
     p = _plan(spark, "q_join_range")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    # bucketized range join resolves to a hash join on (user, bucket)
-    assert "HashJoin" in p
+    # bucketized range join resolves to an EQUI join on (user, bucket) —
+    # merge-pinned since r11 (both sides are raw corpus slices; the
+    # raw-layout broadcast audit caught Catalyst broadcasting the
+    # projected clicks side at ~sf1, the q_tpch_q4 class; sorts spill,
+    # hash builds don't)
+    assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p
 
 
 def test_chunking_needs_no_shuffle(spark):

@@ -19,6 +19,23 @@ def test_registry_shape():
     assert n_oracle >= 78
 
 
+def test_rows_only_set_is_frozen():
+    """The oracle-less set is FROZEN at the five declared dead-ends
+    (r10 VERDICT item 7): each has a documented structural reason a
+    value oracle is impossible plus its compensating check (registry.
+    ROWS_ONLY_BY_DESIGN). A new rows-only key must add its note there
+    — and should make you look hard for an oracled sibling first."""
+    from document_vector_indexer_spark.queries.registry import (
+        ROWS_ONLY_BY_DESIGN,
+    )
+
+    specs = all_queries()
+    oracle_less = {n for n, s in specs.items() if s.oracle is None}
+    assert oracle_less == set(ROWS_ONLY_BY_DESIGN)
+    for note in ROWS_ONLY_BY_DESIGN.values():
+        assert "Compensated" in note
+
+
 def test_headline_queries_registered():
     specs = all_queries()
     missing = [n for n in HEADLINE if n not in specs]

@@ -521,6 +521,43 @@ def test_recommended_lsh_bits_sizes_to_corpus():
         prev = b
 
 
+def test_recommended_shuffle_partitions_floor():
+    """The r10 conf-knee remover (r10 VERDICT item 6): partitions sized
+    to bytes ingested — ceil(bytes·4 / 64 MB), capped where AQE
+    coalesce takes over."""
+    from document_vector_indexer_spark.session import (
+        recommended_shuffle_partitions,
+    )
+
+    assert recommended_shuffle_partitions(0) == 1
+    assert recommended_shuffle_partitions(17 << 20) == 2     # sf0.1-ish
+    assert recommended_shuffle_partitions(2 << 30) == 128    # ~sf10 ingest
+    assert recommended_shuffle_partitions(100 << 40) == 32768  # capped
+    prev = 0
+    for b in (1 << 20, 1 << 28, 1 << 32, 1 << 40):
+        v = recommended_shuffle_partitions(b)
+        assert v >= prev
+        prev = v
+
+
+def test_autosize_shuffle_partitions_raise_only(spark):
+    """ingest_engine_layout's hook may only RAISE the conf: benches and
+    tests that pinned a low count for small fixtures keep it."""
+    from document_vector_indexer_spark.session import (
+        autosize_shuffle_partitions,
+    )
+
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        assert autosize_shuffle_partitions(spark, 2 << 30) == 128
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "128"
+        # tiny corpus afterwards: floor is 1, conf stays at 128
+        assert autosize_shuffle_partitions(spark, 1 << 20) == 128
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
+
+
 def test_embedding_near_dup_auto_bits_matches_explicit(spark):
     """bits="auto" must be EXACTLY bits=recommended_lsh_bits(n) — one
     count() fit job, no other semantic difference (r10: auto is the

@@ -155,14 +155,12 @@ def audit_plan(explained: str) -> list[str]:
 BENIGN = {
     # class 1: literal-bounded query/probe sides
     ("q_knn_brute", "embeddings"),
-    ("q_knn_lsh", "embeddings"),
     ("q_knn_lsh_pinned", "embeddings"),
     ("q_knn_ivf", "embeddings"),
     ("q_knn_pq", "embeddings"),
     ("q_knn_per_query", "embeddings"),
     ("q_vec_cosine", "embeddings"),
-    ("q_hybrid_rrf", "documents"),
-    ("q_decontaminate", "documents"),
+    ("q_hybrid_rrf", "embeddings"),
     # class 2: size-estimate dim-side picks on filtered corpus frames
     ("q_tpch_q3", "orders"),
     ("q_tpch_q3", "customer"),
@@ -177,15 +175,14 @@ BENIGN = {
     ("q_tpch_q10", "customer"),
     ("q_tpch_q12", "orders"),
     ("q_tpch_q13", "orders"),
+    ("q_tpch_q18", "orders"),
     ("q_tpch_q18", "customer"),
     ("q_tpch_q21", "orders"),
     ("q_tpch_q22", "orders"),
-    ("q_tpch_q22", "customer"),
-    ("q_join_inner", "orders"),
+    ("q_join_inner", "customer"),
     ("q_join_left", "orders"),
     ("q_join_semi", "orders"),
     ("q_join_anti", "orders"),
-    ("q_join_broadcast", "orders"),
     ("q_null_funcs", "orders"),
     ("q_null_funcs", "customer"),
     ("q_kanonymity", "customer"),
