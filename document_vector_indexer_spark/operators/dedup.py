@@ -910,6 +910,20 @@ def embedding_near_dup_pairs(
     target, so it never binds at driver-oracle scales (measured max
     occupancy ≤ 80 there); None disables it.
 
+    MEASURED recall at the cap (r11, ``tools/cap_recall_probe.py``,
+    planted 0.5%-noise near-identical clusters on the blow-up corpora;
+    table in SCALE.md): recall ~1 for clusters at or under the cap,
+    decaying to ~0 around 4x the cap (noise splits a cluster across
+    buckets differently per band, so sub-cap bands keep contributing);
+    every dropped cluster concentrated into ≤ 4 semantic-dedup cells —
+    the delegation holds with measurement, not argument. Guidance:
+    treat cluster regimes within ~2x of the cap as the semantic tier's
+    job; more ``bands`` buys back only the noise-split fraction.
+    ``log_dropped_buckets=True`` adds an eager one-pass probe that
+    WARNS with the dropped-cell count (the r10-ADVICE runtime signal;
+    off by default to keep benched plans identical —
+    ``lsh_hot_bucket_stats`` is the lazy form).
+
     Both candidate self-joins are MERGE-pinned (r10): the sides are
     the same corpus-derived frame, so no broadcast build is legal at
     scale (left unhinted, Catalyst's post-projection size estimate

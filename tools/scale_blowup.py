@@ -205,7 +205,19 @@ def _sanity(dest: str, n: int) -> None:
     """Pin the salting invariants that make the blow-up a fair
     workload: cross-replica shingle similarity below near-dup
     thresholds, and per-replica exact-dup surplus identical to the
-    source's (dup RATE constant — no synthetic 10-cliques)."""
+    source's (dup RATE constant — no synthetic 10-cliques).
+
+    The j3 pin samples a FIXED number of replicas (≤99, evenly spaced)
+    at any n — the pin is a dup-RATE statistic, and the max over a
+    sample that GROWS with n is not one: the per-pair j3 distribution
+    is unchanged by n (each replica's substitutions are independent
+    coin flips per bigram context), but the max of 50·(n−1) draws
+    creeps up its tail by plain extreme-value statistics — measured
+    0.273 at n=100 (r10) and 0.379 at n=1000 (r11, one doc pair out of
+    ~50k sampled) on identically-distributed data. A fixed sample pins
+    the same statistic at every scale; a systematic defect (the mod-3
+    cycling class this check exists for) still fails it loudly since
+    every sampled replica participates."""
     import hashlib
 
     t = pq.read_table(
@@ -219,8 +231,12 @@ def _sanity(dest: str, n: int) -> None:
         return {tuple(w[i : i + 3]) for i in range(max(0, len(w) - 2))}
 
     base_ids = sorted(i for i in by_id if i < stride)[:50]
+    if n <= 100:
+        rs = list(range(1, n))
+    else:
+        rs = sorted({max(1, round(i * (n - 1) / 99)) for i in range(1, 100)})
     worst = 0.0
-    for r in range(1, n):
+    for r in rs:
         for b in base_ids:
             a, c = sh3(by_id[b]), sh3(by_id[b + r * stride])
             if a | c:
