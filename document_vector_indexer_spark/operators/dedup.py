@@ -510,6 +510,17 @@ def minhash_portable_pairs(
         raise ValueError(f"bands={bands} must divide k={k}")
     r = k // bands
     sigs = minhash_signature_df(df, text_col=text_col, id_col=id_col, k=k, n=n)
+    # The signature frame is consumed THREE times (band explode + both
+    # pair-side re-attach joins), and its upstream is the expensive
+    # per-row text work (tokenize, shingle, k hash folds). Runtime
+    # exchange reuse is not a contract: the r11 third-decade probe
+    # measured it NOT firing at ~sf100 — the full pipeline ran 137 s
+    # while sigs-materialized-once ran 57 s (signature build itself
+    # 2.5x/decade sub-linear; the 3x recompute was the whole knee).
+    # localCheckpoint pins the narrow (id, 16 longs) frame — tiny
+    # relative to the text it replaces — the same lineage-truncation
+    # call connected_components already uses.
+    sigs = sigs.localCheckpoint()
     band_arr = F.array(
         *[
             F.concat_ws(

@@ -174,6 +174,19 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
     "q_join_range",         # r11 raw-layout audit: bucketized range
                             #     join broadcast the projected clicks
                             #     side at ~sf1; merge-pinned
+    "q_dedup_near",         # r11 third-decade fix: the minhash
+                            #     signature frame is localCheckpointed
+                            #     once inside minhash_portable_pairs —
+                            #     it is consumed 3x and runtime
+                            #     exchange reuse measurably stopped
+                            #     firing at ~sf100 (137 s -> 57 s;
+                            #     values identical, lineage only)
+    "q_dedup_minhash",      # r11: same checkpoint (q_dedup_near alias
+                            #     target)
+    "q_dedup_cluster",      # r11: consumes minhash pairs — same
+                            #     checkpoint upstream
+    "q_dedup_apply",        # r11: same upstream
+    "q_golden_record",      # r11: same upstream
 ]
 # (The round-10 list — the LSH auto-bits/cap keys, the DECIMAL
 # promotion, the q4/q21 merge pins, the multimodal/stateful/minidoc
