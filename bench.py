@@ -295,63 +295,79 @@ def main() -> None:
         for d in ramp_ingest.values():
             shutil.rmtree(d, ignore_errors=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_warm_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "ingest_sec": ingest_sec,
-                # warm headline + the one-time layout rewrite, in one
-                # number, so the ingest can never read as hidden cost
-                # (round-3 VERDICT item 6)
-                "total_with_ingest_sec": round(
-                    sum(timings.values()) + ingest_sec, 3
-                ),
-                "repeat_spread_sec": spreads,
-                # py4j expression-assembly cost of building each
-                # query's DataFrame (client-side, paid once per
-                # prepared statement — NOT in the per-query numbers;
-                # reported so both readings are available)
-                "construct_sec": constructs,
-                # Spark jobs run by each query's FIRST (warm-up)
-                # construction — catalog setup (footer reads, bucketed
-                # registration) for the tables it touches first. A
-                # query memoizing construct-time collects would show
-                # here as an outlier instead of hiding (r8 review).
-                "warmup_construction_jobs": warmup_jobs,
-                # per-query timings at the smaller scale factors plus
-                # the derived decomposition: floor_sec = t(sf0.001)
-                # (data cost negligible there), data_cost_sec =
-                # t(headline sf) - floor. Negative data costs are
-                # clamped to 0 (timing noise at the floor).
-                "scale_ramp": {
-                    **ramp,
-                    # one-time layout rewrites for the ramp dirs — cost
-                    # of the MEASUREMENT, reported so it can't read as
-                    # hidden query time
-                    "ramp_ingest_sec": ramp_ingest_sec,
-                    "floor_sec": {
-                        q: ramp.get("sf0.001", {}).get(q) for q in HEADLINE
-                    },
-                    "data_cost_sec": {
-                        q: round(
-                            max(
-                                0.0,
-                                timings[q]
-                                - (ramp.get("sf0.001", {}).get(q) or 0.0),
-                            ),
-                            3,
-                        )
-                        for q in HEADLINE
-                    },
-                },
-                "layout": "multi-file engine ingest (io.ingest_engine_layout)",
-            }
-        )
+    # The diagnostics (spreads, construct costs, scale ramp) grew the
+    # single output line past 2000 chars around round 5, and the
+    # driver's tail capture is 2000 chars — BENCH_r05..r10 all record
+    # "parsed": null because the line's HEAD fell off the captured
+    # tail. The contract line is now compact (and printed LAST, with a
+    # hard length assert); the full diagnostic payload goes to
+    # BENCH_DETAIL.json next to this script and to an earlier, clearly
+    # non-contract stdout line for humans reading the raw log.
+    detail = {
+        "repeat_spread_sec": spreads,
+        # py4j expression-assembly cost of building each query's
+        # DataFrame (client-side, paid once per prepared statement —
+        # NOT in the per-query numbers; reported so both readings are
+        # available)
+        "construct_sec": constructs,
+        # Spark jobs run by each query's FIRST (warm-up) construction —
+        # catalog setup (footer reads, bucketed registration) for the
+        # tables it touches first. A query memoizing construct-time
+        # collects would show here as an outlier instead of hiding
+        # (r8 review).
+        "warmup_construction_jobs": warmup_jobs,
+        # per-query timings at the smaller scale factors plus the
+        # derived decomposition: floor_sec = t(sf0.001) (data cost
+        # negligible there), data_cost_sec = t(headline sf) - floor.
+        # Negative data costs are clamped to 0 (noise at the floor).
+        "scale_ramp": {
+            **ramp,
+            # one-time layout rewrites for the ramp dirs — cost of the
+            # MEASUREMENT, reported so it can't read as hidden query
+            # time
+            "ramp_ingest_sec": ramp_ingest_sec,
+            "floor_sec": {
+                q: ramp.get("sf0.001", {}).get(q) for q in HEADLINE
+            },
+            "data_cost_sec": {
+                q: round(
+                    max(
+                        0.0,
+                        timings[q]
+                        - (ramp.get("sf0.001", {}).get(q) or 0.0),
+                    ),
+                    3,
+                )
+                for q in HEADLINE
+            },
+        },
+    }
+    with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print("BENCH_DETAIL", json.dumps(detail))
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_warm_wall_clock",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+            "ingest_sec": ingest_sec,
+            # warm headline + the one-time layout rewrite, in one
+            # number, so the ingest can never read as hidden cost
+            # (round-3 VERDICT item 6)
+            "total_with_ingest_sec": round(
+                sum(timings.values()) + ingest_sec, 3
+            ),
+            "layout": "multi-file engine ingest (io.ingest_engine_layout)",
+        }
     )
+    assert len(line) < 1900, (
+        f"contract line is {len(line)} chars — the driver's tail "
+        "capture is 2000; trim the payload (diagnostics belong in "
+        "BENCH_DETAIL.json)"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

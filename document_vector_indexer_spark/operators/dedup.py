@@ -887,6 +887,7 @@ def embedding_near_dup_pairs(
     target_bucket_rows: int = 32,
     max_bucket_rows: int | None = 512,
     log_dropped_buckets: bool = False,
+    pair_exchange: str = "narrow",
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold. ALWAYS blocked:
     either by an explicit ``block_col`` (e.g. a cluster id) or, when
@@ -942,6 +943,35 @@ def embedding_near_dup_pairs(
     shuffle_hash build measurably dies once a partition's build side
     outgrows execution memory (hash relations cannot spill; sorts
     can — the q_tpch_q21-at-~sf10 lesson).
+
+    ``pair_exchange`` (r11): ``"narrow"`` (default) scores and
+    threshold-filters each candidate COPY inside the (band, bucket)
+    join's own partitioning and only THEN collapses multi-band copies
+    — so the pair-dedup exchange carries the ~24-byte SURVIVOR rows
+    (true near-dups only), not the full candidate set. ``"wide"``
+    keeps the r6–r10 dedup-then-score order as the parity /
+    measurement reference: values identical (same pair set, same
+    scoring expression — sims are identical across band copies, so
+    deduping before or after scoring is value-neutral), but its
+    ``dropDuplicates`` exchange carries EVERY candidate row at
+    ~1 KB (two ``dim``-double vectors) — measured 41.1 s vs 24.3 s
+    at ~sf10 and transiently >40 GB of shuffle at ~sf100 (422 M
+    candidates, skew factor 1.8 over the uniform-occupancy estimate).
+
+    Two measured dead-ends bracket this design (both carried in
+    r11's A/B, receipts in SCALE.md): (a) the r6 note below the
+    candidate join — at sf0.1 the planted-dup fraction is so high
+    that the bands× duplicated cosine folds outweighed the narrower
+    exchange (35% slower THEN; at blow-up scale the bulk of
+    candidates match in ~1 band, so the duplication premium fades
+    to ~10% while the exchange saving grows with n); (b) the
+    dedup-FIRST-join-vectors-BACK form (generate candidates from
+    narrow (id, band, bucket) rows, dedup 16-byte pairs, merge-join
+    each side's vector by id) — 24.3 s at ~sf10, but the second
+    join-back re-exchanges the pair stream BY id_b WHILE CARRYING
+    vec_a: ~200 GB at ~sf100, disk-full on this host. The only
+    exchanges that may carry vectors at scale are the corpus-linear
+    ones (6n block rows), which is exactly what this form does.
     """
     # Per-ROW norms are hoisted BEFORE the pair join (r6): cosine per
     # candidate pair ran three interpreted array folds (dot + both
@@ -949,7 +979,17 @@ def embedding_near_dup_pairs(
     # and dividing per pair is the identical expression tree per value
     # — bit-identical sims (oracle untouched) at one fold per pair.
     norm = F.sqrt(V.dot(F.col(vec_col), F.col(vec_col)))
+    if pair_exchange not in ("narrow", "wide"):
+        raise ValueError(
+            f"pair_exchange must be 'narrow' or 'wide', got {pair_exchange!r}"
+        )
+    narrow = pair_exchange == "narrow"
     if block_col is not None:
+        # Explicit blocks: one block value per row -> each pair appears
+        # once, so there is no multi-band dedup and the two forms
+        # coincide. Vectors ride the blk-keyed exchange, which is
+        # corpus-LINEAR (n rows per side) — the only kind of exchange
+        # that may carry vectors at scale.
         a = df.select(
             F.col(block_col).alias("blk"),
             F.col(id_col).alias("id_a"),
@@ -1024,19 +1064,20 @@ def embedding_near_dup_pairs(
             F.col(vec_col).alias("vec_b"),
             norm.alias("n_b"),
         )
-        # equi-join on (band, bucket); a pair found in several bands is
-        # collapsed to one row BEFORE scoring (vectors are identical
-        # per id, so any surviving copy is the same pair). Measured
-        # dead-end (r6): scoring per band copy and deduping the narrow
-        # (id_a, id_b, sim) survivors instead is ~35% SLOWER here —
-        # near-dup candidates match in most bands, so the duplicated
-        # folds outweigh the narrower exchange.
-        cand = (
-            a.join(b.hint("merge"), on=["band", "bucket"], how="inner")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+        # equi-join on (band, bucket). A pair found in several bands
+        # appears once per band; the two pair_exchange forms differ
+        # ONLY in where the copies collapse (see docstring). The r6
+        # note — "score per band copy, dedup the scored survivors:
+        # ~35% slower" — measured the narrow order at sf0.1, where
+        # planted dups are a fifth of the corpus and the duplicated
+        # folds dominated; the r11 blow-up A/B reversed it at ≥sf10
+        # (receipts in SCALE.md).
+        cand = a.join(b.hint("merge"), on=["band", "bucket"], how="inner").filter(
+            F.col("id_a") < F.col("id_b")
         )
-    return (
+        if not narrow:
+            cand = cand.dropDuplicates(["id_a", "id_b"])
+    scored = (
         cand.withColumn(
             "sim",
             V.dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")),
@@ -1044,6 +1085,14 @@ def embedding_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+    if narrow and block_col is None:
+        # Collapse the per-band copies AFTER the threshold filter: the
+        # dedup exchange then carries only true near-dups (~24 B rows),
+        # never the ~1 KB candidate stream. Sims are identical across
+        # copies (same expression over the same two vectors), so this
+        # is value-neutral vs the wide order.
+        scored = scored.dropDuplicates(["id_a", "id_b"])
+    return scored
 
 
 def connected_components(

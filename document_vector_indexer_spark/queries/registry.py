@@ -143,11 +143,19 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     sf0.001/0.01/0.1 under hostile TZ
     "q_dedup_embed",        # r11: rides the vectorized kernel (blocks
                             #     build measured 6.0x faster at sf0.1,
-                            #     4.6x at ~sf1); candidate join and cap
-                            #     unchanged. Also: bits="auto" seam
+                            #     4.6x at ~sf1); bits="auto" seam
                             #     factored to _resolve_lsh_bits (bool
                             #     rejected), hot-bucket drops now have
-                            #     an opt-in runtime signal
+                            #     an opt-in runtime signal. LATE r11:
+                            #     pair_exchange="narrow" — the multi-
+                            #     band pair dedup moves AFTER the
+                            #     threshold filter, so the dedup
+                            #     exchange carries ~24 B survivor rows
+                            #     instead of ~1 KB candidate rows
+                            #     (41.1 -> 14.4 s at ~sf10; value-
+                            #     neutral: sims identical per copy,
+                            #     parity re-proven vs the wide order
+                            #     on random vectors at two thresholds)
     "q_cross_cosine",       # r11: alias of q_dedup_embed — same kernel
     "q_dedup_semantic",     # r11: cell id now computed by the shared
                             #     vectorized kernel with carry_vec=False

@@ -170,35 +170,71 @@ def _blow_documents(src: str, dest: str, n: int) -> None:
 
 
 def _blow_embeddings(src: str, dest: str, n: int) -> None:
+    """Replicas are cyclic shifts WITH a per-(replica, component) sign
+    pattern. The shift preserves the norm and the component value
+    multiset; the SIGN pattern is what keeps cross-replica cosines low
+    (r11 fix, third-decade finding): shift alone repeats every d
+    replicas, so at n > d every shift class held ~n/d copies differing
+    only by the tiny tie-breaker perturbation — cosine ~1.0 cliques
+    that inflated q_dedup_embed's sf100 survivor set to ~127M pairs, a
+    near-dup workload no real 1000x corpus has (and the exact failure
+    class the document re-salt exists to prevent; embeddings simply
+    had no equivalent until now). The sign comes from a multiply-xor-
+    multiply avalanche hash of (replica, component) — deterministic,
+    no RNG state; a plain linear-form parity is NOT enough (bit b of
+    r*C repeats every 2^(b+1) replicas, quietly recreating the cliques
+    at replica distance 256). Expected same-shift-class cosine ~0 with
+    ~1/sqrt(d) tails; the `_sanity` cosine pin measures it."""
+    import numpy as np
+
     t = pq.read_table(os.path.join(src, "embeddings.parquet"))
-    vec_ids = t.column("vec_id").to_pylist()
-    vecs = t.column("embedding").to_pylist()
-    labels = t.column("label").to_pylist()
-    out_id, out_vec, out_lb = [], [], []
+    base_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    base_lb = np.asarray(t.column("label").to_pylist(), dtype=np.int32)
+    m, d = X.shape
+    out_id, out_vals, out_lb = [], [], []
     for r in range(n):
-        for vid, v, lb in zip(vec_ids, vecs, labels):
-            if r:
-                d = len(v)
-                k = r % d
-                # rotation preserves the norm and the component value
-                # distribution; the perturbation breaks exact ties
-                v = [
-                    v[(j + k) % d] + ((r * 13 + j * 5) % 7 - 3) * 1e-3
-                    for j in range(d)
-                ]
-            out_id.append(vid + r * STRIDES["vec_id"])
-            out_vec.append(v)
-            out_lb.append(lb)
+        if r == 0:
+            Vr = X
+        else:
+            k = r % d
+            # position j takes v[(j + k) % d], i.e. a left roll by k
+            Vr = np.roll(X, -k, axis=1)
+            Vr = _replica_signs(r, d) * Vr + (
+                ((r * 13 + np.arange(d) * 5) % 7 - 3) * 1e-3
+            )
+        out_id.append(base_ids + r * STRIDES["vec_id"])
+        out_vals.append(Vr.astype(np.float32).ravel())
+        out_lb.append(base_lb)
+    vals = pa.array(np.concatenate(out_vals), pa.float32())
+    offsets = pa.array(
+        np.arange(0, (n * m + 1) * d, d, dtype=np.int32), pa.int32()
+    )
     pq.write_table(
         pa.table(
             {
-                "vec_id": pa.array(out_id, pa.int64()),
-                "embedding": pa.array(out_vec, pa.list_(pa.float32())),
-                "label": pa.array(out_lb, pa.int32()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "embedding": pa.ListArray.from_arrays(offsets, vals),
+                "label": pa.array(np.concatenate(out_lb), pa.int32()),
             }
         ),
         os.path.join(dest, "embeddings.parquet"),
     )
+
+
+def _replica_signs(r: int, d: int):
+    """±1.0 signs for replica ``r``'s components: avalanche-mixed
+    64-bit hash of (r, j), bit 32. Distinct replicas get effectively
+    independent patterns (no linear-form periodicity)."""
+    import numpy as np
+
+    j = np.arange(d, dtype=np.uint64)
+    h = np.uint64(r * 2654435761 % (1 << 64)) ^ (
+        j * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0xD1B54A32D192ED03)
+    )
+    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h = h ^ (h >> np.uint64(33))
+    return 1.0 - 2.0 * ((h >> np.uint64(32)) & np.uint64(1)).astype(np.float64)
 
 
 def _sanity(dest: str, n: int) -> None:
@@ -251,9 +287,38 @@ def _sanity(dest: str, n: int) -> None:
         ]
         surplus.append(len(hs) - len(set(hs)))
     assert len(set(surplus)) == 1, f"dup surplus varies by replica: {surplus}"
+
+    # Embedding cross-replica cosine pin (r11, added with the sign-
+    # pattern fix): same fixed-sample discipline as the j3 pin — 50
+    # base vectors x (<=99 sampled replicas + base), PAIRWISE max
+    # cosine within each base's replica family. Pairwise matters: the
+    # defect this exists for (shift-class cliques at n > d) pairs
+    # replicas with EACH OTHER, not with the base. 0.9 sits between
+    # honest cross-replica tails (~0.5 at d=64) and the 0.95 near-dup
+    # threshold the dedup workloads probe.
+    import numpy as np
+
+    et = pq.read_table(
+        os.path.join(dest, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    eids = np.asarray(et.column("vec_id").to_pylist(), dtype=np.int64)
+    evecs = np.asarray(et.column("embedding").to_pylist(), dtype=np.float64)
+    vstride = STRIDES["vec_id"]
+    ebase = np.sort(eids[eids < vstride])[:50]
+    ers = [0] + rs if n > 1 else [0]
+    by_vid = {int(i): v for i, v in zip(eids, evecs)}
+    worst_cos = 0.0
+    for b in ebase:
+        fam = np.stack([by_vid[int(b) + r * vstride] for r in ers])
+        fam = fam / np.linalg.norm(fam, axis=1, keepdims=True)
+        G = fam @ fam.T
+        np.fill_diagonal(G, 0.0)
+        worst_cos = max(worst_cos, float(np.abs(G).max()))
+    assert worst_cos < 0.9, f"cross-replica cosine too high: {worst_cos:.3f}"
     print(
         f"sanity ok: max cross-replica j3 {worst:.3f}; "
-        f"exact-dup surplus {surplus[0]}/replica (constant)"
+        f"exact-dup surplus {surplus[0]}/replica (constant); "
+        f"max cross-replica |cosine| {worst_cos:.3f}"
     )
 
 
