@@ -625,6 +625,49 @@ def recommended_lsh_bits(
     return max(floor, min(cap, math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows)))))
 
 
+def recommended_lsh_bands(
+    bits: int,
+    threshold: float,
+    target_recall: float = 0.9,
+    floor: int = 6,
+    cap: int = 24,
+) -> int:
+    """The bands knob sized to hold the RECALL contract as ``bits``
+    grows with the corpus: smallest ``bands`` whose union recall
+    1 − (1 − p^bits)^bands reaches ``target_recall`` for a pair AT the
+    operator's own ``threshold``, where p = 1 − acos(threshold)/π is
+    the per-plane sign-agreement probability (random-hyperplane LSH).
+
+    Why this exists (r11): ``bits="auto"`` grows ~log2(n) to keep
+    candidate volume linear, but per-band recall for threshold-level
+    pairs falls as p^bits — at the sf100 blow-up (bits=17, cosine
+    0.95 → θ=18°, p=0.9) the FIXED 6 bands keep only ~0.67 union
+    recall; the borderline near-dups silently stop surfacing while
+    the planted-identical driver oracles stay green (identical
+    vectors collide at any bits). Holding recall costs bands ~
+    (1/p)^bits ∝ n^(log2(1/p)) — the classic sub-quadratic LSH
+    exponent (n^0.152 at θ=18°), i.e. candidates grow slightly
+    super-linearly BY THEORY once recall is a contract, not a hope.
+    The ``cap`` bounds the spend where the target is unreachable
+    (recall at the cap is then the honest number — log it, don't
+    chase it); the ``floor`` keeps small-corpus plans (bits ≤ 10,
+    where 6 bands already exceed 0.9 recall) byte-identical to the
+    r6–r11 defaults."""
+    import math
+
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    p_band = (1.0 - math.acos(threshold) / math.pi) ** bits
+    if p_band >= 1.0:
+        return floor
+    if p_band <= 0.0:
+        return cap
+    need = math.log(1.0 - target_recall) / math.log(1.0 - p_band)
+    return max(floor, min(cap, math.ceil(need)))
+
+
 def lsh_hyperplanes(dim: int, bands: int, bits: int, seed: int = 7):
     """Seeded ±1 random-hyperplane matrix, shape (bands, bits, dim).
     ±1 components keep the projection dot product an exact sequence of
@@ -858,6 +901,21 @@ def _resolve_lsh_bits(
     return bits
 
 
+def _resolve_lsh_bands(
+    bands: int | str, bits: int, threshold: float, target_recall: float
+) -> int:
+    """``bands="auto"`` resolution, factored out like
+    ``_resolve_lsh_bits`` so tests can pin the RESOLVED value directly
+    (the planted-identical driver corpora collide at any band count, so
+    result parity alone cannot catch a regression here). ``bool`` is
+    rejected for the same reason as in the bits seam."""
+    if bands == "auto":
+        return recommended_lsh_bands(bits, threshold, target_recall=target_recall)
+    if isinstance(bands, bool) or not isinstance(bands, int):
+        raise ValueError(f"bands must be an int or 'auto', got {bands!r}")
+    return bands
+
+
 def lsh_hot_bucket_stats(blocks: DataFrame, max_bucket_rows: int) -> DataFrame:
     """(band, bucket, occupancy) of the LSH cells ABOVE the hot-bucket
     drop cap — the runtime signal for the cap's documented blind spot
@@ -881,13 +939,14 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
-    bands: int = 6,
+    bands: int | str = "auto",
     bits: int | str = "auto",
     seed: int = 7,
     target_bucket_rows: int = 32,
     max_bucket_rows: int | None = 512,
     log_dropped_buckets: bool = False,
     pair_exchange: str = "narrow",
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold. ALWAYS blocked:
     either by an explicit ``block_col`` (e.g. a cluster id) or, when
@@ -904,6 +963,19 @@ def embedding_near_dup_pairs(
     grows with n, within-bucket pairs with n², and at ~sf1 the bits=4
     default emitted ~10⁸ wide candidate rows (disk full). Pass an int
     to pin the knob (oracle mirrors must pin it).
+
+    ``bands="auto"`` (late r11) holds the RECALL contract as the auto
+    bits grow: ``recommended_lsh_bands(bits, threshold, target_recall)``
+    sizes the band count so a pair AT ``threshold`` is still a
+    candidate with probability ≥ ``target_recall`` (union over bands;
+    the per-band probability p^bits shrinks as bits track log2 n, so a
+    FIXED band count silently sheds borderline near-dups at scale —
+    0.67 union recall at the sf100 blow-up's bits=17 with 6 bands,
+    while planted-identical oracles stay green). The floor of 6 keeps
+    every plan at bits ≤ 10 (all driver scales) byte-identical to the
+    fixed-bands era; the growth above it is the n^ρ candidate spend
+    LSH theory charges for constant recall — paid knowingly, capped at
+    24, measured in SCALE.md. Pass an int to pin (oracle mirrors must).
 
     ``max_bucket_rows`` (r10, second decade) clips the occupancy TAIL:
     real embeddings are anisotropic, so sign patterns concentrate —
@@ -1012,6 +1084,7 @@ def embedding_near_dup_pairs(
                 "(all-pairs comparison is not supported)"
             )
         bits = _resolve_lsh_bits(df, bits, target_bucket_rows)
+        bands = _resolve_lsh_bands(bands, bits, threshold, target_recall)
         blocks = embedding_lsh_blocks(
             df, dim=dim, vec_col=vec_col, id_col=id_col, bands=bands, bits=bits, seed=seed
         )

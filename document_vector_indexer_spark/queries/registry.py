@@ -155,7 +155,11 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     (41.1 -> 14.4 s at ~sf10; value-
                             #     neutral: sims identical per copy,
                             #     parity re-proven vs the wide order
-                            #     on random vectors at two thresholds)
+                            #     on random vectors at two thresholds).
+                            #     Plus bands="auto" (recall contract,
+                            #     SCALE.md r11 §5) — floor 6 keeps all
+                            #     driver-scale plans byte-identical,
+                            #     asserted at the fixtures' own n
     "q_cross_cosine",       # r11: alias of q_dedup_embed — same kernel
     "q_dedup_semantic",     # r11: cell id now computed by the shared
                             #     vectorized kernel with carry_vec=False

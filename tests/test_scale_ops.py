@@ -614,6 +614,72 @@ def test_embedding_near_dup_auto_bits_matches_explicit(spark):
         )
 
 
+def test_embedding_near_dup_auto_bands_holds_recall_contract(spark):
+    """bands="auto" must be EXACTLY recommended_lsh_bands(bits,
+    threshold, target_recall) — the late-r11 recall contract: auto
+    bits grow ~log2(n) to keep candidates linear, so a FIXED band
+    count's union recall for threshold-level pairs decays as
+    (1 − p^bits)^bands (measured 0.67 at the sf100 blow-up's bits=17
+    with 6 bands). Like the bits seam, the planted corpora are
+    band-count-INDEPENDENT (identical vectors collide in every band),
+    so the resolved value is asserted directly; the floor of 6 keeps
+    every driver-scale plan (bits ≤ 10) identical to the fixed-bands
+    era, pinned here at the fixtures' own n."""
+    import math
+
+    import pytest
+
+    from document_vector_indexer_spark.operators.dedup import (
+        _resolve_lsh_bands,
+        _resolve_lsh_bits,
+        embedding_near_dup_pairs,
+        recommended_lsh_bands,
+    )
+
+    # closed-form spot checks of the sizing rule itself
+    #   p(0.95) = 1 - acos(0.95)/pi = 0.8995...; union recall >= 0.9
+    p = 1.0 - math.acos(0.95) / math.pi
+    for bits, want in ((10, 6), (13, 8), (17, 13)):
+        got = recommended_lsh_bands(bits, 0.95)
+        assert got == want, (bits, got)
+        if got > 6:  # above the floor the target must actually bind
+            assert 1 - (1 - p**bits) ** got >= 0.9
+            assert 1 - (1 - p**bits) ** (got - 1) < 0.9
+    # near-identical thresholds never need more than the floor
+    assert recommended_lsh_bands(20, 0.999) == 6
+    # loose thresholds at high bits hit the cap (honest bound, logged)
+    assert recommended_lsh_bands(20, 0.8) == 24
+    # the operator seam: auto == helper at the operator's own knobs
+    assert _resolve_lsh_bands("auto", 17, 0.95, 0.9) == 13
+    assert _resolve_lsh_bands(9, 17, 0.95, 0.9) == 9
+    with pytest.raises(ValueError, match="int or 'auto'"):
+        _resolve_lsh_bands(True, 4, 0.95, 0.9)
+    # fixtures stay on the floor: the resolved plan is byte-identical
+    # to the fixed bands=6 era at every driver scale
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    allv = emb.unionByName(planted)
+    bits = _resolve_lsh_bits(allv, "auto", target_bucket_rows=32)
+    assert bits <= 10 and _resolve_lsh_bands("auto", bits, 0.95, 0.9) == 6
+    auto_rows = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            allv, threshold=0.95, block_col=None, dim=64, bands="auto"
+        ).collect()
+    )
+    fixed_rows = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            allv, threshold=0.95, block_col=None, dim=64, bands=6
+        ).collect()
+    )
+    assert auto_rows == fixed_rows and len(auto_rows) > 0
+
+
 def test_embedding_near_dup_hot_bucket_cap(spark):
     """The r10 second-decade guard: (band, bucket) cells above
     max_bucket_rows are DROPPED before the candidate join (anisotropic
