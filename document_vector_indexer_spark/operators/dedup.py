@@ -910,7 +910,32 @@ def _resolve_lsh_bands(
     result parity alone cannot catch a regression here). ``bool`` is
     rejected for the same reason as in the bits seam."""
     if bands == "auto":
-        return recommended_lsh_bands(bits, threshold, target_recall=target_recall)
+        import math
+
+        resolved = recommended_lsh_bands(
+            bits, threshold, target_recall=target_recall
+        )
+        p_band = (1.0 - math.acos(threshold) / math.pi) ** bits
+        achieved = 1.0 - (1.0 - p_band) ** resolved
+        if achieved < target_recall:
+            # The cap bound the spend below the target (loose threshold
+            # x high bits — the n^rho cost exploded). Same philosophy
+            # as the hot-bucket drop signal: never trade recall
+            # SILENTLY.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding_near_dup_pairs: bands='auto' capped at %d — "
+                "union recall for threshold-level pairs is ~%.2f, below "
+                "the %.2f target (threshold %.3f at bits=%d); this "
+                "regime belongs to the ANN ladder, not the pair-emitter",
+                resolved,
+                achieved,
+                target_recall,
+                threshold,
+                bits,
+            )
+        return resolved
     if isinstance(bands, bool) or not isinstance(bands, int):
         raise ValueError(f"bands must be an int or 'auto', got {bands!r}")
     return bands

@@ -348,6 +348,12 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits-INDEPENDENT: identical planted vectors collide in every band
     at any bits, and nothing non-identical reaches 0.95 on this
     corpus, so recall stays exactly 1.0 while the knob tracks n.
+
+    Late r11: ``bands`` rides "auto" too (the recall contract, SCALE.md
+    r11 §5) — the floor of 6 means every driver-scale plan resolves to
+    the same 6 bands as before (asserted in tests at the fixtures' own
+    n), and identical planted vectors collide at ANY band count, so the
+    oracle is bands-independent the same way it is bits-independent.
     """
     from document_vector_indexer_spark.operators.dedup import embedding_near_dup_pairs
 
