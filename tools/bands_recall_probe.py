@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from document_vector_indexer_spark.operators.dedup import (
     _resolve_lsh_bits,
@@ -88,9 +89,9 @@ def main() -> None:
                     bits=bits,
                 )
                 .filter(
-                    (spark_col("id_a") >= max_id)
-                    & (spark_col("id_b") == spark_col("id_a") + 1)
-                    & (spark_col("id_a") % 2 == 0)
+                    (F.col("id_a") >= max_id)
+                    & (F.col("id_b") == F.col("id_a") + 1)
+                    & (F.col("id_a") % 2 == 0)
                 )
                 .count()
             )
@@ -103,12 +104,6 @@ def main() -> None:
                 f" (closed-form {predicted:.3f}) in {sec:.1f}s",
                 flush=True,
             )
-
-
-def spark_col(name):
-    from pyspark.sql import functions as F
-
-    return F.col(name)
 
 
 if __name__ == "__main__":

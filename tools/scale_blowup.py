@@ -305,7 +305,7 @@ def _sanity(dest: str, n: int) -> None:
     evecs = np.asarray(et.column("embedding").to_pylist(), dtype=np.float64)
     vstride = STRIDES["vec_id"]
     ebase = np.sort(eids[eids < vstride])[:50]
-    ers = [0] + rs if n > 1 else [0]
+    ers = ([0] + rs) if n > 1 else [0]
     by_vid = {int(i): v for i, v in zip(eids, evecs)}
     worst_cos = 0.0
     for b in ebase:
