@@ -95,9 +95,14 @@ def main() -> None:
     results: dict[int | None, dict[int, int]] = {}
     for cap in (CAP, None):
         t0 = time.perf_counter()
+        # bands pinned to the value the SCALE.md §3 table was measured
+        # at (the late-r11 bands="auto" default would resolve higher on
+        # the blow-up corpora; more bands give a planted cluster more
+        # chances to split under the cap, shifting recall-at-cap up —
+        # a different experiment, not a reproduction)
         pairs = embedding_near_dup_pairs(
             corpus, threshold=THRESHOLD, block_col=None, dim=64,
-            max_bucket_rows=cap, log_dropped_buckets=True,
+            bands=6, max_bucket_rows=cap, log_dropped_buckets=True,
         )
         got = {
             int(r["c"]): int(r["n"])
