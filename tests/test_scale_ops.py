@@ -680,6 +680,53 @@ def test_embedding_near_dup_auto_bands_holds_recall_contract(spark):
     assert auto_rows == fixed_rows and len(auto_rows) > 0
 
 
+def test_pair_exchange_orders_are_value_identical(spark):
+    """pair_exchange="narrow" (score-then-dedup, the late-r11 default)
+    and "wide" (the r6–r10 dedup-then-score parity reference) must
+    return identical pair sets AND identical sims: a pair's sim is the
+    same expression over the same two vectors in every band copy, so
+    WHERE the copies collapse cannot change a value. Random vectors —
+    not planted-identical ones — so borderline pairs near the
+    threshold actually exercise both orders' filters; two thresholds
+    so the survivor set is both sparse and dense."""
+    import random
+
+    import pytest
+
+    from document_vector_indexer_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    rows += [(i + 10000, list(v)) for i, v in rows[::5]]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairs(order, th):
+        return sorted(
+            (r["id_a"], r["id_b"], r["sim"])
+            for r in embedding_near_dup_pairs(
+                df,
+                threshold=th,
+                block_col=None,
+                dim=8,
+                bits=4,
+                bands=6,
+                pair_exchange=order,
+            ).collect()
+        )
+
+    for th in (0.95, 0.5):
+        narrow, wide = pairs("narrow", th), pairs("wide", th)
+        assert narrow == wide and len(narrow) > 0, th
+    with pytest.raises(ValueError, match="narrow.*wide|wide.*narrow"):
+        embedding_near_dup_pairs(
+            df, threshold=0.9, block_col=None, dim=8, pair_exchange="bogus"
+        )
+
+
 def test_embedding_near_dup_hot_bucket_cap(spark):
     """The r10 second-decade guard: (band, bucket) cells above
     max_bucket_rows are DROPPED before the candidate join (anisotropic
