@@ -680,6 +680,31 @@ def test_embedding_near_dup_auto_bands_holds_recall_contract(spark):
     assert auto_rows == fixed_rows and len(auto_rows) > 0
 
 
+def test_lsh_bands_cap_shortfall_warns(caplog):
+    """When 'auto' bands hit the cap with union recall still under the
+    target (loose threshold x high bits — the n^rho spend exploded),
+    the resolver must SAY so: recall is never traded silently (the
+    hot-bucket drop-signal rule)."""
+    import logging
+
+    from document_vector_indexer_spark.operators.dedup import (
+        _resolve_lsh_bands,
+    )
+
+    with caplog.at_level(logging.WARNING):
+        resolved = _resolve_lsh_bands("auto", 20, 0.8, 0.9)
+    assert resolved == 24
+    assert any(
+        "capped" in r.message and "ANN ladder" in r.message
+        for r in caplog.records
+    )
+    # and no warning when the target is met
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        assert _resolve_lsh_bands("auto", 10, 0.95, 0.9) == 6
+    assert not caplog.records
+
+
 def test_pair_exchange_orders_are_value_identical(spark):
     """pair_exchange="narrow" (score-then-dedup, the late-r11 default)
     and "wide" (the r6–r10 dedup-then-score parity reference) must
