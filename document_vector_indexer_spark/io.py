@@ -19,7 +19,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from document_vector_indexer_spark.session import autosize_shuffle_partitions
+from document_vector_indexer_spark.session import (
+    autosize_shuffle_partitions,
+    dir_bytes,
+)
 
 TABLES = (
     "region",
@@ -424,14 +427,7 @@ def ingest_engine_layout(
     # partitions for the measured conf-knee this removes). Uses the
     # DEST layout's compressed bytes: that is what every later scan of
     # this corpus actually reads.
-    total = 0
-    for dirpath, _dirs, files in os.walk(dest):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(dirpath, f))
-            except OSError:
-                pass
-    autosize_shuffle_partitions(spark, total)
+    autosize_shuffle_partitions(spark, dir_bytes(dest))
     return dest
 
 

@@ -517,10 +517,16 @@ def minhash_portable_pairs(
     # measured it NOT firing at ~sf100 — the full pipeline ran 137 s
     # while sigs-materialized-once ran 57 s (signature build itself
     # 2.5x/decade sub-linear; the 3x recompute was the whole knee).
-    # localCheckpoint pins the narrow (id, 16 longs) frame — tiny
-    # relative to the text it replaces — the same lineage-truncation
-    # call connected_components already uses.
-    sigs = sigs.localCheckpoint()
+    # persist(), NOT localCheckpoint (late-r11 review catch): the
+    # eager checkpoint ran the full signature job at CONSTRUCTION
+    # time, and its LogicalRDD replaced the source scans in every
+    # downstream plan — blinding the broadcast audit/CI gate to the
+    # exact minhash family it lists, and breaking the audit's
+    # "plans are built, never executed" contract. persist() is lazy,
+    # computes the narrow (id, 16 longs) frame once on first access
+    # (the three consumers then read the cache within the same job),
+    # and keeps the parquet scans visible in the explained plan.
+    sigs = sigs.persist()
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -625,6 +631,20 @@ def recommended_lsh_bits(
     return max(floor, min(cap, math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows)))))
 
 
+def lsh_union_recall(bits: int, threshold: float, bands: int) -> float:
+    """P[a pair at exactly ``threshold`` cosine becomes a candidate]
+    under random-hyperplane banding: 1 − (1 − p^bits)^bands with
+    p = 1 − acos(threshold)/π per plane. The ONE home of the recall
+    closed form — sizing (``recommended_lsh_bands``), the shortfall
+    warning, and the measurement probe all call it."""
+    import math
+
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+    p_band = (1.0 - math.acos(threshold) / math.pi) ** bits
+    return 1.0 - (1.0 - p_band) ** bands
+
+
 def recommended_lsh_bands(
     bits: int,
     threshold: float,
@@ -655,16 +675,14 @@ def recommended_lsh_bands(
     r6–r11 defaults."""
     import math
 
-    if not -1.0 <= threshold <= 1.0:
-        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
     if not 0.0 < target_recall < 1.0:
         raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
-    p_band = (1.0 - math.acos(threshold) / math.pi) ** bits
-    if p_band >= 1.0:
+    miss_one = 1.0 - lsh_union_recall(bits, threshold, 1)
+    if miss_one <= 0.0:
         return floor
-    if p_band <= 0.0:
+    if miss_one >= 1.0:
         return cap
-    need = math.log(1.0 - target_recall) / math.log(1.0 - p_band)
+    need = math.log(1.0 - target_recall) / math.log(miss_one)
     return max(floor, min(cap, math.ceil(need)))
 
 
@@ -706,7 +724,13 @@ def _lsh_pack_codes(X, S, bands: int, bits: int):
     acc = np.zeros((n, S.shape[0]), dtype=np.float64)
     for i in range(X.shape[1]):
         acc += X[:, i, None] * S[:, i]
-    hit = acc > 0.0
+    # NaN semantics must mirror the JVM comparison, not IEEE: Spark
+    # (and the DuckDB oracle, Postgres-style) order NaN GREATER than
+    # every value, so a NaN projection sets the bit; numpy's NaN > 0
+    # is False, which silently flipped every bit of a NaN-poisoned row
+    # (r11 review catch — a vector with one NaN component lands in
+    # bucket 2^bits-1 of every band on the expr path, bucket 0 here).
+    hit = (acc > 0.0) | np.isnan(acc)
     weights = 1 << np.arange(bits, dtype=np.int64)
     return (hit.reshape(n, bands, bits) * weights).sum(axis=2).astype(np.int32)
 
@@ -910,13 +934,10 @@ def _resolve_lsh_bands(
     result parity alone cannot catch a regression here). ``bool`` is
     rejected for the same reason as in the bits seam."""
     if bands == "auto":
-        import math
-
         resolved = recommended_lsh_bands(
             bits, threshold, target_recall=target_recall
         )
-        p_band = (1.0 - math.acos(threshold) / math.pi) ** bits
-        achieved = 1.0 - (1.0 - p_band) ** resolved
+        achieved = lsh_union_recall(bits, threshold, resolved)
         if achieved < target_recall:
             # The cap bound the spend below the target (loose threshold
             # x high bits — the n^rho cost exploded). Same philosophy

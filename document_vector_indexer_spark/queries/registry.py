@@ -187,12 +187,18 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     join broadcast the projected clicks
                             #     side at ~sf1; merge-pinned
     "q_dedup_near",         # r11 third-decade fix: the minhash
-                            #     signature frame is localCheckpointed
-                            #     once inside minhash_portable_pairs —
-                            #     it is consumed 3x and runtime
+                            #     signature frame (consumed 3x; runtime
                             #     exchange reuse measurably stopped
-                            #     firing at ~sf100 (137 s -> 57 s;
-                            #     values identical, lineage only)
+                            #     firing at ~sf100, 137 s -> 57 s) is
+                            #     materialized once. LATE r11: the
+                            #     materialization is persist(), not
+                            #     localCheckpoint — review showed the
+                            #     eager checkpoint ran the sig job at
+                            #     CONSTRUCTION and its LogicalRDD
+                            #     blinded the broadcast gate to the
+                            #     family; persist is lazy, keeps scans
+                            #     visible, and measures 24.2 s at sf100
+                            #     (values identical; sim re-greened)
     "q_dedup_minhash",      # r11: same checkpoint (q_dedup_near alias
                             #     target)
     "q_dedup_cluster",      # r11: consumes minhash pairs — same

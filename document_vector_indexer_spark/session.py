@@ -63,6 +63,23 @@ def recommended_shuffle_partitions(
     )
 
 
+def dir_bytes(path: str) -> int:
+    """Total on-disk bytes under ``path`` — the input to
+    ``autosize_shuffle_partitions`` (one home for the walk; it was
+    copy-pasted across io.py and four tools, and only one copy guarded
+    against files vanishing mid-walk)."""
+    import os
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
 def autosize_shuffle_partitions(spark: SparkSession, total_input_bytes: int) -> int:
     """Raise (never lower) ``spark.sql.shuffle.partitions`` to the
     data-derived floor; returns the value now in effect. Called by

@@ -4,7 +4,9 @@ The q_tpch_q4 failure class — a corpus-sided build whose NARROW
 projection rides under the broadcast threshold until the data is a
 decade bigger — survived nine rounds of green driver rows because
 nothing ever PLANNED against big data in CI. This gate does: every key
-in the shuffle-heavy families is planned (never executed) against the
+in the shuffle-heavy families is planned (not run, except the
+inherently-executing CC-loop keys — see tools/broadcast_audit.py's
+header) against the
 regenerable ~sf1 fixtures, and any BroadcastExchange over a raw corpus
 scan must be in ``tools.broadcast_audit.BENIGN`` — the triaged list
 with the three-class justification (bounded-by-filter query sets,

@@ -895,6 +895,34 @@ def test_lsh_arrow_kernel_edge_rows(spark):
     assert a == e
 
 
+def test_lsh_arrow_kernel_nan_matches_jvm_ordering(spark):
+    """A NaN component poisons every projection to NaN, and Spark's
+    comparison (like the DuckDB oracle's, Postgres-style) orders NaN
+    GREATER than every value — so a NaN row must land in bucket
+    2^bits − 1 of EVERY band under BOTH impls. numpy's IEEE `NaN > 0`
+    is False; the kernel mirrors the JVM rule explicitly (r11 review
+    catch: the arrow path silently sent NaN rows to bucket 0)."""
+    from document_vector_indexer_spark.operators.dedup import embedding_lsh_blocks
+
+    rows = [
+        (1, [float("nan")] + [0.1] * 63),
+        (2, [float(j % 5) - 1.7 for j in range(64)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {}
+    for impl in ("arrow", "expr"):
+        out[impl] = sorted(
+            (r["vec_id"], r["band"], r["bucket"])
+            for r in embedding_lsh_blocks(
+                df, dim=64, bands=3, bits=4, impl=impl
+            ).collect()
+        )
+        for vid, _band, bucket in out[impl]:
+            if vid == 1:
+                assert bucket == 15, (impl, bucket)
+    assert out["arrow"] == out["expr"]
+
+
 def test_lsh_carry_vec_false_narrow_output(spark):
     """carry_vec=False (the semantic-dedup shape) must emit only
     (id, band, bucket) — narrow rows into the shuffle — with the same

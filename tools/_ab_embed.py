@@ -4,13 +4,13 @@
 import os, sys, time, functools
 sys.path.insert(0, "/root/repo")
 from document_vector_indexer_spark.queries.registry import all_queries
-from document_vector_indexer_spark.session import get_spark, autosize_shuffle_partitions
+from document_vector_indexer_spark.session import get_spark, autosize_shuffle_partitions, dir_bytes
 
 impl = os.environ["AB_IMPL"]
 d = sys.argv[1]
 spark = get_spark(app_name="ab-embed")
 spark.sparkContext.setLogLevel("ERROR")
-total = sum(os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(d) for f in fs)
+total = dir_bytes(d)
 print("partitions:", autosize_shuffle_partitions(spark, total))
 if impl == "expr":
     from document_vector_indexer_spark.operators import dedup as D

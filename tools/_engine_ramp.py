@@ -4,14 +4,14 @@
 import os, sys, time
 sys.path.insert(0, "/root/repo")
 from document_vector_indexer_spark.queries.registry import all_queries
-from document_vector_indexer_spark.session import get_spark, autosize_shuffle_partitions
+from document_vector_indexer_spark.session import get_spark, autosize_shuffle_partitions, dir_bytes
 
 d = sys.argv[1]
 keys = sys.argv[2].split(",")
 runs_per = int(os.environ.get("RAMP_RUNS", "2"))
 spark = get_spark(app_name="engine-ramp")
 spark.sparkContext.setLogLevel("ERROR")
-total = sum(os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(d) for f in fs)
+total = dir_bytes(d)
 print("dir:", d, "bytes:", total, "partitions:", autosize_shuffle_partitions(spark, total), flush=True)
 qs = all_queries()
 for k in keys:

@@ -29,10 +29,12 @@ from pyspark.sql import functions as F
 from document_vector_indexer_spark.operators.dedup import (
     _resolve_lsh_bits,
     embedding_near_dup_pairs,
+    lsh_union_recall,
     recommended_lsh_bands,
 )
 from document_vector_indexer_spark.session import (
     autosize_shuffle_partitions,
+    dir_bytes,
     get_spark,
 )
 
@@ -47,12 +49,7 @@ def main() -> None:
     spark = get_spark(app_name="bands-recall-probe")
     spark.sparkContext.setLogLevel("ERROR")
     for d in dirs:
-        total = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(d)
-            for f in fs
-        )
-        autosize_shuffle_partitions(spark, total)
+        autosize_shuffle_partitions(spark, dir_bytes(d))
         emb = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
             "vec_id", "embedding"
         )
@@ -76,7 +73,6 @@ def main() -> None:
         allv = emb.unionByName(planted)
         bits = _resolve_lsh_bits(allv, "auto", target_bucket_rows=32)
         auto_bands = recommended_lsh_bands(bits, THRESHOLD)
-        p = 1.0 - theta / math.pi
         for bands in sorted({6, auto_bands}):
             t0 = time.perf_counter()
             got = (
@@ -96,7 +92,7 @@ def main() -> None:
                 .count()
             )
             sec = time.perf_counter() - t0
-            predicted = 1 - (1 - p**bits) ** bands
+            predicted = lsh_union_recall(bits, PLANT_COS, bands)
             print(
                 f"{d}: bits={bits} bands={bands}"
                 f"{' (auto)' if bands == auto_bands else ' (fixed r6 default)'}"

@@ -21,8 +21,17 @@ Broadcasts of dimension tables (nation/region/part/supplier) and of
 aggregated frames (per-group stats, top-k, 1-row totals) are the
 normal, wanted shapes and are not flagged.
 
-CONSTRUCTION-ONLY: plans are built and explained, never executed
-(a few Spark jobs may still run for ingest/layout registration).
+CONSTRUCTION-ONLY: plans are built and explained, not run — with two
+honest exceptions: (a) a few Spark jobs still run for ingest/layout
+registration and parquet footer reads; (b) iterate-until-converged
+operators (connected_components inside q_dedup_cluster/apply/
+golden_record) inherently EXECUTE during plan construction — their
+loop must materialize each round to test convergence, and the
+resulting LogicalRDD hides the loop's interior from this audit. Their
+upstream pair-generation subtrees are audited through the
+non-iterative q_dedup_near/q_dedup_minhash keys (kept checkpoint-free
+for exactly this reason — late r11: an eager localCheckpoint there
+was silently blinding this audit to the whole minhash family).
 
 Usage: python tools/broadcast_audit.py [sf_dir] [--raw]
        (default /root/repo/.scale/sf1, ingested to a temp dir first

@@ -206,6 +206,15 @@ def _blow_embeddings(src: str, dest: str, n: int) -> None:
         out_id.append(base_ids + r * STRIDES["vec_id"])
         out_vals.append(Vr.astype(np.float32).ravel())
         out_lb.append(base_lb)
+    total_vals = n * m * d
+    # int32 list offsets wrap SILENTLY in np.arange past 2^31 and
+    # pa.ListArray.from_arrays does not validate monotonicity — guard
+    # loudly instead of writing a corrupt file (r11 review catch; the
+    # cliff is n ≈ 16,800 replicas of the 2,000-row sf0.1 base)
+    assert total_vals + d < 2**31, (
+        f"embedding blow-up would need {total_vals} list values — past "
+        "int32 offset range; chunk the table or switch to large_list"
+    )
     vals = pa.array(np.concatenate(out_vals), pa.float32())
     offsets = pa.array(
         np.arange(0, (n * m + 1) * d, d, dtype=np.int32), pa.int32()
@@ -298,14 +307,24 @@ def _sanity(dest: str, n: int) -> None:
     # threshold the dedup workloads probe.
     import numpy as np
 
+    vstride = STRIDES["vec_id"]
+    ers = ([0] + rs) if n > 1 else [0]
+    # read ONLY the sampled families (50 bases x <=100 replicas) — the
+    # full blown table is ~2M x 64 doubles at n=1000, multi-GB as
+    # Python lists, to feed a 5,050-row check (r11 review catch)
+    ebt = pq.read_table(
+        os.path.join(dest, "embeddings.parquet"), columns=["vec_id"]
+    )
+    all_ids = np.asarray(ebt.column("vec_id").to_pylist(), dtype=np.int64)
+    ebase = np.sort(all_ids[all_ids < vstride])[:50]
+    want = {int(b) + r * vstride for b in ebase for r in ers}
     et = pq.read_table(
-        os.path.join(dest, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        os.path.join(dest, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", sorted(want))],
     )
     eids = np.asarray(et.column("vec_id").to_pylist(), dtype=np.int64)
     evecs = np.asarray(et.column("embedding").to_pylist(), dtype=np.float64)
-    vstride = STRIDES["vec_id"]
-    ebase = np.sort(eids[eids < vstride])[:50]
-    ers = ([0] + rs) if n > 1 else [0]
     by_vid = {int(i): v for i, v in zip(eids, evecs)}
     worst_cos = 0.0
     for b in ebase:
