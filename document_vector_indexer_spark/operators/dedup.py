@@ -477,6 +477,48 @@ def minhash_signature_df(
     )
 
 
+_PERSISTED_LRU: "weakref.WeakKeyDictionary | None" = None
+_PERSIST_BOUND = 4
+
+
+def _persist_bounded(df: DataFrame) -> DataFrame:
+    """persist() with a per-session LRU bound (late-r11 review catch):
+    SQL caches are registered in CacheManager keyed by canonicalized
+    plan and are NOT garbage-collected with the DataFrame handle, so an
+    operator that persists internally would otherwise pin one cache per
+    distinct input corpus for the session's lifetime (the driver sim
+    and ramp loops sweep several). Same-plan repeats dedup inside
+    CacheManager; beyond ``_PERSIST_BOUND`` distinct plans the oldest
+    is unpersisted (blocking=False — eviction, not a barrier)."""
+    global _PERSISTED_LRU
+    if _PERSISTED_LRU is None:
+        import weakref
+
+        _PERSISTED_LRU = weakref.WeakKeyDictionary()
+    entries = _PERSISTED_LRU.setdefault(df.sparkSession, [])
+    # Key by the ANALYZED plan's semantic hash: CacheManager dedups
+    # same-plan persists into one entry, so appending a duplicate and
+    # later evicting it would unpersist the shared cache out from
+    # under every newer same-plan frame (cache thrash). A repeat hit
+    # just refreshes its LRU position.
+    try:
+        key = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover - plan API unavailable
+        key = None
+    for i, (k, _old) in enumerate(entries):
+        if key is not None and k == key:
+            entries.append(entries.pop(i))
+            return df.persist()  # no-op re-register of the same plan
+    df = df.persist()
+    entries.append((key, df))
+    while len(entries) > _PERSIST_BOUND:
+        try:
+            entries.pop(0)[1].unpersist(blocking=False)
+        except Exception:  # session shutting down — nothing to release
+            pass
+    return df
+
+
 def minhash_portable_pairs(
     df: DataFrame,
     threshold: float = 0.6,
@@ -526,7 +568,12 @@ def minhash_portable_pairs(
     # computes the narrow (id, 16 longs) frame once on first access
     # (the three consumers then read the cache within the same job),
     # and keeps the parquet scans visible in the explained plan.
-    sigs = sigs.persist()
+    # Lifecycle: CacheManager dedups by canonicalized plan, so
+    # repeated calls over the SAME corpus share one cache entry;
+    # _persist_bounded unpersists the oldest entry beyond a small
+    # per-session bound so sessions that sweep many corpora (driver
+    # sim, ramp loops) cannot accumulate unreleased caches.
+    sigs = _persist_bounded(sigs)
     band_arr = F.array(
         *[
             F.concat_ws(

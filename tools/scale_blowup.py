@@ -192,6 +192,17 @@ def _blow_embeddings(src: str, dest: str, n: int) -> None:
     X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
     base_lb = np.asarray(t.column("label").to_pylist(), dtype=np.int32)
     m, d = X.shape
+    # int32 list offsets wrap SILENTLY in np.arange past 2^31 and
+    # pa.ListArray.from_arrays does not validate monotonicity — fail
+    # loudly BEFORE the replication loop allocates ~8 GB of values
+    # (r11 review catch; the cliff is n ≈ 16,800 replicas of the
+    # 2,000-row sf0.1 base), and as a real raise, not an assert
+    # `python -O` would strip.
+    if (n * m + 1) * d >= 2**31:
+        raise ValueError(
+            f"embedding blow-up needs {n * m * d} list values — past "
+            "int32 offset range; chunk the table or switch to large_list"
+        )
     out_id, out_vals, out_lb = [], [], []
     for r in range(n):
         if r == 0:
@@ -206,15 +217,6 @@ def _blow_embeddings(src: str, dest: str, n: int) -> None:
         out_id.append(base_ids + r * STRIDES["vec_id"])
         out_vals.append(Vr.astype(np.float32).ravel())
         out_lb.append(base_lb)
-    total_vals = n * m * d
-    # int32 list offsets wrap SILENTLY in np.arange past 2^31 and
-    # pa.ListArray.from_arrays does not validate monotonicity — guard
-    # loudly instead of writing a corrupt file (r11 review catch; the
-    # cliff is n ≈ 16,800 replicas of the 2,000-row sf0.1 base)
-    assert total_vals + d < 2**31, (
-        f"embedding blow-up would need {total_vals} list values — past "
-        "int32 offset range; chunk the table or switch to large_list"
-    )
     vals = pa.array(np.concatenate(out_vals), pa.float32())
     offsets = pa.array(
         np.arange(0, (n * m + 1) * d, d, dtype=np.int32), pa.int32()
