@@ -1391,19 +1391,29 @@ def dup_substring_stats(
     by_hash = exploded.groupBy("_gh").agg(
         F.countDistinct(id_col).alias("_nd")
     )
+    # MERGE-pinned, not shuffle_hash (late r11, measured): the build
+    # side is the per-hash count table — STRIDE-1 grams, so its row
+    # count is LINEAR in corpus tokens (not vocabulary-sublinear like
+    # collocations' unigram table), and the per-partition hash
+    # relation grows with tokens-per-partition: at ~sf100 (1,153
+    # autosized partitions) the build needed >134 MB per task and the
+    # job died with "Can't acquire memory to build hash relation" —
+    # the exact q_tpch_q21 failure class the r10 durable rule names
+    # (hash builds cannot spill; sorts can). Broadcast stays banned
+    # (the r10 vocab rule); merge completes at ~sf100 where the hash
+    # pin hard-fails.
     per_doc = (
-        exploded.join(by_hash.hint("shuffle_hash"), "_gh")
+        exploded.join(by_hash.hint("merge"), "_gh")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_windows"),
             F.count_if(F.col("_nd") > 1).alias("n_dup_windows"),
         )
     )
-    # per_doc is one row per document — corpus-sized, so the fill-in
-    # left join is shuffle-pinned like every other corpus-derived frame
+    # per_doc is one row per document — corpus-sized, same rule
     return (
         df.select(id_col)
-        .join(per_doc.hint("shuffle_hash"), id_col, "left")
+        .join(per_doc.hint("merge"), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_windows", F.lit(0)).alias("n_windows"),

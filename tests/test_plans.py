@@ -411,16 +411,25 @@ def test_tpch_q17_join_back_never_broadcasts_per_part(spark):
 
 
 def test_dup_substrings_and_collocations_never_broadcast_vocab(spark):
-    """Both new corpus ops join a corpus-derived frame (per-hash doc
+    """Both corpus ops join a corpus-derived frame (per-hash doc
     counts / unigram vocabulary) back onto corpus-sized rows. At test
     scale Catalyst would happily broadcast those (tiny size estimate);
     at 100 TB a web corpus's hash/vocab tables need not fit an
-    executor, so the joins are shuffle-hash pinned — the same rule
-    test_unigram_logprob_weight_join_not_broadcast enforces. The only
-    broadcasts allowed are the 1-row totals (BroadcastNestedLoopJoin)."""
-    for name in ("q_dedup_substrings", "q_collocations"):
+    executor, so broadcast is banned for both. The pinned join KIND
+    differs by the build side's growth law (late r11, measured):
+    collocations' unigram vocabulary is sublinear in the corpus
+    (Heaps' law), so its per-partition hash build stays bounded —
+    shuffle_hash; substrings' stride-1 gram table is LINEAR in corpus
+    tokens and its hash build died at ~sf100 with "Can't acquire
+    memory to build hash relation" (the q_tpch_q21 class — hash
+    builds can't spill, sorts can) — MERGE."""
+    expect = {
+        "q_dedup_substrings": "SortMergeJoin",
+        "q_collocations": "ShuffledHashJoin",
+    }
+    for name, join_kind in expect.items():
         tree = _tree(_plan(spark, name))
-        assert "ShuffledHashJoin" in tree, f"{name}: vocab join not pinned:\n{tree}"
+        assert join_kind in tree, f"{name}: vocab join not pinned:\n{tree}"
         assert "BroadcastHashJoin" not in tree, (
             f"{name}: corpus-derived frame broadcast into a join:\n{tree}"
         )
