@@ -504,9 +504,15 @@ def _persist_bounded(df: DataFrame) -> DataFrame:
     try:
         key = df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:  # pragma: no cover - plan API unavailable
-        key = None
+        # No stable identity -> no LRU tracking (r11 ADVICE): repeated
+        # same-plan calls would each append an entry, and evicting one
+        # unpersists the CacheManager slot shared by every newer
+        # same-plan frame still tracked — cache thrash on the exact
+        # path the LRU protects. Untracked persists are only as leaky
+        # as pre-LRU behavior, and only on this degraded branch.
+        return df.persist()
     for i, (k, _old) in enumerate(entries):
-        if key is not None and k == key:
+        if k == key:
             entries.append(entries.pop(i))
             return df.persist()  # no-op re-register of the same plan
     df = df.persist()
@@ -820,6 +826,15 @@ def embedding_lsh_blocks(
     """
     from pyspark.sql import types as T
 
+    # Explicit range check (r11 ADVICE): the arrow kernel's int32 pack
+    # would silently WRAP at bits >= 32 while the expr path's ANSI int
+    # cast raises — a divergence only explicit callers can reach
+    # (``recommended_lsh_bits`` caps at 24), so fail both paths loudly.
+    if isinstance(bits, bool) or not isinstance(bits, int) or not 1 <= bits <= 31:
+        raise ValueError(f"bits must be an int in [1, 31], got {bits!r}")
+    if isinstance(bands, bool) or not isinstance(bands, int) or bands < 1:
+        raise ValueError(f"bands must be a positive int, got {bands!r}")
+
     H = lsh_hyperplanes(dim, bands, bits, seed)
     if impl == "expr":
         band_structs = []
@@ -849,6 +864,22 @@ def embedding_lsh_blocks(
         raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
 
     base = df.select(F.col(id_col), F.col(vec_col))
+    # Element-level NULLs (a null FLOAT inside a non-null vector) are
+    # indistinguishable from real NaN after the Arrow->pandas hop, but
+    # the two diverge on the expr path: a NULL element NULL-propagates
+    # through the fold -> no bit set -> bucket 0, while a real NaN
+    # projection compares GREATER than 0 JVM-side -> every bit set.
+    # Flag them JVM-side before the boundary (r11 ADVICE parity gap);
+    # skipped entirely when the schema proves no element nulls exist.
+    vec_type = base.schema[vec_col].dataType
+    flag_nulls = bool(getattr(vec_type, "containsNull", False))
+    if flag_nulls:
+        base = base.withColumn(
+            "__nullelem",
+            F.coalesce(
+                F.exists(F.col(vec_col), lambda x: x.isNull()), F.lit(False)
+            ),
+        )
     keep = [id_col, vec_col] if carry_vec else [id_col]
     out_schema = T.StructType(
         [f for f in base.schema.fields if f.name in keep]
@@ -871,10 +902,17 @@ def embedding_lsh_blocks(
                     X = None
             except Exception:
                 X = None
+            nullelem = (
+                pdf["__nullelem"].to_numpy(dtype=bool)
+                if flag_nulls
+                else np.zeros(n, dtype=bool)
+            )
             if X is not None:
                 codes = _lsh_pack_codes(
                     X.astype(np.float64, copy=False), S, bands, bits
                 )
+                if nullelem.any():
+                    codes[nullelem] = 0  # expr parity: NULL element -> bucket 0
             else:
                 # Ragged/null rows: the expression path's fold over a
                 # zip_with length mismatch yields NULL -> no bit set ->
@@ -884,7 +922,7 @@ def embedding_lsh_blocks(
                     (v is not None and len(v) == dim for v in vals),
                     dtype=bool,
                     count=n,
-                )
+                ) & ~nullelem
                 if ok.any():
                     codes[ok] = _lsh_pack_codes(
                         np.stack(vals[ok]).astype(np.float64, copy=False),

@@ -871,6 +871,11 @@ def test_lsh_arrow_kernel_edge_rows(spark):
         (2, None),
         (3, [1.0, 2.0]),                                   # too short
         (4, [float(j % 3) + 0.25 for j in range(80)]),     # too long
+        # NULL ELEMENT, right length (r11 ADVICE): Arrow->pandas turns
+        # it into NaN — indistinguishable from a real NaN batch-side —
+        # but the expr fold NULL-propagates to bucket 0, so the kernel
+        # must flag it JVM-side, not inherit the NaN>0 rule.
+        (5, [None] + [0.5] * 63),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     for impl in ("arrow", "expr"):
@@ -878,7 +883,7 @@ def test_lsh_arrow_kernel_edge_rows(spark):
             (r["vec_id"], r["band"]): r["bucket"]
             for r in embedding_lsh_blocks(df, dim=64, impl=impl).collect()
         }
-        assert len(got) == 4 * 6, impl
+        assert len(got) == 5 * 6, impl
         for (vid, _band), bucket in got.items():
             if vid == 1:
                 continue
@@ -893,6 +898,27 @@ def test_lsh_arrow_kernel_edge_rows(spark):
             .filter("vec_id = 1").select("band", "bucket").collect())
     )
     assert a == e
+
+
+def test_lsh_bits_bands_range_validated(spark):
+    """bits >= 32 would silently WRAP in the arrow kernel's int32 pack
+    while the expr path's ANSI cast raises — both impls must reject it
+    loudly instead (r11 ADVICE), along with bool/non-int and bands < 1."""
+    import pytest
+
+    from document_vector_indexer_spark.operators.dedup import embedding_lsh_blocks
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 8)], "vec_id long, embedding array<double>"
+    )
+    for impl in ("arrow", "expr"):
+        for bad_bits in (0, 32, 40, -1, True):
+            with pytest.raises(ValueError, match="bits"):
+                embedding_lsh_blocks(df, dim=8, bits=bad_bits, impl=impl)
+        for bad_bands in (0, -2, True):
+            with pytest.raises(ValueError, match="bands"):
+                embedding_lsh_blocks(df, dim=8, bands=bad_bands, impl=impl)
+    assert embedding_lsh_blocks(df, dim=8, bits=31, bands=1).count() == 1
 
 
 def test_lsh_arrow_kernel_nan_matches_jvm_ordering(spark):
