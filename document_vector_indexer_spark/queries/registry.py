@@ -126,85 +126,34 @@ def all_queries() -> dict[str, QuerySpec]:
 # the back of the queue. tests/test_registry.py simulates the rotation
 # forward and asserts the staleness bound.
 
-# Changed in round 11: see rule 1 above.
+# Changed in round 12: see rule 1 above.
 _CHANGED_SINCE_VERIFIED: list[str] = [
-    "q_lsh_buckets",        # r11: sign-LSH projections vectorized —
-                            #     ONE numpy pass per Arrow batch inside
-                            #     mapInPandas instead of bits·bands·dim
-                            #     interpreted HOF folds (the r10-named
-                            #     constant-factor lever; the engine's
-                            #     slowest measured family at ~sf10).
-                            #     Bit-identical by construction: the
-                            #     kernel accumulates in array-index
-                            #     order (one IEEE add per plane per
-                            #     step — see dedup._lsh_pack_codes),
-                            #     never a reordered BLAS sum. Oracle
-                            #     text unchanged; sim re-greened at
-                            #     sf0.001/0.01/0.1 under hostile TZ
-    "q_dedup_embed",        # r11: rides the vectorized kernel (blocks
-                            #     build measured 6.0x faster at sf0.1,
-                            #     4.6x at ~sf1); bits="auto" seam
-                            #     factored to _resolve_lsh_bits (bool
-                            #     rejected), hot-bucket drops now have
-                            #     an opt-in runtime signal. LATE r11:
-                            #     pair_exchange="narrow" — the multi-
-                            #     band pair dedup moves AFTER the
-                            #     threshold filter, so the dedup
-                            #     exchange carries ~24 B survivor rows
-                            #     instead of ~1 KB candidate rows
-                            #     (41.1 -> 14.4 s at ~sf10; value-
-                            #     neutral: sims identical per copy,
-                            #     parity re-proven vs the wide order
-                            #     on random vectors at two thresholds).
-                            #     Plus bands="auto" (recall contract,
-                            #     SCALE.md r11 §5) — floor 6 keeps all
-                            #     driver-scale plans byte-identical,
-                            #     asserted at the fixtures' own n
-    "q_cross_cosine",       # r11: alias of q_dedup_embed — same kernel
-    "q_dedup_semantic",     # r11: cell id now computed by the shared
-                            #     vectorized kernel with carry_vec=False
-                            #     (only narrow (id, bucket) rows reach
-                            #     the shuffle); same seeded hyperplanes,
-                            #     bit-identical codes, oracle untouched
-    "q_knn_lsh_pinned",     # r11: corpus/query banding rides the same
-                            #     vectorized kernel; oracle untouched
-    "q_join_skew",          # r11 raw-layout broadcast audit: Catalyst
-                            #     broadcast the narrow projection of the
-                            #     skewed EVENTS side at ~sf1 (q_tpch_q4
-                            #     class — and it silently bypassed the
-                            #     salting). salted_join merge-pinned
-    "q_funnel",             # r11 raw-layout audit: purchase-stage join
-                            #     broadcast the raw filtered events
-                            #     projection at ~sf1; both stage joins
-                            #     merge-pinned (final left-joins stay
-                            #     adaptive — aggregate-bounded sides)
-    "q_stream_join",        # r11 raw-layout audit: the batch analog of
-                            #     attribution_join broadcast the
-                            #     projected clicks side; merge-pinned in
-                            #     the batch path only (streaming frames
-                            #     keep the stream-stream join)
-    "q_join_range",         # r11 raw-layout audit: bucketized range
-                            #     join broadcast the projected clicks
-                            #     side at ~sf1; merge-pinned
-    "q_dedup_near",         # r11 third-decade fix: the minhash
-                            #     signature frame (consumed 3x; runtime
-                            #     exchange reuse measurably stopped
-                            #     firing at ~sf100, 137 s -> 57 s) is
-                            #     materialized once. LATE r11: the
-                            #     materialization is persist(), not
-                            #     localCheckpoint — review showed the
-                            #     eager checkpoint ran the sig job at
-                            #     CONSTRUCTION and its LogicalRDD
-                            #     blinded the broadcast gate to the
-                            #     family; persist is lazy, keeps scans
-                            #     visible, and measures 24.2 s at sf100
-                            #     (values identical; sim re-greened)
-    "q_dedup_minhash",      # r11: same checkpoint (q_dedup_near alias
-                            #     target)
-    "q_dedup_cluster",      # r11: consumes minhash pairs — same
-                            #     checkpoint upstream
-    "q_dedup_apply",        # r11: same upstream
-    "q_golden_record",      # r11: same upstream
+    "q_lsh_buckets",        # r12: arrow kernel gained the element-NULL
+                            #     parity flag (JVM-side F.exists before
+                            #     the Arrow boundary -> bucket 0, the
+                            #     expr fold's NULL-propagation rule) and
+                            #     explicit 1<=bits<=31 / bands>=1
+                            #     validation (int32 pack wrapped
+                            #     silently at bits>=32). Values on the
+                            #     fixtures unchanged (no element NULLs
+                            #     there) — re-front to prove it
+    "q_dedup_embed",        # r12: rides the same kernel change
+    "q_cross_cosine",       # r12: alias of q_dedup_embed
+    "q_dedup_semantic",     # r12: rides the kernel (carry_vec=False)
+    "q_knn_lsh_pinned",     # r12: corpus/query banding rides the kernel
+    "q_stream_stateful",    # r12: updater body vectorized (np.rint sum
+                            #     + from_records — 265 -> 110 us/group;
+                            #     half-to-even on both sides, and 2dp
+                            #     data x100 never lands on .5, so the
+                            #     cents value is identical). The
+                            #     decomposition that motivated it lives
+                            #     in SCALE.md r12
+    "q_stream_stateful_jvm",  # r12: NEW key — the same running-totals
+                            #     state through Spark's built-in
+                            #     streaming agg (update mode), pinned
+                            #     against the same batch oracle; the
+                            #     scale recommendation for
+                            #     agg-expressible state
 ]
 # (The round-10 list — the LSH auto-bits/cap keys, the DECIMAL
 # promotion, the q4/q21 merge pins, the multimodal/stateful/minidoc

@@ -114,6 +114,41 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_stateful_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same running-totals state through Spark's BUILT-IN streaming
+    aggregation (update mode, real streaming query to completion) — the
+    scale path for agg-expressible state. The r12 decomposition
+    measured the applyInPandasWithState harness paying an irreducible
+    per-GROUP Python cost (~2.5x the JVM wall at ~sf10, growing with
+    group count); this key pins the JVM route against the same oracle
+    so the recommendation in streaming/stateful.py stays verified."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from document_vector_indexer_spark.streaming.stateful import (
+        running_user_totals_jvm,
+    )
+
+    name = f"q_stream_stateful_jvm_{uuid.uuid4().hex[:8]}"
+    stream = running_user_totals_jvm(W.read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql(f"SELECT * FROM {name}")
+    # update mode re-emits the refreshed totals per touched user per
+    # micro-batch; the final (max n_events) row is the converged state
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join, batch analog: purchases attributed
     to the same user's clicks within 30 minutes, rolled up per user.
@@ -164,5 +199,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_stream_stateful,
         SQL_STREAM_STATEFUL,
         "applyInPandasWithState running totals vs batch-aggregate oracle",
+    ),
+    "q_stream_stateful_jvm": QuerySpec(
+        q_stream_stateful_jvm,
+        SQL_STREAM_STATEFUL,
+        "built-in streaming agg running totals (the scale path) vs the same oracle",
     ),
 }

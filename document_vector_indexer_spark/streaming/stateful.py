@@ -39,6 +39,7 @@ def make_user_totals_updater(idle_timeout_ms: int = 0):
     in one session."""
 
     def update(key, pdfs: Iterator, state: GroupState) -> Iterable:
+        import numpy as np
         import pandas as pd
 
         if state.hasTimedOut:
@@ -55,22 +56,26 @@ def make_user_totals_updater(idle_timeout_ms: int = 0):
         # state; the multi-flush test pinned the cross-batch path
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            n += len(pdf)
             # per-ROW exact cents (2dp data), never round a batch sum:
             # batch-level rounding would make the state depend on
-            # micro-batch boundaries
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            # micro-batch boundaries. numpy body (r12): this function
+            # runs once per GROUP per flush — 1.5 M times per flush at
+            # ~sf100 — so per-call pandas overhead is a measured wall
+            # (265 us/group for the .mul/.round/.astype chain + dict
+            # DataFrame vs 110 us for np.rint + from_records; np.rint
+            # and pandas .round are both half-to-even, and 2dp data
+            # times 100 never lands on .5, so the value is identical).
+            v = pdf["value"].to_numpy()
+            n += len(v)
+            cents += int(np.rint(v * 100.0).sum())
         state.update((n, cents))
         if idle_timeout_ms > 0:
             # re-armed on every batch that touches the key, so the
             # clock measures IDLE time, not lifetime
             state.setTimeoutDuration(idle_timeout_ms)
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "total_value": [cents / 100.0],
-            }
+        yield pd.DataFrame.from_records(
+            [(key[0], n, cents / 100.0)],
+            columns=["user_id", "n_events", "total_value"],
         )
 
     return update
@@ -103,6 +108,43 @@ def running_user_totals(
             if idle_timeout_ms > 0
             else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+def running_user_totals_jvm(events: DataFrame) -> DataFrame:
+    """The SAME running-totals state as ``running_user_totals``, kept
+    by Spark's built-in streaming aggregation instead of a Python
+    updater — the scale path for any state shape a SQL aggregate can
+    express (update mode emits the refreshed totals per touched user
+    per micro-batch, exactly like the Python operator).
+
+    Why both exist (r12 decomposition, SCALE.md): the
+    ``applyInPandasWithState`` harness pays a per-GROUP Python cost —
+    group slicing, per-group state rows, per-group output frames —
+    that is independent of what the update function does. Measured at
+    ~sf10 (10 M events, 150 k users, local[32]): a drain-only updater
+    runs 20-21 s while this JVM aggregation runs 8.3 s on the same
+    stream; body/partition/Arrow-batch levers all move the Python wall
+    by ±noise. At ~sf100 (1.5 M groups/flush) the per-group constant IS
+    the operator's wall. Rule: reach for ``applyInPandasWithState``
+    only when the state transition genuinely can't be a SQL aggregate
+    (session machines, custom eviction, non-commutative updates);
+    running totals can, so production deployments of THIS shape should
+    use this path. The Python operator remains the engine's pinned
+    proof of the custom-state contract (R13's continuous analog).
+
+    Same fixed-point discipline as the updater: per-row exact cents
+    via ``rint(value*100)`` summed as longs, so totals are independent
+    of micro-batch boundaries and row order.
+    """
+    from pyspark.sql import functions as F
+
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.rint(F.col("value") * 100).cast("long")).cast("double")
+            / 100.0
+        ).alias("total_value"),
     )
 
 

@@ -10,6 +10,7 @@ from document_vector_indexer_spark.io import load_table
 from document_vector_indexer_spark.streaming import windows as W
 from document_vector_indexer_spark.streaming.stateful import (
     running_user_totals,
+    running_user_totals_jvm,
     write_each_batch_idempotent,
 )
 
@@ -46,6 +47,44 @@ def test_stateful_totals_match_batch(spark):
     for u in batch:
         assert got[u][0] == batch[u][0], f"user {u} count"
         assert abs(got[u][1] - batch[u][1]) < 0.02, f"user {u} total"
+
+
+def test_jvm_totals_match_python_path_across_flushes(spark, tmp_path):
+    """running_user_totals_jvm (the r12 scale path: built-in streaming
+    agg, no Python harness) must converge to EXACTLY the same final
+    state as the applyInPandasWithState operator, across real
+    micro-batch boundaries (maxFilesPerTrigger=1 over a 4-file split,
+    so state genuinely accumulates across flushes on both paths)."""
+    src = str(tmp_path / "events_split_jvm")
+    ev = load_table(spark, SF, "events")
+    ev.repartition(4).write.parquet(src)
+
+    def final_state(stream_df, name):
+        q = (
+            stream_df.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert len(q.recentProgress) >= 4, "expected one flush per file"
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        out: dict = {}
+        for r in rows:  # memory sink appends in batch order
+            out[r.user_id] = (r.n_events, r.total_value)
+        return out
+
+    def reader():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    py = final_state(running_user_totals(reader()), "t_state_py_vs_jvm")
+    jvm = final_state(running_user_totals_jvm(reader()), "t_state_jvm")
+    assert py == jvm  # bit-equal totals, same user set
 
 
 def test_stateful_totals_across_multiple_flushes(spark, tmp_path):

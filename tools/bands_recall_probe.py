@@ -13,6 +13,17 @@ so every planted pair sits at the same similarity and recall is a
 clean Bernoulli average, directly comparable to the closed form
 1 − (1 − p^bits)^bands, p = 1 − θ/π.
 
+r12 adds a MULTIPROBE arm (verdict item 2): probe Hamming-1-adjacent
+buckets per band so the recall target holds at fewer bands — per-band
+catch probability rises from p^bits to p^bits + bits·p^(bits-1)(1-p),
+so bands_mp = ceil(log(1-target)/log(1-that)) instead of the exact
+arm's count. The arm measures recall, SCORED-CANDIDATE volume, and
+wall-time against the shipped exact-match arms; the closed-form
+prediction (recorded here before the run) is that the probe fan-out
+multiplies per-band candidates by ~(bits+1) while cutting bands only
+~3x, so candidates net ~(bits+1)·bands_mp/bands_auto worse — the run
+decides whether the 3x narrower block exchange buys that back.
+
 Usage: python tools/bands_recall_probe.py [ing_dir ...]
 Defaults to .scale/ing_sf10 and .scale/ing_sf100.
 """
@@ -42,6 +53,100 @@ K = 2000
 PLANT_COS = 0.955
 THRESHOLD = 0.95
 SEED = 11
+
+
+def multiprobe_band_recall(bits: int, threshold: float) -> float:
+    """Per-band catch probability with Hamming-1 probing: exact match
+    OR exactly one of ``bits`` planes disagreeing."""
+    p = 1.0 - math.acos(threshold) / math.pi
+    return p**bits + bits * p ** (bits - 1) * (1.0 - p)
+
+
+def multiprobe_bands(bits: int, threshold: float, target: float = 0.9) -> int:
+    r1 = multiprobe_band_recall(bits, threshold)
+    return max(1, math.ceil(math.log(1.0 - target) / math.log(1.0 - r1)))
+
+
+def multiprobe_pairs(df, threshold, dim, bits, bands, seed=7, max_bucket_rows=512):
+    """The narrow pair path of embedding_near_dup_pairs with Hamming-1
+    probe explosion on ONE join side: side a emits its bucket plus the
+    ``bits`` single-bit-flipped buckets, side b stays exact, so a pair
+    whose band codes differ in <= 1 bit becomes a candidate. Plan-only
+    tool variant — the operator is untouched until the A/B decides."""
+    from pyspark.sql import Window
+
+    from document_vector_indexer_spark.operators.dedup import (
+        embedding_lsh_blocks,
+    )
+    from document_vector_indexer_spark.functions import vector as V
+
+    norm = F.sqrt(V.dot(F.col("embedding"), F.col("embedding")))
+    blocks = embedding_lsh_blocks(
+        df, dim=dim, vec_col="embedding", id_col="vec_id",
+        bands=bands, bits=bits, seed=seed,
+    )
+    occ_w = Window.partitionBy("band", "bucket")
+    blocks = (
+        blocks.withColumn("__occ", F.count("*").over(occ_w))
+        .filter(F.col("__occ") <= max_bucket_rows)
+        .drop("__occ")
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+    )
+    a = blocks.select(
+        "band",
+        F.explode(probes).alias("bucket"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+        norm.alias("n_a"),
+    )
+    b = blocks.select(
+        "band",
+        "bucket",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+        norm.alias("n_b"),
+    )
+    cand = a.join(b.hint("merge"), on=["band", "bucket"], how="inner").filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return (
+        cand.withColumn(
+            "sim",
+            V.dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+        .dropDuplicates(["id_a", "id_b"])
+    ), cand
+
+
+def _exact_candidates(df, bits, bands, seed=7, max_bucket_rows=512):
+    """The operator's exact-match candidate stream (pre-score, post-cap)
+    — the comparison metric for the multiprobe arm's candidate count."""
+    from pyspark.sql import Window
+
+    from document_vector_indexer_spark.operators.dedup import (
+        embedding_lsh_blocks,
+    )
+
+    blocks = embedding_lsh_blocks(
+        df, dim=64, vec_col="embedding", id_col="vec_id",
+        bands=bands, bits=bits, seed=seed, carry_vec=False,
+    )
+    occ_w = Window.partitionBy("band", "bucket")
+    blocks = (
+        blocks.withColumn("__occ", F.count("*").over(occ_w))
+        .filter(F.col("__occ") <= max_bucket_rows)
+        .drop("__occ")
+    )
+    a = blocks.select("band", "bucket", F.col("vec_id").alias("id_a"))
+    b = blocks.select("band", "bucket", F.col("vec_id").alias("id_b"))
+    return a.join(b.hint("merge"), on=["band", "bucket"], how="inner").filter(
+        F.col("id_a") < F.col("id_b")
+    )
 
 
 def main() -> None:
@@ -100,6 +205,43 @@ def main() -> None:
                 f" (closed-form {predicted:.3f}) in {sec:.1f}s",
                 flush=True,
             )
+
+        # --- multiprobe arm (r12): Hamming-1 probes, bands sized by the
+        # multiprobe closed form for the same 0.9 target ---------------
+        mp_bands = multiprobe_bands(bits, THRESHOLD)
+        mp_pred = 1.0 - (1.0 - multiprobe_band_recall(bits, PLANT_COS)) ** mp_bands
+        survivors, cand = multiprobe_pairs(
+            allv, THRESHOLD, dim=64, bits=bits, bands=mp_bands
+        )
+        t0 = time.perf_counter()
+        got = (
+            survivors.filter(
+                (F.col("id_a") >= max_id)
+                & (F.col("id_b") == F.col("id_a") + 1)
+                & (F.col("id_a") % 2 == 0)
+            )
+            .count()
+        )
+        sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_cand = cand.count()
+        cand_sec = time.perf_counter() - t0
+        print(
+            f"{d}: bits={bits} MULTIPROBE bands={mp_bands} (probes/band "
+            f"{bits + 1}) recall {got}/{K} = {got / K:.3f} "
+            f"(closed-form {mp_pred:.3f}) in {sec:.1f}s; scored "
+            f"candidates {n_cand} (count pass {cand_sec:.1f}s)",
+            flush=True,
+        )
+        # exact-arm candidate volume at auto bands, for the same metric
+        exact_blocks_cand = _exact_candidates(allv, bits, auto_bands)
+        t0 = time.perf_counter()
+        n_exact = exact_blocks_cand.count()
+        print(
+            f"{d}: bits={bits} exact bands={auto_bands} scored candidates "
+            f"{n_exact} (count pass {time.perf_counter() - t0:.1f}s)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
