@@ -1426,8 +1426,16 @@ def dup_substring_stats(
     exploded = words.select(
         F.col(id_col), F.explode(grams).alias("_gram")
     ).select(F.col(id_col), _word_hash(F.col("_gram")).alias("_gh"))
+    # "appears in >1 distinct doc" as min(id) != max(id), NOT
+    # countDistinct > 1 (r12): the values are identical for non-null
+    # ids, but countDistinct expands to a two-phase plan whose first
+    # exchange carries the FULL stride-1 gram stream (no map-side
+    # combine — ~1 B (hash, id) rows at ~sf100), while min/max
+    # partial-aggregate inside each scan task so the wire carries one
+    # row per distinct gram per partition. Same rule as the two-phase
+    # agg notes in relational.py.
     by_hash = exploded.groupBy("_gh").agg(
-        F.countDistinct(id_col).alias("_nd")
+        (F.min(id_col) != F.max(id_col)).alias("_dup")
     )
     # MERGE-pinned, not shuffle_hash (late r11, measured): the build
     # side is the per-hash count table — STRIDE-1 grams, so its row
@@ -1445,7 +1453,7 @@ def dup_substring_stats(
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_windows"),
-            F.count_if(F.col("_nd") > 1).alias("n_dup_windows"),
+            F.count_if(F.col("_dup")).alias("n_dup_windows"),
         )
     )
     # per_doc is one row per document — corpus-sized, same rule

@@ -148,6 +148,13 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     cents value is identical). The
                             #     decomposition that motivated it lives
                             #     in SCALE.md r12
+    "q_dedup_substrings",   # r12: per-hash aggregate rewritten
+                            #     countDistinct(id) > 1 -> min(id) !=
+                            #     max(id) (value-identical for non-null
+                            #     ids; narrower agg state). sf10 A/B a
+                            #     wash — the op is char-fold-CPU-bound
+                            #     — landed as the cheaper form; sim
+                            #     re-greened at sf0.01
     "q_stream_stateful_jvm",  # r12: NEW key — the same running-totals
                             #     state through Spark's built-in
                             #     streaming agg (update mode), pinned
