@@ -1376,11 +1376,97 @@ def connected_components(
     return labels
 
 
+def _gram_hashes_arrow(words: DataFrame, k: int, id_col: str) -> DataFrame:
+    """All stride-1 k-word-gram char-fold hashes per document, computed
+    in ONE vectorized numpy pass per Arrow batch — VALUE-IDENTICAL to
+    exploding gram strings through ``_word_hash``'s interpreted
+    per-character ``F.aggregate`` fold, by modular arithmetic (not a
+    float-rounding argument like the LSH kernel's: everything here is
+    int64 mod M31, so equality is exact by construction).
+
+    Identity used: with B=131, M=2^31-1 and s = the single-space join
+    of the token array (word_tokens drops empties, so every gram
+    string ``concat_ws(" ", slice(words, t, k))`` IS the substring of
+    s covering words t..t+k-1), the char fold of s[i..j) equals
+    (P_j - P_i·B^(j-i)) mod M where P_t is the fold of the first t
+    chars — the standard polynomial prefix-hash subtraction. The
+    prefix pass runs as max_len vectorized steps ACROSS the batch's
+    rows (the r11 LSH-kernel shape), so per-character interpreted
+    expression evaluation — bits of the q_dedup_substrings wall at
+    every scale — disappears, as does the per-gram JVM string
+    allocation (~n_tokens strings per doc).
+
+    Returns (id_col, _gh long) exploded rows, same as the expr path.
+    """
+    from pyspark.sql import types as T
+
+    id_field = [f for f in words.schema.fields if f.name == id_col]
+    out_schema = T.StructType(
+        id_field
+        + [T.StructField("_ghs", T.ArrayType(T.LongType(), False), False)]
+    )
+
+    def batches(it):
+        import numpy as np
+
+        B, M = 131, _CHAR_MOD
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            words_col = pdf["_words"]
+            joined = [
+                " ".join(w) if w is not None and len(w) else ""
+                for w in words_col
+            ]
+            maxlen = max((len(s) for s in joined), default=0)
+            out_hashes: list = []
+            if maxlen == 0:
+                out_hashes = [np.empty(0, np.int64)] * n
+            else:
+                arr = np.array(joined, dtype=f"<U{maxlen}")
+                cp = (
+                    arr.view(np.int32)
+                    .reshape(n, maxlen)
+                    .astype(np.int64, copy=False)
+                )
+                P = np.zeros((n, maxlen + 1), dtype=np.int64)
+                for i in range(maxlen):
+                    P[:, i + 1] = (P[:, i] * B + cp[:, i]) % M
+                pows = np.ones(maxlen + 1, dtype=np.int64)
+                for i in range(1, maxlen + 1):
+                    pows[i] = (pows[i - 1] * B) % M
+                for row, w in enumerate(words_col):
+                    m = 0 if w is None else len(w)
+                    if m < k:
+                        # mirror the expr path's otherwise-empty-array
+                        out_hashes.append(np.empty(0, np.int64))
+                        continue
+                    lens = np.fromiter(
+                        (len(x) for x in w), dtype=np.int64, count=m
+                    )
+                    starts = np.zeros(m, dtype=np.int64)
+                    np.cumsum(lens[:-1] + 1, out=starts[1:])
+                    gs = starts[: m - k + 1]
+                    ge = starts[k - 1 :] + lens[k - 1 :]
+                    Prow = P[row]
+                    # numpy % with a positive modulus is non-negative,
+                    # matching the fold's value range [0, M)
+                    out_hashes.append((Prow[ge] - Prow[gs] * pows[ge - gs]) % M)
+            out = pdf[[id_col]].copy()
+            out["_ghs"] = out_hashes
+            yield out
+
+    coded = words.mapInPandas(batches, schema=out_schema)
+    return coded.select(F.col(id_col), F.explode("_ghs").alias("_gh"))
+
+
 def dup_substring_stats(
     df: DataFrame,
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Passage-level duplicated-substring detection (the exact-substring
     dedup signal of Lee et al., "Deduplicating Training Data Makes
@@ -1403,29 +1489,45 @@ def dup_substring_stats(
     unigram_logprob), (id) for the per-document rollup. The hash is
     the portable char-fold (pure integer arithmetic), so a SQL oracle
     reproduces it value-for-value.
+
+    ``impl`` (r12): ``"arrow"`` (default) computes every gram hash in
+    one vectorized prefix-hash pass per Arrow batch
+    (``_gram_hashes_arrow`` — exact modular-arithmetic equality with
+    the fold, pinned by an expr-vs-arrow parity test on real fixtures
+    plus unicode/edge rows); ``"expr"`` keeps the pure-JVM explode +
+    interpreted char fold as the parity reference. The hash is the
+    operator's measured wall (char-fold CPU ∝ corpus chars × k —
+    468 s at ~sf100 on the expr path), which is exactly the r11
+    LSH-kernel situation transplanted to integers.
     """
     from document_vector_indexer_spark.functions import text as TX
 
     words = df.select(
         F.col(id_col), TX.word_tokens(F.col(text_col)).alias("_words")
     )
-    n = F.size("_words")
-    # Build gram STRINGS first and hash only after the explode
-    # materializes them as a plain column: inlining the concat_ws(slice)
-    # expression into _word_hash's per-character fold lambda re-evaluates
-    # the whole slice+concat once per character (the documented
-    # lambda-boundary trap, see the module notes above) — O(len²) CPU in
-    # this operator's hot kernel.
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_words"), i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = words.select(
-        F.col(id_col), F.explode(grams).alias("_gram")
-    ).select(F.col(id_col), _word_hash(F.col("_gram")).alias("_gh"))
+    if impl == "arrow":
+        exploded = _gram_hashes_arrow(words, k, id_col)
+    elif impl == "expr":
+        n = F.size("_words")
+        # Build gram STRINGS first and hash only after the explode
+        # materializes them as a plain column: inlining the
+        # concat_ws(slice) expression into _word_hash's per-character
+        # fold lambda re-evaluates the whole slice+concat once per
+        # character (the documented lambda-boundary trap, see the
+        # module notes above) — O(len²) CPU in this operator's hot
+        # kernel.
+        grams = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_words"), i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        exploded = words.select(
+            F.col(id_col), F.explode(grams).alias("_gram")
+        ).select(F.col(id_col), _word_hash(F.col("_gram")).alias("_gh"))
+    else:
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     # "appears in >1 distinct doc" as min(id) != max(id), NOT
     # countDistinct > 1 (r12): the values are identical for non-null
     # ids, but countDistinct expands to a two-phase plan whose first

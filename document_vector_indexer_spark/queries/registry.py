@@ -148,13 +148,18 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     cents value is identical). The
                             #     decomposition that motivated it lives
                             #     in SCALE.md r12
-    "q_dedup_substrings",   # r12: per-hash aggregate rewritten
-                            #     countDistinct(id) > 1 -> min(id) !=
-                            #     max(id) (value-identical for non-null
-                            #     ids; narrower agg state). sf10 A/B a
-                            #     wash — the op is char-fold-CPU-bound
-                            #     — landed as the cheaper form; sim
-                            #     re-greened at sf0.01
+    "q_dedup_substrings",   # r12 (two changes): per-hash aggregate
+                            #     countDistinct(id)>1 -> min!=max
+                            #     (value-identical; sf10 A/B a wash,
+                            #     landed as the cheaper form), and the
+                            #     gram hashes now ride a vectorized
+                            #     prefix-hash Arrow kernel
+                            #     (_gram_hashes_arrow — EXACT modular
+                            #     equality with the interpreted char
+                            #     fold, parity-pinned incl. unicode;
+                            #     42.6->23.1 s sf10, 468.7->180.2 s
+                            #     sf100). Oracle untouched; sim
+                            #     re-greened at 3 sfs
     "q_stream_stateful_jvm",  # r12: NEW key — the same running-totals
                             #     state through Spark's built-in
                             #     streaming agg (update mode), pinned

@@ -828,6 +828,44 @@ def test_hot_bucket_drop_signal(spark, caplog):
     assert not any("dropping" in r.message for r in caplog.records)
 
 
+def test_gram_hash_arrow_identical_to_expr(spark):
+    """The r12 vectorized gram-hash kernel (prefix-hash subtraction,
+    int64 mod M31) must produce the IDENTICAL output to the expr path's
+    explode + interpreted char fold — exact modular-arithmetic
+    equality, on the real fixture documents AND on edge rows: empty
+    text, whitespace-only, fewer-than-k words, exactly k words, BMP
+    unicode (accents/CJK), multi-space runs (word_tokens drops
+    empties, so both paths see the same single-space-joined stream)."""
+    from document_vector_indexer_spark.operators.dedup import dup_substring_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (10_001, ""),
+            (10_002, "   \t  "),
+            (10_003, "one two three"),                     # < k
+            (10_004, "a b c d e f g h"),                   # exactly k=8
+            (10_005, "a b c d e f g h i j"),               # k + 2
+            (10_006, "héllo wörld 中文 テスト mixé a b c d"),  # BMP unicode
+            (10_007, "x  y   z    " + "w " * 12),          # multi-space runs
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+    for k in (8, 2):
+        arrow = sorted(
+            map(tuple, dup_substring_stats(both, k=k, impl="arrow").collect())
+        )
+        expr = sorted(
+            map(tuple, dup_substring_stats(both, k=k, impl="expr").collect())
+        )
+        assert arrow == expr, k
+    import pytest
+
+    with pytest.raises(ValueError, match="impl"):
+        dup_substring_stats(both, impl="nope")
+
+
 def test_lsh_arrow_kernel_bit_identical_to_expr(spark):
     """The r11 vectorized sign-LSH kernel must be BIT-IDENTICAL to the
     interpreted expression fold — same (id, band, bucket) set on the
