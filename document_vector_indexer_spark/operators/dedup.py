@@ -444,28 +444,18 @@ def minhash_signature_df(
     pass is needed. Docs with < n words have no shingles and drop out
     (the MLlib variant's size>0 filter, same semantics).
 
+    r12: the shingle hashes ride the same vectorized prefix-hash
+    kernel as dup_substring_stats (``_gram_hashes_arrow`` with k=n —
+    an n-word shingle IS a stride-1 n-gram; exact modular equality
+    with the expr fold, covered by the kernel's parity test at k=2).
+
     Returns (id, sig: array<long> of length k).
     """
     words_df = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
-        TX.word_tokens(F.col(text_col)).alias("words"),
+        TX.word_tokens(F.col(text_col)).alias("_words"),
     )
-    grams = F.when(
-        F.size("words") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size("words") - n),
-            lambda i: F.concat_ws(
-                " ",
-                *[
-                    F.element_at(F.col("words"), (i + j + 1).cast("int"))
-                    for j in range(n)
-                ],
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    hashed = words_df.select(
-        "id", F.explode(grams).alias("shingle")
-    ).select("id", _word_hash(F.col("shingle")).alias("h"))
+    hashed = _gram_hashes_arrow(words_df, n, "id").withColumnRenamed("_gh", "h")
     P = F.lit(MINHASH_PRIME).cast("long")
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"_s{i}")

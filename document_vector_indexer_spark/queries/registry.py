@@ -160,6 +160,17 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     42.6->23.1 s sf10, 468.7->180.2 s
                             #     sf100). Oracle untouched; sim
                             #     re-greened at 3 sfs
+    "q_dedup_near",         # r12: minhash shingle hashes ride the
+                            #     prefix-hash kernel (_gram_hashes_arrow
+                            #     with k=n — exact modular equality;
+                            #     18.3->13.4 s at sf10, wash at sf100
+                            #     where banding dominates). Oracle
+                            #     untouched; family sim re-greened
+    "q_dedup_minhash",      # r12: same kernel (alias target)
+    "q_dedup_cluster",      # r12: consumes minhash pairs — same
+                            #     kernel upstream
+    "q_dedup_apply",        # r12: same upstream
+    "q_golden_record",      # r12: same upstream
     "q_stream_stateful_jvm",  # r12: NEW key — the same running-totals
                             #     state through Spark's built-in
                             #     streaming agg (update mode), pinned
