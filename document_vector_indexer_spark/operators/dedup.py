@@ -1518,30 +1518,22 @@ def dup_substring_stats(
         ).select(F.col(id_col), _word_hash(F.col("_gram")).alias("_gh"))
     else:
         raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
-    # "appears in >1 distinct doc" as min(id) != max(id), NOT
-    # countDistinct > 1 (r12): the values are identical for non-null
-    # ids, but countDistinct expands to a two-phase plan whose first
-    # exchange carries the FULL stride-1 gram stream (no map-side
-    # combine — ~1 B (hash, id) rows at ~sf100), while min/max
-    # partial-aggregate inside each scan task so the wire carries one
-    # row per distinct gram per partition. Same rule as the two-phase
-    # agg notes in relational.py.
-    by_hash = exploded.groupBy("_gh").agg(
-        (F.min(id_col) != F.max(id_col)).alias("_dup")
-    )
-    # MERGE-pinned, not shuffle_hash (late r11, measured): the build
-    # side is the per-hash count table — STRIDE-1 grams, so its row
-    # count is LINEAR in corpus tokens (not vocabulary-sublinear like
-    # collocations' unigram table), and the per-partition hash
-    # relation grows with tokens-per-partition: at ~sf100 (1,153
-    # autosized partitions) the build needed >134 MB per task and the
-    # job died with "Can't acquire memory to build hash relation" —
-    # the exact q_tpch_q21 failure class the r10 durable rule names
-    # (hash builds cannot spill; sorts can). Broadcast stays banned
-    # (the r10 vocab rule); merge completes at ~sf100 where the hash
-    # pin hard-fails.
+    # "appears in >1 distinct doc" as min(id) != max(id) over a WINDOW
+    # on the gram hash — values identical to countDistinct(id) > 1 for
+    # non-null ids, but the plan is ONE exchange + one sort of the
+    # stride-1 gram stream. The r6-r12a form (groupBy(_gh) agg + merge
+    # join-back) re-sorted the ~1 B-row exploded frame a second time
+    # for the join and, before the late-r11 merge pin, died at ~sf100
+    # trying to hash-build the per-hash table (the q_tpch_q21 class:
+    # hash relations cannot spill, and the build side here is
+    # token-LINEAR, not vocabulary-sublinear). The window form has no
+    # join to pin — measured 31.8 -> 16.5 s at ~sf10 same-process,
+    # value-parity asserted on the full fixture output.
+    occ_w = Window.partitionBy("_gh")
     per_doc = (
-        exploded.join(by_hash.hint("merge"), "_gh")
+        exploded.withColumn(
+            "_dup", F.min(id_col).over(occ_w) != F.max(id_col).over(occ_w)
+        )
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_windows"),

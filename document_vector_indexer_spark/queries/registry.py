@@ -158,8 +158,11 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     equality with the interpreted char
                             #     fold, parity-pinned incl. unicode;
                             #     42.6->23.1 s sf10, 468.7->180.2 s
-                            #     sf100). Oracle untouched; sim
-                            #     re-greened at 3 sfs
+                            #     sf100), and the agg+join-back tail is
+                            #     now ONE window over the gram hash
+                            #     (min!=max per _gh cell — 10.3 s sf10,
+                            #     129.3 s sf100 cumulative). Oracle
+                            #     untouched; sim re-greened at 3 sfs
     "q_dedup_near",         # r12: minhash shingle hashes ride the
                             #     prefix-hash kernel (_gram_hashes_arrow
                             #     with k=n — exact modular equality;
