@@ -163,10 +163,41 @@ def _cdc_window_hash(codes: Column, i: Column) -> Column:
     return h
 
 
+def _cdc_codes_arrow(words_df: DataFrame, id_col: str) -> DataFrame:
+    """Per-word CDC codes ((charfold mod CDC_MOD) per token) computed by
+    the vectorized prefix-hash kernel (dedup._gram_hash_arrays with
+    k=1: a 1-word gram IS the word, so its hash is exactly
+    ``_cdc_word_code``'s fold — same base 131, this module's modulus).
+    Takes (id_col, words) and returns (id_col, words, codes), keeping
+    the array shape the downstream window-hash expressions need. The
+    r12 substrings finding transplanted (r13): the per-CHARACTER
+    interpreted ``F.aggregate`` fold was chunk_cdc's measured wall at
+    sf100 (104.0 s, 4th-largest absolute)."""
+    from pyspark.sql import types as T
+
+    from document_vector_indexer_spark.operators.dedup import _gram_hash_arrays
+
+    out_schema = T.StructType(
+        list(words_df.schema.fields)
+        + [T.StructField("codes", T.ArrayType(T.LongType(), False), False)]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            out["codes"] = _gram_hash_arrays(pdf["words"], 1, CDC_MOD)
+            yield out
+
+    return words_df.mapInPandas(batches, schema=out_schema)
+
+
 def chunk_cdc(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Content-defined chunking over word tokens: cut after word i
     whenever the rolling window hash hits the divisor target. The
@@ -181,7 +212,17 @@ def chunk_cdc(
     downstream HOF referencing plain attributes), then everything is
     map-side; cost O(n_words × (word_len + window)) per document
     (codes fold once per word, window hashes fold over ints).
+
+    ``impl`` (r13): ``"arrow"`` (default) computes the per-word codes
+    via the vectorized prefix-hash kernel (``_cdc_codes_arrow`` —
+    exact modular equality with the fold, arrow-vs-expr parity
+    pinned); ``"expr"`` keeps the pure-JVM interpreted char fold as
+    the parity reference. Code values are identical either way, so
+    the SQL mirror (textops._SQL_CDC_CHUNKS) and the pure-Python test
+    oracle are untouched.
     """
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr': {impl!r}")
     n = F.size(F.col("words"))
     interior = F.when(
         n > 1,
@@ -205,18 +246,22 @@ def chunk_cdc(
             " ",
         ),
     )
-    return (
-        df.repartition(F.col(id_col))  # CSE barrier (vocab_topk rule)
-        .select(F.col(id_col), TX.word_tokens(F.col(text_col)).alias("words"))
+    words_df = df.repartition(F.col(id_col)).select(  # CSE barrier
+        F.col(id_col), TX.word_tokens(F.col(text_col)).alias("words")
+    )
+    if impl == "arrow":
+        coded = _cdc_codes_arrow(words_df, id_col)
+    else:
         # per-word codes ONCE (multi-use alias — CollapseProject keeps
         # the stage; each window position then folds 4 ints, not 4
         # whole words)
-        .select(
+        coded = words_df.select(
             id_col,
             "words",
             F.transform(F.col("words"), _cdc_word_code).alias("codes"),
         )
-        .select(id_col, "words", cuts.alias("cuts"))
+    return (
+        coded.select(id_col, "words", cuts.alias("cuts"))
         .select(id_col, F.posexplode(chunks).alias("chunk_pos", "chunk_text"))
         .filter(F.length("chunk_text") > 0)
         .select(

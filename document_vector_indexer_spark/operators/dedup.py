@@ -1366,27 +1366,130 @@ def connected_components(
     return labels
 
 
-def _gram_hashes_arrow(words: DataFrame, k: int, id_col: str) -> DataFrame:
+def _gram_hash_arrays(words_col, k: int, mod: int = _CHAR_MOD) -> list:
+    """Numpy core of the gram-hash kernel: given a sequence of token
+    lists (one per document), return one int64 array per document
+    holding ALL stride-1 k-word-gram char-fold hashes — VALUE-IDENTICAL
+    to hashing each gram string through the interpreted per-character
+    fold ``(a*131 + codepoint) % mod``, by modular arithmetic (int64
+    throughout, products < 2^62 — exact by construction, no
+    float-rounding argument).
+
+    Identity used: with B=131 and s = the concatenation of every
+    document's single-space token join (word_tokens drops empties, so
+    every gram string ``concat_ws(" ", slice(words, t, k))`` IS the
+    substring of its document's join covering words t..t+k-1 — and a
+    substring hash is prefix-independent), the char fold of s[i..j)
+    equals (P_j - P_i·B^(j-i)) mod M where P_t is the fold of the
+    first t chars of the WHOLE stream — the standard polynomial
+    prefix-hash subtraction.
+
+    Layout (r13, the r12 ADVICE fix): RAGGED, not padded. The r12
+    version padded a (rows × max_doc_chars) codepoint matrix and a
+    same-shaped prefix matrix, so ONE long-document outlier in a
+    10k-row batch multiplied the whole batch's memory (a 1 MB-char doc
+    → ~200 GB). Here all joins concatenate into one 1-D codepoint
+    stream (O(total chars)), and the prefix scan is BLOCKED: reshape
+    the stream to (chunks × T) with T ≈ sqrt(total), scan T steps
+    vectorized ACROSS chunks (total element work ≈ total chars, like
+    the old cross-row form but independent of length skew), stitch
+    chunk carries with one cheap sequential loop of `chunks` scalar
+    steps, then evaluate the global prefix at any position as
+    carries[pos // T] · B^(pos % T) + local[pos // T, pos % T]. Peak
+    memory ≈ 16 bytes per content char (codepoints + local prefixes),
+    regardless of how skewed per-document lengths are; bound per-batch
+    totals via spark.sql.execution.arrow.maxRecordsPerBatch.
+
+    ``mod`` must stay below 2^31 so every product of two residues fits
+    int64 (M31 = 2147483647 for the dedup family; 1e9+7 for CDC word
+    codes — chunking._cdc_word_code is this fold with that modulus).
+    """
+    import numpy as np
+
+    B = 131
+    if not 1 < mod < 2**31:
+        raise ValueError(f"mod must be in (1, 2^31) for int64 safety: {mod}")
+    n = len(words_col)
+    joined = [
+        " ".join(w) if w is not None and len(w) else "" for w in words_col
+    ]
+    row_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(
+        np.fromiter((len(s) for s in joined), dtype=np.int64, count=n),
+        out=row_off[1:],
+    )
+    L = int(row_off[-1])
+    if L == 0:
+        return [np.empty(0, np.int64)] * n
+    # one ragged codepoint stream — utf-32-le units are codepoints,
+    # identical to the <U view the padded layout used (and to Spark's
+    # codepoint-aware split/ascii; non-BMP parity is test-pinned)
+    cp = np.frombuffer("".join(joined).encode("utf-32-le"), dtype="<u4").astype(
+        np.int64
+    )
+    T = max(64, min(8192, int(L**0.5) + 1))
+    chunks = -(-L // T)
+    pad = chunks * T - L
+    if pad:
+        cp = np.concatenate([cp, np.zeros(pad, np.int64)])
+    cp2 = cp.reshape(chunks, T)
+    # +1 zero row so P_at(pos) with pos % T == 0 (including pos == L on
+    # a chunk boundary) indexes a defined all-zero local prefix
+    Lp = np.zeros((chunks + 1, T + 1), dtype=np.int64)
+    for t in range(T):
+        Lp[:chunks, t + 1] = (Lp[:chunks, t] * B + cp2[:, t]) % mod
+    # B^e table up to max(T, longest document) via binary doubling —
+    # O(log) vectorized steps, never a per-exponent Python loop
+    need = int(max(T, int(np.max(row_off[1:] - row_off[:-1])))) + 1
+    pows = np.ones(1, dtype=np.int64)
+    while pows.size < need:
+        b_sz = int(pows[-1]) * B % mod  # B^size
+        pows = np.concatenate([pows, (pows * b_sz) % mod])
+    pows = pows[:need]
+    b_T = int(pows[T])
+    carries = np.empty(chunks + 1, dtype=np.int64)
+    carries[0] = 0
+    acc = 0
+    last = Lp[:chunks, T]
+    for ci in range(chunks):
+        acc = (acc * b_T + int(last[ci])) % mod
+        carries[ci + 1] = acc
+
+    def P_at(pos):
+        ci, t = np.divmod(pos, T)
+        return (carries[ci] * pows[t] + Lp[ci, t]) % mod
+
+    out_hashes: list = []
+    for row, w in enumerate(words_col):
+        m = 0 if w is None else len(w)
+        if m < k:
+            # mirror the expr path's otherwise-empty-array
+            out_hashes.append(np.empty(0, np.int64))
+            continue
+        lens = np.fromiter((len(x) for x in w), dtype=np.int64, count=m)
+        starts = np.zeros(m, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        starts += row_off[row]
+        gs = starts[: m - k + 1]
+        ge = starts[k - 1 :] + lens[k - 1 :]
+        # numpy % with a positive modulus is non-negative, matching
+        # the fold's value range [0, mod)
+        out_hashes.append((P_at(ge) - P_at(gs) * pows[ge - gs]) % mod)
+    return out_hashes
+
+
+def _gram_hashes_arrow(
+    words: DataFrame, k: int, id_col: str, mod: int = _CHAR_MOD
+) -> DataFrame:
     """All stride-1 k-word-gram char-fold hashes per document, computed
-    in ONE vectorized numpy pass per Arrow batch — VALUE-IDENTICAL to
-    exploding gram strings through ``_word_hash``'s interpreted
-    per-character ``F.aggregate`` fold, by modular arithmetic (not a
-    float-rounding argument like the LSH kernel's: everything here is
-    int64 mod M31, so equality is exact by construction).
+    in ONE vectorized numpy pass per Arrow batch (``_gram_hash_arrays``
+    — exact modular equality with the interpreted fold; ragged O(total
+    chars) batch memory, see the kernel docstring). Replaces per-gram
+    JVM string allocation + per-character interpreted expression
+    evaluation — the measured q_dedup_substrings wall at every scale.
 
-    Identity used: with B=131, M=2^31-1 and s = the single-space join
-    of the token array (word_tokens drops empties, so every gram
-    string ``concat_ws(" ", slice(words, t, k))`` IS the substring of
-    s covering words t..t+k-1), the char fold of s[i..j) equals
-    (P_j - P_i·B^(j-i)) mod M where P_t is the fold of the first t
-    chars — the standard polynomial prefix-hash subtraction. The
-    prefix pass runs as max_len vectorized steps ACROSS the batch's
-    rows (the r11 LSH-kernel shape), so per-character interpreted
-    expression evaluation — bits of the q_dedup_substrings wall at
-    every scale — disappears, as does the per-gram JVM string
-    allocation (~n_tokens strings per doc).
-
-    Returns (id_col, _gh long) exploded rows, same as the expr path.
+    Input must carry (id_col, _words array<string>). Returns
+    (id_col, _gh long) exploded rows, same as the expr path.
     """
     from pyspark.sql import types as T
 
@@ -1397,54 +1500,11 @@ def _gram_hashes_arrow(words: DataFrame, k: int, id_col: str) -> DataFrame:
     )
 
     def batches(it):
-        import numpy as np
-
-        B, M = 131, _CHAR_MOD
         for pdf in it:
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 continue
-            words_col = pdf["_words"]
-            joined = [
-                " ".join(w) if w is not None and len(w) else ""
-                for w in words_col
-            ]
-            maxlen = max((len(s) for s in joined), default=0)
-            out_hashes: list = []
-            if maxlen == 0:
-                out_hashes = [np.empty(0, np.int64)] * n
-            else:
-                arr = np.array(joined, dtype=f"<U{maxlen}")
-                cp = (
-                    arr.view(np.int32)
-                    .reshape(n, maxlen)
-                    .astype(np.int64, copy=False)
-                )
-                P = np.zeros((n, maxlen + 1), dtype=np.int64)
-                for i in range(maxlen):
-                    P[:, i + 1] = (P[:, i] * B + cp[:, i]) % M
-                pows = np.ones(maxlen + 1, dtype=np.int64)
-                for i in range(1, maxlen + 1):
-                    pows[i] = (pows[i - 1] * B) % M
-                for row, w in enumerate(words_col):
-                    m = 0 if w is None else len(w)
-                    if m < k:
-                        # mirror the expr path's otherwise-empty-array
-                        out_hashes.append(np.empty(0, np.int64))
-                        continue
-                    lens = np.fromiter(
-                        (len(x) for x in w), dtype=np.int64, count=m
-                    )
-                    starts = np.zeros(m, dtype=np.int64)
-                    np.cumsum(lens[:-1] + 1, out=starts[1:])
-                    gs = starts[: m - k + 1]
-                    ge = starts[k - 1 :] + lens[k - 1 :]
-                    Prow = P[row]
-                    # numpy % with a positive modulus is non-negative,
-                    # matching the fold's value range [0, M)
-                    out_hashes.append((Prow[ge] - Prow[gs] * pows[ge - gs]) % M)
             out = pdf[[id_col]].copy()
-            out["_ghs"] = out_hashes
+            out["_ghs"] = _gram_hash_arrays(pdf["_words"], k, mod)
             yield out
 
     coded = words.mapInPandas(batches, schema=out_schema)

@@ -189,6 +189,28 @@ def _exploded_grams(
     )
 
 
+def _gram_hash_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, _gh) rows — one per word ``n``-gram occurrence, as int64
+    char-fold hashes from the vectorized prefix-hash kernel
+    (dedup._gram_hashes_arrow). The kernel computes each gram's hash
+    per DOCUMENT ROW independently (duplicate ids are naturally
+    per-occurrence — the property _exploded_grams needed a synthetic
+    _row key for), so no window and no gram STRING ever materializes:
+    the r12 substrings finding applied here (r13) — per-gram string
+    assembly over the train split was q_decontaminate's measured sf100
+    wall (273.6 s, the largest absolute)."""
+    from document_vector_indexer_spark.operators.dedup import (
+        _gram_hashes_arrow,
+    )
+
+    words = df.select(
+        F.col(id_col), TX.word_tokens(F.col(text_col)).alias("_words")
+    )
+    return _gram_hashes_arrow(words, n, id_col)
+
+
 def contamination_hits(
     df: DataFrame,
     bench_df: DataFrame,
@@ -196,6 +218,7 @@ def contamination_hits(
     id_col: str = "doc_id",
     bench_text_col: str | None = None,
     n: int = 5,
+    impl: str = "hash",
 ) -> DataFrame:
     """Benchmark decontamination: for each training doc sharing at
     least one word ``n``-gram with the benchmark corpus, report how
@@ -205,16 +228,31 @@ def contamination_hits(
 
     Scale shape: the benchmark side is tiny compared to the corpus
     (thousands of eval rows vs billions of train docs), so its distinct
-    n-gram set is BROADCAST and the probe is a map-side hash join —
-    no shuffle of train data at all: grams come from the codegen
-    explode+window shape (``_exploded_grams``), and the per-doc
-    distinct, the gram counts, the broadcast probe, and the final
-    doc-keyed aggregations ALL reuse the id partitioning laid down by
-    the tokenizer barrier (grouping keys superset the partitioning —
-    zero further exchanges; plan-pinned in tests/test_plans.py).
+    n-gram set is BROADCAST and the probe is a map-side hash join — no
+    join shuffle of train data at all. As of r13 the default
+    representation is the int64 char-fold gram HASH on both sides
+    (``impl="hash"``, kernel-computed — the broadcast set is 8-byte
+    longs instead of gram strings, and no gram string is ever built):
+    gram identity becomes hash identity, the same declared semantics
+    trade as dup_substring_stats (M31 collisions can merge two distinct
+    grams; the SQL oracle applies the identical fold so results match
+    value-for-value). The r13 tail is SINGLE-PASS: the old
+    hits-join-counts plan referenced the gram frame twice, and with a
+    Python kernel in the subtree ReuseExchange can never merge the two
+    copies (two mapInPandas calls are not canonically equal), so the
+    corpus would be tokenized + hashed TWICE; instead ONE distinct on
+    (id, hash) — map-side partial aggregation dedups before the narrow
+    16-byte-row shuffle — feeds a broadcast LEFT probe of the bench
+    set, and one id-keyed aggregation counts total and hit grams
+    together. Two narrow exchanges, one pass over the corpus.
+    ``impl="string"`` keeps the r5 explode+window gram-string path as
+    the parity reference (value-identical wherever the fixture
+    vocabulary is collision-free; pinned by test).
 
     Returns (``id_col``, n_contaminated, n_grams) for flagged docs only.
     """
+    if impl not in ("hash", "string"):
+        raise ValueError(f"impl must be 'hash' or 'string': {impl!r}")
     btext = bench_text_col or text_col
     # the bench side needs only a text column (an eval set often has no
     # train-side id); synthesize a row id for the gram window if absent
@@ -223,21 +261,37 @@ def contamination_hits(
         if id_col in bench_df.columns
         else bench_df.withColumn(id_col, F.monotonically_increasing_id())
     )
-    bench_grams = (
-        _exploded_grams(bench, btext, id_col, n).select("gram").distinct()
+    if impl == "hash":
+        key = "_gh"
+        bench_keys = (
+            _gram_hash_rows(bench, btext, id_col, n).select(key).distinct()
+        )
+        dg = (
+            _gram_hash_rows(df, text_col, id_col, n)
+            .select(id_col, key)
+            .distinct()
+        )
+    else:
+        key = "gram"
+        bench_keys = (
+            _exploded_grams(bench, btext, id_col, n).select(key).distinct()
+        )
+        dg = (
+            _exploded_grams(df, text_col, id_col, n)
+            .select(id_col, key)
+            .distinct()
+        )
+    probed = dg.join(
+        F.broadcast(bench_keys.withColumn("_hit", F.lit(True))), key, "left"
     )
-    dg = _exploded_grams(df, text_col, id_col, n).select(id_col, "gram").distinct()
-    counts = dg.groupBy(id_col).agg(F.count("*").cast("long").alias("n_grams"))
-    hits = (
-        dg.join(F.broadcast(bench_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    # merge-pinned: counts is one row per TRAIN doc — the Q17 rule, an
-    # unbounded frame never rides a broadcast; both sides already sit
-    # on the id partitioning, so the SMJ adds sorts, not exchanges
-    return hits.join(counts.hint("merge"), id_col).select(
-        id_col, "n_contaminated", "n_grams"
+    return (
+        probed.groupBy(id_col)
+        .agg(
+            F.count(F.when(F.col("_hit"), 1)).alias("n_contaminated"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .select(id_col, "n_contaminated", "n_grams")
     )
 
 

@@ -126,65 +126,46 @@ def all_queries() -> dict[str, QuerySpec]:
 # the back of the queue. tests/test_registry.py simulates the rotation
 # forward and asserts the staleness bound.
 
-# Changed in round 12: see rule 1 above.
+# Changed in round 13: see rule 1 above.
 _CHANGED_SINCE_VERIFIED: list[str] = [
-    "q_lsh_buckets",        # r12: arrow kernel gained the element-NULL
-                            #     parity flag (JVM-side F.exists before
-                            #     the Arrow boundary -> bucket 0, the
-                            #     expr fold's NULL-propagation rule) and
-                            #     explicit 1<=bits<=31 / bands>=1
-                            #     validation (int32 pack wrapped
-                            #     silently at bits>=32). Values on the
-                            #     fixtures unchanged (no element NULLs
-                            #     there) — re-front to prove it
-    "q_dedup_embed",        # r12: rides the same kernel change
-    "q_cross_cosine",       # r12: alias of q_dedup_embed
-    "q_dedup_semantic",     # r12: rides the kernel (carry_vec=False)
-    "q_knn_lsh_pinned",     # r12: corpus/query banding rides the kernel
-    "q_stream_stateful",    # r12: updater body vectorized (np.rint sum
-                            #     + from_records — 265 -> 110 us/group;
-                            #     half-to-even on both sides, and 2dp
-                            #     data x100 never lands on .5, so the
-                            #     cents value is identical). The
-                            #     decomposition that motivated it lives
-                            #     in SCALE.md r12
-    "q_dedup_substrings",   # r12 (two changes): per-hash aggregate
-                            #     countDistinct(id)>1 -> min!=max
-                            #     (value-identical; sf10 A/B a wash,
-                            #     landed as the cheaper form), and the
-                            #     gram hashes now ride a vectorized
-                            #     prefix-hash Arrow kernel
-                            #     (_gram_hashes_arrow — EXACT modular
-                            #     equality with the interpreted char
-                            #     fold, parity-pinned incl. unicode;
-                            #     42.6->23.1 s sf10, 468.7->180.2 s
-                            #     sf100), and the agg+join-back tail is
-                            #     now ONE window over the gram hash
-                            #     (min!=max per _gh cell — 10.3 s sf10,
-                            #     129.3 s sf100 cumulative). Oracle
-                            #     untouched; sim re-greened at 3 sfs
-    "q_dedup_near",         # r12: minhash shingle hashes ride the
-                            #     prefix-hash kernel (_gram_hashes_arrow
-                            #     with k=n — exact modular equality;
-                            #     18.3->13.4 s at sf10, wash at sf100
-                            #     where banding dominates). Oracle
-                            #     untouched; family sim re-greened
-    "q_dedup_minhash",      # r12: same kernel (alias target)
-    "q_dedup_cluster",      # r12: consumes minhash pairs — same
+    "q_decontaminate",      # r13: gram identity moved from STRINGS to
+                            #     int64 char-fold HASHES on both sides
+                            #     (the prefix-hash kernel — no gram
+                            #     string ever built; ORACLE moved with
+                            #     it, same fold in DuckDB), and the
+                            #     tail is single-pass (one distinct +
+                            #     broadcast LEFT probe + one id agg —
+                            #     the old two-branch tail recomputed
+                            #     the Python kernel subtree twice,
+                            #     ReuseExchange can't merge mapInPandas
+                            #     copies). Hash==string parity pinned
+                            #     on fixtures; sim green at 3 sfs
+    "q_chunk_cdc",          # r13: per-word CDC codes ride the kernel
+                            #     (k=1, modulus 1e9+7 — _cdc_codes_
+                            #     arrow; exact modular equality,
+                            #     arrow-vs-expr chunk parity pinned).
+                            #     Oracle untouched
+    "q_dedup_cdc",          # r13: consumes chunk_cdc — same route
+    "q_dedup_substrings",   # r13: kernel layout rewritten RAGGED
+                            #     (r12 ADVICE: padded rows x maxlen
+                            #     matrices OOM under length skew) —
+                            #     blocked prefix scan, O(total chars)
+                            #     batch memory, value-identical (same
+                            #     modular identity; parity + skew
+                            #     tests). Oracle untouched
+    "q_dedup_near",         # r13: minhash shingles ride the ragged
+                            #     kernel layout — values unchanged
+    "q_dedup_minhash",      # r13: same kernel (alias target)
+    "q_dedup_cluster",      # r13: consumes minhash pairs — same
                             #     kernel upstream
-    "q_dedup_apply",        # r12: same upstream
-    "q_golden_record",      # r12: same upstream
-    "q_stream_stateful_jvm",  # r12: NEW key — the same running-totals
-                            #     state through Spark's built-in
-                            #     streaming agg (update mode), pinned
-                            #     against the same batch oracle; the
-                            #     scale recommendation for
-                            #     agg-expressible state
+    "q_dedup_apply",        # r13: same upstream
+    "q_golden_record",      # r13: same upstream
 ]
-# (The round-10 list — the LSH auto-bits/cap keys, the DECIMAL
-# promotion, the q4/q21 merge pins, the multimodal/stateful/minidoc
-# keys — got green rows in CORRECTNESS_r10.json and rotates by age
-# like everything else now, exactly as the round-5/6/9 lists did.)
+# (The round-12 list — the LSH element-NULL/validation keys, the
+# stateful pair, the substrings/minhash kernel family, the new JVM
+# stateful key — got green rows in CORRECTNESS_r12.json and rotates by
+# age like everything else now, exactly as the round-5/6/9/10 lists
+# did.)
 
 
 def _last_verified_rounds() -> dict[str, int]:

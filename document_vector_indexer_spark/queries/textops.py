@@ -519,6 +519,16 @@ def _duck_frac(s_expr: str) -> str:
     return f"CAST({_duck_units(s_expr)} AS DOUBLE) / 2147483647"
 
 
+def _duck_charfold(s_expr: str) -> str:
+    """Plain M31 char-fold (dedup._word_hash, no Lehmer rounds) — the
+    gram identity of the r13 hash-represented decontamination oracle;
+    same fragment as corpusops._DUCK_CHARFOLD (q_dedup_substrings)."""
+    return f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(1, length({s_expr})),
+                     j -> CAST(ascii(substr({s_expr}, j, 1)) AS BIGINT))),
+      (a, c) -> (a * 131 + c) % 2147483647)"""
+
+
 # Word tokenization identical to the oracled queries above.
 _DUCK_WORDS = (
     "list_filter(string_split_regex(regexp_replace({col}, "
@@ -541,8 +551,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/trainprep.contamination_hits):
     split the corpus deterministically, then flag train docs sharing any
     word 5-gram with the held-out test split — test-set leakage found
-    via a broadcast of the benchmark n-gram set, map-side probe, one
-    doc-keyed count shuffle."""
+    via a broadcast of the benchmark n-gram set (r13: int64 char-fold
+    HASHES on both sides, kernel-computed; the oracle applies the
+    identical fold), map-side probe, narrow doc-keyed count shuffles."""
     from document_vector_indexer_spark.operators.trainprep import (
         contamination_hits,
         hash_split,
@@ -576,12 +587,16 @@ bw AS (
   SELECT {_DUCK_WORDS.format(col="text")} AS w
   FROM assigned WHERE split = 'test'
 ),
-bg AS (SELECT DISTINCT unnest({_duck_ngrams(DECON_N)}) AS gram FROM bw),
-tg AS (SELECT doc_id, list_distinct({_duck_ngrams(DECON_N)}) AS dg FROM tw),
-te AS (SELECT doc_id, len(dg) AS n_grams, unnest(dg) AS gram FROM tg)
+bg AS (SELECT DISTINCT {_duck_charfold('gram')} AS gh
+       FROM (SELECT unnest({_duck_ngrams(DECON_N)}) AS gram FROM bw)),
+tg AS (SELECT doc_id,
+              list_distinct(list_transform({_duck_ngrams(DECON_N)},
+                                           s -> {_duck_charfold('s')})) AS dg
+       FROM tw),
+te AS (SELECT doc_id, len(dg) AS n_grams, unnest(dg) AS gh FROM tg)
 SELECT te.doc_id, count(*) AS n_contaminated,
        CAST(max(n_grams) AS BIGINT) AS n_grams
-FROM te JOIN bg USING (gram)
+FROM te JOIN bg USING (gh)
 GROUP BY te.doc_id ORDER BY te.doc_id
 """
 

@@ -21,7 +21,12 @@ operators whose loop interiors are executed LogicalRDDs — must appear
 in ``AUDIT_EXCLUDED`` with a reason naming where their exchange IS
 covered; the exclusion list is pinned here like
 ``registry.ROWS_ONLY_BY_DESIGN`` (no stale rows, no reason-less rows,
-no blind key missing from it).
+no blind key missing from it). Keys that are VISIBLE AND blind (they
+join corpus tables and also embed an executed interior — the CC-based
+dedup keys) stay on the audit surface for their visible subtree and
+carry their blind-interior reason in ``BLIND_INTERIOR_OK`` (r13,
+closing the r12 ADVICE escape where ``blind - visible`` exempted them
+without a documented reason).
 
 Proof the gate bites (r11, the round it was added): the first raw-
 layout audit run flagged four q4-class builds the r10 ingested-layout
@@ -79,6 +84,7 @@ def test_no_new_corpus_broadcast_builds(spark, sf1_dir):
     from tools.broadcast_audit import (
         AUDIT_EXCLUDED,
         BENIGN,
+        BLIND_INTERIOR_OK,
         classify_gate_surface,
         run_audit,
     )
@@ -97,13 +103,32 @@ def test_no_new_corpus_broadcast_builds(spark, sf1_dir):
             f"AUDIT_EXCLUDED[{key}] is stale — the key no longer plans "
             "with a corpus join or an executed intermediate; drop it"
         )
-    # Every audit-blind key (executed LogicalRDD interior) must be
-    # excused with a reason — a new iterate-during-construction build
-    # cannot silently drop out of coverage.
-    unaccounted = blind - visible - set(AUDIT_EXCLUDED)
+    # Visible-AND-blind keys (r12 ADVICE: `blind - visible` silently
+    # exempted them) stay on the audit surface for their visible
+    # subtree but must carry a pinned reason for the blind interior —
+    # and the reason must not go stale in either direction.
+    for key, why in BLIND_INTERIOR_OK.items():
+        assert key in registry, f"BLIND_INTERIOR_OK names unknown key {key}"
+        assert why and why.strip(), f"BLIND_INTERIOR_OK[{key}] has no reason"
+        assert key in visible and key in blind, (
+            f"BLIND_INTERIOR_OK[{key}] is stale — the key is no longer "
+            "both visible and blind; drop it (or move it to "
+            "AUDIT_EXCLUDED if it went fully blind)"
+        )
+        assert key not in AUDIT_EXCLUDED, (
+            f"{key} in both lists — AUDIT_EXCLUDED would drop its "
+            "visible subtree from the audit"
+        )
+    # EVERY audit-blind key (executed LogicalRDD interior) must be
+    # excused with a reason — fully-blind keys in AUDIT_EXCLUDED,
+    # visible-and-blind keys in BLIND_INTERIOR_OK. A new
+    # iterate-during-construction build cannot silently drop any part
+    # of its plan out of coverage.
+    unaccounted = blind - set(AUDIT_EXCLUDED) - set(BLIND_INTERIOR_OK)
     assert not unaccounted, (
         "key(s) whose plan embeds an executed intermediate the audit "
-        "cannot see, with no AUDIT_EXCLUDED reason: "
+        "cannot see, with no documented reason (AUDIT_EXCLUDED for "
+        "fully-blind keys, BLIND_INTERIOR_OK for visible-and-blind): "
         f"{sorted(unaccounted)}"
     )
 

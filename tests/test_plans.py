@@ -467,27 +467,37 @@ def test_unigram_logprob_weight_join_not_broadcast(spark):
     )
 
 
-def test_decontaminate_codegen_window_shape(spark):
-    """q_decontaminate's r5 shape: grams built by window lags over the
-    exploded tokens (codegen), NEVER inside an array HOF (interpreted
-    — the 8x regression this replaced); only the bench side's tiny
-    distinct re-shuffles; the final hits-counts join is merge-pinned
-    (counts is one row per train doc — unbroadcastable at scale)."""
+def test_decontaminate_kernel_single_pass_shape(spark):
+    """q_decontaminate's r13 shape: gram identity is the int64
+    char-fold hash from the vectorized prefix-hash kernel — no gram
+    STRING is ever assembled (the r5 window-lag shape retired with the
+    strings), and the tail is SINGLE-PASS: exactly two MapInPandas
+    kernels (train + bench — a third would mean the pre-r13 double
+    reference to the train frame is back, which ReuseExchange cannot
+    merge across Python nodes), the only broadcast is the bench hash
+    set (bigint, tiny), no join other than that probe, and every
+    remaining exchange carries narrow (bigint) rows."""
     p = _plan(spark, "q_decontaminate")
-    assert "lag(_w" in p, "grams must come from window lags"
-    # the final doc-keyed join must not broadcast the unbounded counts
-    # side: every BroadcastExchange in this plan carries the gram
-    # string set (bench side), none a bigint doc-id frame
+    assert "lag(_w" not in p, "string-gram window is back?"
+    tree = _tree(p)
+    assert tree.count("MapInPandas") == 2, (
+        f"train kernel must run exactly once:\n{tree}"
+    )
+    assert tree.count("BroadcastExchange") == 1, tree
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree, (
+        f"single-pass tail regressed to a corpus-side join:\n{tree}"
+    )
+    # the one broadcast is the bench HASH set — bigint, never strings
     import re
 
-    for m in re.finditer(r"BroadcastExchange HashedRelationBroadcastMode\(List\(([^)]*)\)", p):
-        assert "string" in m.group(1), f"unbounded broadcast: {m.group(0)}"
-    # train-side gram dedup and both final aggs reuse the tokenizer
-    # barrier's doc_id partitioning: exactly ONE hashpartitioning
-    # exchange keyed by a gram (the bench distinct), none by doc_id
-    # beyond the two REPARTITION_BY_COL barriers
-    ens = [l for l in p.splitlines() if "ENSURE_REQUIREMENTS" in l and "hashpartitioning" in l]
-    assert all("gram" in l for l in ens), ens
+    modes = re.findall(r"HashedRelationBroadcastMode\(List\(([^)]*)\)", p)
+    assert len(modes) == 1 and "bigint" in modes[0] and "string" not in modes[0], modes
+    ens = [
+        l
+        for l in p.splitlines()
+        if "ENSURE_REQUIREMENTS" in l and "hashpartitioning" in l
+    ]
+    assert ens and all("_gh" in l or "doc_id" in l for l in ens), ens
 
 
 def test_tpch_q4_semi_build_never_broadcasts_lineitem(spark):

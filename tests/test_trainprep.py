@@ -14,6 +14,8 @@ from document_vector_indexer_spark.operators.trainprep import (
     repetition_ratio,
 )
 
+SF = "/root/testdata/sf0.001"
+
 
 # --- connected components --------------------------------------------------
 
@@ -189,6 +191,46 @@ def test_contamination_short_docs_have_no_grams(spark):
     train = _docs(spark, [(1, "too short"), (2, "a b c d")])
     bench = _docs(spark, [(100, "too short"), (101, "a b c d")])
     assert contamination_hits(train, bench, n=5).count() == 0
+
+
+def test_contamination_hash_impl_matches_string_impl(spark):
+    """r13: the default gram representation is the kernel-computed
+    int64 char-fold hash on both sides (no gram string ever built —
+    the r12 substrings fix applied to q_decontaminate's measured sf100
+    wall). Hash identity == string identity wherever the vocabulary is
+    collision-free under M31, which this fixture is — so the two impls
+    must agree row-for-row on the real corpus split, on planted
+    overlaps, and on duplicate-id inputs (the kernel hashes per ROW,
+    the property the string path needed a synthetic _row key for)."""
+    import pytest
+
+    from document_vector_indexer_spark.operators.trainprep import (
+        contamination_hits,
+        hash_split,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assigned = hash_split(docs, id_col="doc_id", salt="split")
+    train = assigned.filter(F.col("split") == "train")
+    test = assigned.filter(F.col("split") == "test")
+    for n in (5, 2):
+        h = sorted(
+            map(tuple, contamination_hits(train, test, n=n, impl="hash").collect())
+        )
+        s = sorted(
+            map(tuple, contamination_hits(train, test, n=n, impl="string").collect())
+        )
+        assert h == s and len(h) > 0, n
+
+    dup = _docs(spark, [(1, "alpha beta gamma"), (1, "delta epsilon zeta")])
+    bench = _docs(spark, [(100, "delta epsilon zeta")])
+    got = {
+        r.doc_id: (r.n_contaminated, r.n_grams)
+        for r in contamination_hits(dup, bench, n=3, impl="hash").collect()
+    }
+    assert got == {1: (1, 2)}
+    with pytest.raises(ValueError, match="impl"):
+        contamination_hits(train, test, impl="nope")
 
 
 def test_word_ngrams_edge_sizes(spark):

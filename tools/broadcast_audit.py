@@ -237,6 +237,33 @@ AUDIT_EXCLUDED: dict[str, str] = {
     ),
 }
 
+# Keys that are BOTH visible and blind: their plan joins corpus tables
+# (audited normally — they STAY on the gate surface) but also embeds an
+# executed LogicalRDD interior the plan audit cannot see. The r12 gate
+# arithmetic (`blind - visible - excluded`) silently exempted this
+# class — the r12 ADVICE catch: a new key that joins corpus tables AND
+# iterates during construction passed with part of its plan
+# unauditable and no documented reason. Every such key must carry a
+# pinned reason here naming what the blind interior is and where its
+# exchanges are accounted for; the gate test asserts the key really is
+# both visible and blind (a stale row fails).
+BLIND_INTERIOR_OK: dict[str, str] = {
+    "q_dedup_apply": (
+        "near_dedup_keep_first runs connected_components at "
+        "construction; the blind interior is the CC label loop — "
+        "narrow (id, component) exchanges, no corpus-row broadcast "
+        "surface (same rationale as q_dedup_cluster's exclusion). The "
+        "VISIBLE part (minhash pair generation + the shuffle_hash-"
+        "pinned loser anti join) is audited normally."
+    ),
+    "q_golden_record": (
+        "golden_records runs connected_components at construction; "
+        "blind interior identical to q_dedup_apply's (CC label loop). "
+        "The VISIBLE part (pair generation + the survivorship "
+        "aggregation joins) is audited normally."
+    ),
+}
+
 
 def classify_gate_surface(spark, sf_dir: str, keys=None):
     """Compute the broadcast-gate surface FROM the registry instead of a
@@ -259,6 +286,18 @@ def classify_gate_surface(spark, sf_dir: str, keys=None):
     - ``errors``: key -> message for keys whose plan could not be
       built (an errored key is neither visible nor excused — the gate
       fails on any).
+
+    Cost note (r12 ADVICE): "plan construction" is not free for every
+    key — several registry fns EXECUTE work inside the QuerySpec call
+    itself, so classifying them runs that work even at sf0.001:
+    q_stream_* keys run their streaming query to completion
+    (availableNow + awaitTermination) and register memory-sink temp
+    views; the CC-based keys (q_dedup_cluster/apply/golden_record) and
+    q_pagerank iterate their loops; q_rfm/q_gini execute a quantile/
+    share intermediate. Measured full-registry classification at
+    sf0.001: ~80 s wall on the 32-thread test host — accepted as the
+    price of a surface with no hand-curated skip list (a skip list
+    would re-open the silent-escape hole this function closed).
     """
     from document_vector_indexer_spark.queries.registry import all_queries
 
