@@ -169,10 +169,13 @@ def _cdc_codes_arrow(words_df: DataFrame, id_col: str) -> DataFrame:
     k=1: a 1-word gram IS the word, so its hash is exactly
     ``_cdc_word_code``'s fold — same base 131, this module's modulus).
     Takes (id_col, words) and returns (id_col, words, codes), keeping
-    the array shape the downstream window-hash expressions need. The
-    r12 substrings finding transplanted (r13): the per-CHARACTER
-    interpreted ``F.aggregate`` fold was chunk_cdc's measured wall at
-    sf100 (104.0 s, 4th-largest absolute)."""
+    the array shape the downstream window-hash expressions need.
+
+    NOT the default route — measured and rejected (see chunk_cdc's
+    ``impl`` note): the words array pays the Arrow boundary in both
+    directions here, which exceeds the interpreted-fold cost it
+    removes at every measured scale. Kept as the receipted dead end
+    plus its exact-parity test."""
     from pyspark.sql import types as T
 
     from document_vector_indexer_spark.operators.dedup import _gram_hash_arrays
@@ -197,7 +200,7 @@ def chunk_cdc(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    impl: str = "arrow",
+    impl: str = "expr",
 ) -> DataFrame:
     """Content-defined chunking over word tokens: cut after word i
     whenever the rolling window hash hits the divisor target. The
@@ -213,13 +216,25 @@ def chunk_cdc(
     map-side; cost O(n_words × (word_len + window)) per document
     (codes fold once per word, window hashes fold over ints).
 
-    ``impl`` (r13): ``"arrow"`` (default) computes the per-word codes
-    via the vectorized prefix-hash kernel (``_cdc_codes_arrow`` —
-    exact modular equality with the fold, arrow-vs-expr parity
-    pinned); ``"expr"`` keeps the pure-JVM interpreted char fold as
-    the parity reference. Code values are identical either way, so
-    the SQL mirror (textops._SQL_CDC_CHUNKS) and the pure-Python test
-    oracle are untouched.
+    ``impl`` (r13): ``"expr"`` (default) is the pure-JVM interpreted
+    char fold; ``"arrow"`` computes the per-word codes via the
+    vectorized prefix-hash kernel (``_cdc_codes_arrow`` — exact
+    modular equality with the fold, arrow-vs-expr parity pinned).
+    The arrow route was MEASURED AND REJECTED as the default — the
+    r12 substrings transplant hypothesis was wrong here: the words
+    array must round-trip the Arrow boundary both ways (385 M tokens
+    materialized as Python objects at ~sf100), and that costs more
+    than the interpreted fold it replaces at every measured scale
+    (engine-conf ramps: 15.8 → 23.1 s at ~sf10, 104.0 → 144.4 s at
+    ~sf100). By subtraction the per-word fold is a MINOR term of
+    chunk_cdc's cost (≲20 s of 104 at sf100 — the window hashes, cut
+    assembly, chunk slicing and explode dominate), unlike
+    dup_substring_stats where per-GRAM hashing is ~k× the token
+    stream and the kernel cut the op 2.6×. Kept (with its parity
+    test) as the measured negative receipt so no later round
+    re-litigates it. Code values are identical either way, so the SQL
+    mirror (textops._SQL_CDC_CHUNKS) and the pure-Python test oracle
+    are untouched by the choice.
     """
     if impl not in ("arrow", "expr"):
         raise ValueError(f"impl must be 'arrow' or 'expr': {impl!r}")

@@ -140,12 +140,15 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     ReuseExchange can't merge mapInPandas
                             #     copies). Hash==string parity pinned
                             #     on fixtures; sim green at 3 sfs
-    "q_chunk_cdc",          # r13: per-word CDC codes ride the kernel
-                            #     (k=1, modulus 1e9+7 — _cdc_codes_
-                            #     arrow; exact modular equality,
-                            #     arrow-vs-expr chunk parity pinned).
-                            #     Oracle untouched
-    "q_dedup_cdc",          # r13: consumes chunk_cdc — same route
+    "q_chunk_cdc",          # r13: an arrow route for the per-word CDC
+                            #     codes was built (_cdc_codes_arrow,
+                            #     parity-pinned) but MEASURED AND
+                            #     REJECTED as default (words-array
+                            #     Arrow round-trip costs more than the
+                            #     fold it replaces: 104->144 s sf100);
+                            #     default stays expr — values
+                            #     identical, oracle untouched
+    "q_dedup_cdc",          # r13: consumes chunk_cdc — same story
     "q_dedup_substrings",   # r13: kernel layout rewritten RAGGED
                             #     (r12 ADVICE: padded rows x maxlen
                             #     matrices OOM under length skew) —
