@@ -257,6 +257,22 @@ def cooccurrence_triangles(
     orientation (point each edge at the higher-degree endpoint), which
     bounds wedge fan-out at O(m^1.5) — noted, not needed at brand
     vocabulary sizes.
+
+    Multi-reference note (r13, measured): the three-way join consumes
+    THREE differently-keyed projections of ``edges``, and the STATIC
+    plan prints the whole corpus-scale subtree (basket collect_set +
+    C(k,2) pair explode + pair aggregation) three times with zero
+    ReusedExchange nodes — which looks like a 3x recompute and is NOT:
+    AQE's runtime stage reuse dedups the identical pair-aggregation
+    shuffle stages, so persisting ``edges`` was measured a WASH at
+    ~sf100 (255.2 s persisted vs 265.1 s plain, inside the host band)
+    and is not done — a cache entry with no win is just storage
+    pressure (the op already runs memory-marginal at sf100 in a 16 GB
+    local JVM: one adjacent-load run hit UNABLE_TO_ACQUIRE_MEMORY;
+    clean rerun fine). The minhash persist() precedent does NOT
+    transfer because minhash's signature frame feeds exchanges with
+    DIFFERENT child subtrees per consumer (post-banding projections),
+    where AQE has nothing identical to reuse.
     """
     sets = _basket_sets(baskets, basket_col, item_col)
     n_baskets = sets.agg(F.count("*").cast("long").alias("n_baskets"))
