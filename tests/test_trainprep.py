@@ -233,6 +233,36 @@ def test_contamination_hash_impl_matches_string_impl(spark):
         contamination_hits(train, test, impl="nope")
 
 
+def test_contamination_hash_semantics_under_planted_collision(spark):
+    """The hash impl's DECLARED semantics (same trade as
+    dup_substring_stats): gram identity is M31 char-fold identity, so
+    a fold collision counts as contamination where string identity
+    would not. Pin it with a CONSTRUCTED collision — the fold of a
+    single char c is just ord(c), so the one-char word
+    chr(fold("ab")) = chr(12805) collides with the 1-gram "ab" — and
+    assert the two impls diverge exactly there and nowhere else. This
+    is documentation-as-test: if the representation ever silently
+    changes (different base/modulus, salted hash), this breaks first.
+    """
+    from document_vector_indexer_spark.operators.trainprep import (
+        contamination_hits,
+    )
+
+    collider = chr((ord("a") * 131 + ord("b")) % 2147483647)
+    train = _docs(spark, [(1, "ab"), (2, "unrelated")])
+    bench = _docs(spark, [(100, collider)])
+    by_hash = {
+        r.doc_id: (r.n_contaminated, r.n_grams)
+        for r in contamination_hits(train, bench, n=1, impl="hash").collect()
+    }
+    by_string = {
+        r.doc_id: (r.n_contaminated, r.n_grams)
+        for r in contamination_hits(train, bench, n=1, impl="string").collect()
+    }
+    assert by_hash == {1: (1, 1)}   # collision flags doc 1 under hash identity
+    assert by_string == {}          # string identity sees no overlap
+
+
 def test_word_ngrams_edge_sizes(spark):
     from document_vector_indexer_spark.operators.trainprep import word_ngrams
     from document_vector_indexer_spark.functions import text as TX
