@@ -940,6 +940,63 @@ def test_gram_hash_kernel_ragged_layout_exact_under_length_skew():
         _gram_hash_arrays([["a"]], 1, 1)
 
 
+def test_gram_hash_kernel_property_random_unicode():
+    """Property form of the exactness claim: for ARBITRARY batches of
+    non-empty unicode tokens (drawn across the BMP and astral planes,
+    CDC_WINDOW-irrelevant — this is the raw kernel), every k and both
+    production moduli, the ragged blocked-scan kernel equals the
+    per-character fold computed in plain Python. Hypothesis explores
+    the shapes the example tests can't enumerate: batches whose total
+    stream length straddles the T floor, tokens of wildly mixed
+    lengths, single-doc batches, all-short batches."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from document_vector_indexer_spark.operators.dedup import (
+        _CHAR_MOD,
+        _gram_hash_arrays,
+    )
+
+    # non-empty tokens without whitespace (word_tokens' contract);
+    # include astral-plane codepoints to keep surrogate handling honest
+    token = st.text(
+        st.one_of(
+            st.characters(min_codepoint=33, max_codepoint=0x2FFF),
+            st.characters(min_codepoint=0x1D400, max_codepoint=0x1F64F),
+        ),
+        min_size=1,
+        max_size=12,
+    ).filter(lambda s: not any(c.isspace() for c in s))
+    batch = st.lists(
+        st.one_of(st.none(), st.lists(token, max_size=40)),
+        min_size=1,
+        max_size=12,
+    )
+
+    def py_grams(w, k, mod):
+        out = []
+        for i in range(len(w) - k + 1):
+            a = 0
+            for ch in " ".join(w[i : i + k]):
+                a = (a * 131 + ord(ch)) % mod
+            out.append(a)
+        return np.array(out, np.int64)
+
+    @settings(max_examples=60, deadline=None)
+    @given(docs=batch, k=st.integers(1, 9), mod=st.sampled_from([_CHAR_MOD, 1_000_000_007]))
+    def prop(docs, k, mod):
+        got = _gram_hash_arrays(docs, k, mod)
+        assert len(got) == len(docs)
+        for g, w in zip(got, docs):
+            want = py_grams(w or [], k, mod)
+            assert np.array_equal(
+                g, want if want.size else np.empty(0, np.int64)
+            )
+
+    prop()
+
+
 def test_lsh_arrow_kernel_bit_identical_to_expr(spark):
     """The r11 vectorized sign-LSH kernel must be BIT-IDENTICAL to the
     interpreted expression fold — same (id, band, bucket) set on the
