@@ -940,6 +940,47 @@ def test_gram_hash_kernel_ragged_layout_exact_under_length_skew():
         _gram_hash_arrays([["a"]], 1, 1)
 
 
+def test_gram_hash_kernel_survives_megadoc_batch(spark):
+    """End-to-end Spark pin for the r12 ADVICE memory fix: ONE
+    2 M-char document co-batched with ~10k ordinary rows. Under the
+    r12 padded layout every row in the batch was padded to the
+    longest document — (10k rows × 2 M chars) codepoint + prefix
+    int64 matrices ≈ 240 GB, an executor OOM by construction; the
+    ragged layout peaks at ~16 B per CONTENT char (~35 MB here).
+    The giant doc goes FIRST so it shares an Arrow batch with the
+    small rows (maxRecordsPerBatch default 10k). Asserts completion
+    AND values: the giant doc reports all its windows with at most a
+    handful "duplicated" — at 250k giant grams x ~130k other-doc
+    grams a few M31 fold collisions are EXPECTED (n*m/2^31 ~ 15;
+    observed 1 on this fixed data), which is the operator's declared
+    hash-identity semantics, not a bug — while a small doc sharing a
+    planted passage with one partner reports its duplicated window."""
+    from document_vector_indexer_spark.operators.dedup import (
+        dup_substring_stats,
+    )
+
+    giant_words = 250_000  # ~2M chars joined
+    giant = " ".join(f"g{i}x" for i in range(giant_words))
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(0, giant)]
+    rows += [
+        (i, f"filler{i} " * 12 + (passage if i in (77, 78) else ""))
+        for i in range(1, 10_001)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    out = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in dup_substring_stats(df, k=8).collect()
+    }
+    assert out[0][0] == giant_words - 7
+    assert out[0][1] <= 20, out[0]  # collision band, see docstring
+    # docs 77/78: 12 fillers + 8 passage words = 20 words -> 13
+    # windows, of which the passage's fully-internal window (the final
+    # 8 words) is shared
+    assert out[77][1] >= 1 and out[78][1] >= 1
+    assert out[77][0] == out[78][0] == 13
+
+
 def test_gram_hash_kernel_property_random_unicode():
     """Property form of the exactness claim: for ARBITRARY batches of
     non-empty unicode tokens (drawn across the BMP and astral planes,
