@@ -249,6 +249,17 @@ def contamination_hits(
     the parity reference (value-identical wherever the fixture
     vocabulary is collision-free; pinned by test).
 
+    BEHAVIOR CHANGE CALLOUT (r13, for callers upgrading from the
+    string default): under ``impl="hash"`` a flagged doc can be a hash
+    FALSE POSITIVE — a doc sharing no real n-gram with the benchmark
+    is flagged when one of its gram hashes collides with a bench gram
+    hash, expected ~(doc_grams x bench_grams)/2^31 per doc (a
+    constructed collision is test-pinned in tests/test_trainprep.py);
+    and ``n_grams`` counts DISTINCT HASHES, which can undercount
+    distinct grams by in-doc collisions at the same rate. Callers that
+    need exact gram identity (e.g. auditing individual flagged docs
+    rather than bulk-dropping them) should pass ``impl="string"``.
+
     Returns (``id_col``, n_contaminated, n_grams) for flagged docs only.
     """
     if impl not in ("hash", "string"):

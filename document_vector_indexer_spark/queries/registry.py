@@ -126,49 +126,26 @@ def all_queries() -> dict[str, QuerySpec]:
 # the back of the queue. tests/test_registry.py simulates the rotation
 # forward and asserts the staleness bound.
 
-# Changed in round 13: see rule 1 above.
+# Changed in round 14: see rule 1 above.
 _CHANGED_SINCE_VERIFIED: list[str] = [
-    "q_decontaminate",      # r13: gram identity moved from STRINGS to
-                            #     int64 char-fold HASHES on both sides
-                            #     (the prefix-hash kernel — no gram
-                            #     string ever built; ORACLE moved with
-                            #     it, same fold in DuckDB), and the
-                            #     tail is single-pass (one distinct +
-                            #     broadcast LEFT probe + one id agg —
-                            #     the old two-branch tail recomputed
-                            #     the Python kernel subtree twice,
-                            #     ReuseExchange can't merge mapInPandas
-                            #     copies). Hash==string parity pinned
-                            #     on fixtures; sim green at 3 sfs
-    "q_chunk_cdc",          # r13: an arrow route for the per-word CDC
-                            #     codes was built (_cdc_codes_arrow,
-                            #     parity-pinned) but MEASURED AND
-                            #     REJECTED as default (words-array
-                            #     Arrow round-trip costs more than the
-                            #     fold it replaces: 104->144 s sf100);
-                            #     default stays expr — values
-                            #     identical, oracle untouched
-    "q_dedup_cdc",          # r13: consumes chunk_cdc — same story
-    "q_dedup_substrings",   # r13: kernel layout rewritten RAGGED
-                            #     (r12 ADVICE: padded rows x maxlen
-                            #     matrices OOM under length skew) —
-                            #     blocked prefix scan, O(total chars)
-                            #     batch memory, value-identical (same
-                            #     modular identity; parity + skew
-                            #     tests). Oracle untouched
-    "q_dedup_near",         # r13: minhash shingles ride the ragged
-                            #     kernel layout — values unchanged
-    "q_dedup_minhash",      # r13: same kernel (alias target)
-    "q_dedup_cluster",      # r13: consumes minhash pairs — same
-                            #     kernel upstream
-    "q_dedup_apply",        # r13: same upstream
-    "q_golden_record",      # r13: same upstream
+    "q_chunk_cdc",          # r14: the r13 verdict's one `weak` — the
+                            #     presentation .orderBy("doc_id",
+                            #     "chunk_pos") dropped from the query
+                            #     wrapper (queries/textops.py). The
+                            #     driver hash is order-insensitive
+                            #     (tests/parity_util) and the sort was
+                            #     a full-corpus text exchange priced
+                            #     at ~half the key's sf100 wall
+                            #     (108.5 vs 54.8 s operator-alone).
+                            #     VALUES identical, operator + oracle
+                            #     untouched; sim green at 3 sfs
 ]
-# (The round-12 list — the LSH element-NULL/validation keys, the
-# stateful pair, the substrings/minhash kernel family, the new JVM
-# stateful key — got green rows in CORRECTNESS_r12.json and rotates by
-# age like everything else now, exactly as the round-5/6/9/10 lists
-# did.)
+# (The round-13 list — the decontaminate kernel-hash rewrite, the
+# CDC pair, the ragged-kernel dedup family — got green rows in
+# CORRECTNESS_r13.json and rotates by age like everything else now,
+# exactly as the round-5/6/9/10/12 lists did. Keeping this list at one
+# key is deliberate: the r10-stale bucket is 33 keys and the driver's
+# 50-key prefix must cover all of them this round.)
 
 
 def _last_verified_rounds() -> dict[str, int]:

@@ -683,7 +683,11 @@ def chunk_cdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_vector_indexer_spark.operators.chunking import chunk_cdc
 
     docs = load_table(spark, sf_dir, "documents")
-    return chunk_cdc(docs).orderBy("doc_id", "chunk_pos")
+    # No presentation sort: the driver's value-hash is order-insensitive
+    # (tests/parity_util.py) and a global sort here carries every chunk's
+    # full text through one exchange — measured at ~2x the operator's own
+    # sf100 wall (SCALE.md r13/r14). Sibling chunker keys return unsorted.
+    return chunk_cdc(docs)
 
 
 # Shareable CDC chunk-table SQL (no presentation ORDER BY): the

@@ -915,6 +915,16 @@ def test_gram_hash_kernel_ragged_layout_exact_under_length_skew():
         # row ("xy " * 21 + "xy") = 65 chars... build exactly 128:
         [["y" * 128], ["z" * 63 + " " + "q" * 64]],
         [["\U0001D518", "\U0001F600ok", "中文"] * 5],  # non-BMP
+        # r14 (r13 verdict item 6): the carry-stitch corner pinned
+        # DETERMINISTICALLY, not just by the skewed batch above. With
+        # the T=64 floor, joins of exactly 64 chars each give L=128 =
+        # 2T exactly (zero pad), and row 1's k=2 gram "b"*31+" "+"c"*32
+        # occupies stream [64, 128): its START is pos % T == 0 with
+        # ci=1 (P_at = carries[1]·B^0 + Lp[1,0] — the all-carry branch)
+        # and its END is pos == L on the chunk boundary (P_at indexes
+        # the +1 zero row: carries[2]·B^0 + 0). Both seam evaluations
+        # in one gram; asserted below to actually hit T=64, L=2T.
+        [["a" * 64], ["b" * 31, "c" * 32]],
         # no [""] case: empty TOKENS are outside the kernel's contract
         # (word_tokens drops them; both kernel generations return no
         # grams for an all-empty join, while a literal fold would give
@@ -932,6 +942,14 @@ def test_gram_hash_kernel_ragged_layout_exact_under_length_skew():
                     assert np.array_equal(
                         g, want if want.size else np.empty(0, np.int64)
                     ), (mod, k, w if w is None or len(w) < 9 else w[:9])
+    # the deterministic seam case above must actually land on the
+    # corner it claims: T hits its 64 floor (L=128 -> int(sqrt)+1=12
+    # < 64) and L is an exact multiple of T — if the kernel's T
+    # formula ever changes, this case must be rebuilt, not silently
+    # degraded to a non-corner input
+    seam_L = len("a" * 64) + len("b" * 31 + " " + "c" * 32)
+    seam_T = max(64, min(8192, int(seam_L**0.5) + 1))
+    assert seam_T == 64 and seam_L == 2 * seam_T
     # products of two residues must fit int64: mod >= 2^31 would break
     # the exactness argument silently — reject it loudly
     with pytest.raises(ValueError, match="mod"):
