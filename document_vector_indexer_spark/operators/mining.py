@@ -238,11 +238,83 @@ def length_buckets(
     )
 
 
+def _pair_supports_bitmask(
+    baskets: DataFrame, basket_col: str, item_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(item_a, item_b, support) plus the 1-row n_baskets frame, via
+    per-basket 64-bit membership masks — requires item vocabulary
+    <= 64, asserted INSIDE the plan (raise_error in the bit value
+    path, the ks_drift precedent — not prunable), never silently
+    wrong.
+
+    Why this beats the generic set path when it applies (r14,
+    measured at sf10/sf100 in SCALE.md): the basket-keyed exchange
+    carries ONE (key, int64 mask) row per basket per map partition —
+    16-byte payload where collect_set's partial sets carry every
+    distinct item STRING — and pair generation runs over DISTINCT
+    masks weighted by count (vocabulary-bounded, <= 2^V kinds and in
+    practice orders of magnitude below basket count), not over every
+    basket. n_baskets = sum of mask counts — a byproduct, so the big
+    subtree is consumed ONCE (no reliance on AQE stage reuse at all).
+    Items map to bits by ascending item order (dense row_number over
+    the distinct-item frame — tiny by precondition), so bit order ==
+    item order and bit pairs decode straight to item_a < item_b."""
+    items = baskets.select(F.col(item_col).alias("item")).distinct()
+    iid = (
+        items.select(
+            "item",
+            (F.row_number().over(Window.orderBy("item")) - 1).alias("_b"),
+        )
+        .select(
+            "item",
+            F.expr(
+                "CASE WHEN _b <= 63 THEN _b ELSE raise_error("
+                "'cooccurrence_triangles impl=bitmask requires item"
+                " vocabulary <= 64') END"
+            ).cast("int").alias("bit"),
+        )
+    )
+    masks = (
+        baskets.select(F.col(basket_col).alias("bk"), F.col(item_col).alias("item"))
+        .join(F.broadcast(iid), "item")
+        .groupBy("bk")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("mask"))
+    )
+    mcnt = masks.groupBy("mask").agg(F.count("*").cast("long").alias("cnt"))
+    bits = F.expr("filter(sequence(0, 63), b -> ((mask >> b) & 1) = 1)")
+    pairs_arr = F.flatten(
+        F.transform(
+            bits,
+            lambda x, i: F.transform(
+                F.slice(bits, i + F.lit(2), F.size(bits)),
+                lambda y: F.struct(x.alias("ba"), y.alias("bb")),
+            ),
+        )
+    )
+    sup = (
+        mcnt.select(F.explode(pairs_arr).alias("p"), "cnt")
+        .groupBy(F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb"))
+        .agg(F.sum("cnt").cast("long").alias("support"))
+    )
+    ia = F.broadcast(
+        iid.select(F.col("item").alias("item_a"), F.col("bit").alias("ba"))
+    )
+    ib = F.broadcast(
+        iid.select(F.col("item").alias("item_b"), F.col("bit").alias("bb"))
+    )
+    n_baskets = mcnt.agg(F.sum("cnt").cast("long").alias("n_baskets"))
+    return (
+        sup.join(ia, "ba").join(ib, "bb").select("item_a", "item_b", "support"),
+        n_baskets,
+    )
+
+
 def cooccurrence_triangles(
     baskets: DataFrame,
     basket_col: str,
     item_col: str,
     min_support_frac_ppm: int = 5_000,
+    impl: str = "sets",
 ) -> DataFrame:
     """Per-item triangle counts in the co-occurrence graph whose edges
     are item pairs with support >= ceil-free ``n_baskets *
@@ -273,11 +345,26 @@ def cooccurrence_triangles(
     transfer because minhash's signature frame feeds exchanges with
     DIFFERENT child subtrees per consumer (post-banding projections),
     where AQE has nothing identical to reuse.
+
+    ``impl="bitmask"`` (r14, opt-in): when the item vocabulary is
+    known <= 64 (asserted in-plan, raises otherwise), pair supports
+    come from per-basket bit_or masks — see
+    ``_pair_supports_bitmask`` for why that halves the wall at scale.
+    Output is value-identical (parity test-pinned). Default stays
+    "sets": the generic path works at any vocabulary.
     """
-    sets = _basket_sets(baskets, basket_col, item_col)
-    n_baskets = sets.agg(F.count("*").cast("long").alias("n_baskets"))
+    if impl not in ("sets", "bitmask"):
+        raise ValueError(f"impl must be 'sets' or 'bitmask': {impl!r}")
+    if impl == "bitmask":
+        supports, n_baskets = _pair_supports_bitmask(
+            baskets, basket_col, item_col
+        )
+    else:
+        sets = _basket_sets(baskets, basket_col, item_col)
+        n_baskets = sets.agg(F.count("*").cast("long").alias("n_baskets"))
+        supports = _pair_supports(sets)
     edges = (
-        _pair_supports(sets)
+        supports
         .crossJoin(F.broadcast(n_baskets))
         .filter(
             F.col("support")

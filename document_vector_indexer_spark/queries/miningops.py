@@ -207,7 +207,11 @@ def triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand triangle counts in the order co-occurrence graph,
     edges thresholded at a RELATIVE 2%-of-baskets support so the edge
     set stays selective (~the mean pair support) at every scale
-    factor."""
+    factor. impl="bitmask" (r14): the brand vocabulary is 25 <= 64,
+    so pair supports ride per-basket bit_or masks — 16-byte exchange
+    rows instead of string sets, pairs generated over distinct masks
+    only; 265.1 -> measured-in-SCALE.md at ~sf100, value-identical
+    (parity-pinned, in-plan vocab guard raises rather than degrade)."""
     from document_vector_indexer_spark.operators.mining import (
         cooccurrence_triangles,
     )
@@ -215,6 +219,7 @@ def triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_triangles(
         _brand_baskets(spark, sf_dir), "basket", "item",
         min_support_frac_ppm=TRI_MIN_SUPPORT_PPM,
+        impl="bitmask",
     )
 
 

@@ -139,6 +139,14 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     (108.5 vs 54.8 s operator-alone).
                             #     VALUES identical, operator + oracle
                             #     untouched; sim green at 3 sfs
+    "q_triangles",          # r14: impl="bitmask" — pair supports via
+                            #     per-basket bit_or masks (16-byte
+                            #     exchange rows; pairs generated over
+                            #     DISTINCT masks only; in-plan vocab
+                            #     <= 64 guard raises loudly). VALUES
+                            #     identical (sets-vs-bitmask parity +
+                            #     pure-Python oracle tests); oracle
+                            #     untouched
 ]
 # (The round-13 list — the decontaminate kernel-hash rewrite, the
 # CDC pair, the ragged-kernel dedup family — got green rows in

@@ -299,6 +299,76 @@ def test_triangles_no_cartesian(spark):
     assert "CartesianProduct" not in tree, tree
 
 
+def test_triangles_bitmask_parity_with_sets_path(spark):
+    """impl="bitmask" (r14) must be value-identical to the generic
+    set path — on the real fixture AND on constructed corners: the
+    vocab == 64 boundary (highest bit used, shiftleft(1L, 63) is the
+    sign bit — bit_or/mask decode must still round-trip), duplicate
+    (basket, item) rows (bit_or dedups like collect_set), and
+    singleton baskets (no pairs)."""
+    from document_vector_indexer_spark.operators.mining import (
+        cooccurrence_triangles,
+    )
+    from document_vector_indexer_spark.queries.miningops import (
+        TRI_MIN_SUPPORT_PPM,
+        _brand_baskets,
+    )
+
+    bk = _brand_baskets(spark, SF)
+    a = cooccurrence_triangles(
+        bk, "basket", "item",
+        min_support_frac_ppm=TRI_MIN_SUPPORT_PPM, impl="sets",
+    ).collect()
+    b = cooccurrence_triangles(
+        bk, "basket", "item",
+        min_support_frac_ppm=TRI_MIN_SUPPORT_PPM, impl="bitmask",
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+    # vocab boundary: 64 items i00..i63; every basket holds a sliding
+    # window of 5 items so high bits (including bit 63) carry pairs;
+    # plus duplicate rows and a singleton basket
+    items = [f"i{i:02d}" for i in range(64)]
+    rows = []
+    for bkid in range(200):
+        lo = bkid % 60
+        for it in items[lo:lo + 5]:
+            rows.append((bkid, it))
+            rows.append((bkid, it))  # duplicate (basket, item)
+    rows.append((999, "i63"))  # singleton basket
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    a = cooccurrence_triangles(
+        df, "basket", "item", min_support_frac_ppm=5_000, impl="sets"
+    ).collect()
+    b = cooccurrence_triangles(
+        df, "basket", "item", min_support_frac_ppm=5_000, impl="bitmask"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert any(r.item == "i63" for r in b)  # the sign-bit item has triangles
+
+
+def test_triangles_bitmask_vocab_guard_raises(spark):
+    """65 distinct items must raise the in-plan vocab guard, never
+    silently wrap a shift past bit 63."""
+    import pytest
+
+    from document_vector_indexer_spark.operators.mining import (
+        cooccurrence_triangles,
+    )
+
+    rows = [(b, f"i{i:02d}") for b in range(10) for i in range(65)]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    # USER_RAISED_EXCEPTION, possibly wrapped by AQE stage
+    # materialization — match the message, not the wrapper type
+    with pytest.raises(Exception, match="vocabulary"):
+        cooccurrence_triangles(
+            df, "basket", "item", impl="bitmask"
+        ).collect()
+    with pytest.raises(ValueError, match="impl"):
+        cooccurrence_triangles(df, "basket", "item", impl="nope")
+
+
 # --- linear_attribution -----------------------------------------------
 
 
