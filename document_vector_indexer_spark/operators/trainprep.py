@@ -260,6 +260,19 @@ def contamination_hits(
     need exact gram identity (e.g. auditing individual flagged docs
     rather than bulk-dropping them) should pass ``impl="string"``.
 
+    Broadcast-pin limit (r14): the forced ``F.broadcast(bench_keys)``
+    is correct for the operator's contract — an eval BENCHMARK of
+    thousands of rows, ~10^5-10^6 distinct gram hashes, single-digit
+    MBs (measured constant at that shape in SCALE.md §r14). If a
+    caller feeds a bench side whose distinct-gram count approaches
+    ~10^8 (hundreds of MBs of longs before hashed-relation overhead;
+    the registry fixture's 10%-of-corpus split at the largest tested
+    scale is the known example, where the broadcast build was observed
+    to fail under heap pressure), the pin should become a plain
+    shuffled semi-join on the hash — at that size the bench side is
+    corpus-shaped data, not a benchmark, and broadcasting it is the
+    wrong plan, not a tuning problem.
+
     Returns (``id_col``, n_contaminated, n_grams) for flagged docs only.
     """
     if impl not in ("hash", "string"):
