@@ -27,13 +27,15 @@ Integer-range notes (same discipline as profiling.zscore_outliers):
 ranks are ≤ 1e12 and edge weights ≤ per-pair transition counts, so
 ``rank*w`` stays < 2^63 up to ~1e6-weight edges; beyond the bench
 scale promote to DECIMAL(38,0) — the operator takes the scale as a
-parameter so callers can lower it for denser graphs. The same
-promotion applies to the two ppm numerators that multiply raw counts:
-``basket_pairs``' lift (1e6·n_baskets·support < 2^63 ⇒ safe to
-~15M baskets with ~600-support pairs, or any mix whose product stays
-under 9.2e12) and ``ks_drift``'s statistic (1e6·n_t·n_b < 2^63 ⇒
-~3M samples per side); past those, CAST the numerator to
-DECIMAL(38,0) on both engine and oracle sides.
+parameter so callers can lower it for denser graphs. r14 made that
+promotion REAL where measurement demanded it: ``basket_pairs``' lift
+and ``gini_concentration``'s rank-weighted sum both overflowed int64
+at the third measured decade (ANSI refused to wrap — see
+``_LIFT_PPM_EXPR`` / ``_GINI_PPM_EXPR``, DECIMAL(38,0) throughout,
+overflow-shape test-pinned), and ``length_buckets``' util numerator
+was promoted prophylactically. ``ks_drift`` keeps its explicit
+raise_error bound (1e6·n_t·n_b < 2^63 ⇒ ~3M samples per side);
+pagerank keeps the documented weight bound + scale parameter.
 """
 
 from __future__ import annotations
@@ -44,6 +46,32 @@ from pyspark.sql import functions as F
 # Total PageRank mass in integer units (1e12 => per-node shares for
 # n<=1e6 nodes keep 6+ significant digits after the integer divisions).
 PR_SCALE = 1_000_000_000_000
+
+
+# lift's numerator is 1e6 * n_baskets * support — two corpus-scale
+# counts, > 2^63 once n_baskets*support passes ~9.2e12 (first hit at
+# the third measured decade, r14; ANSI mode correctly refused to
+# wrap). DECIMAL(38) intermediates keep it exact — DIV on decimals
+# returns the integral part as BIGINT, value-identical to the long
+# form wherever the long form doesn't overflow (parity-pinned); the
+# DuckDB oracle's HUGEINT arithmetic widens the same way.
+_LIFT_PPM_EXPR = (
+    "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_baskets * support)"
+    " DIV (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)"
+)
+
+# gini's numerator multiplies the decimal rank-weighted sum by 1e6 and
+# its denominator is n_users·total_cents — users × corpus cents, the
+# same two-corpus-count shape (overflowed at ~sf100, r14). _s2rx
+# arrives as DECIMAL(38,0) from the agg; everything stays decimal
+# until the final ppm cast.
+_GINI_PPM_EXPR = (
+    "CAST((_s2rx - (2 * _minr - 2 + n_users + 1)"
+    "       * CAST(total_cents AS DECIMAL(38,0)))"
+    " * 1000000 DIV greatest(CAST(1 AS DECIMAL(38,0)),"
+    "                        CAST(n_users AS DECIMAL(38,0)) * total_cents)"
+    " AS BIGINT)"
+)
 
 
 def _basket_sets(baskets: DataFrame, basket_col: str, item_col: str) -> DataFrame:
@@ -79,6 +107,7 @@ def basket_pairs(
     basket_col: str,
     item_col: str,
     top: int = 50,
+    impl: str = "sets",
 ) -> DataFrame:
     """Pairwise association rules over (basket, item) rows.
 
@@ -93,15 +122,29 @@ def basket_pairs(
     the two item-count joins shuffle only (item_a, item_b) triples.
     The 1-row basket count joins in via broadcast (the repo's 1-row
     crossJoin precedent, trainprep.mix_sources).
+
+    ``impl="bitmask"`` (r14, opt-in, vocab <= 64 asserted in-plan):
+    supports, item counts, AND n_baskets all derive from the
+    distinct-mask frame — one 16-byte-row basket exchange instead of
+    three consumptions of the collect_set subtree; value-identical
+    (parity test-pinned). Same trade as ``cooccurrence_triangles``.
     """
-    sets = _basket_sets(baskets, basket_col, item_col)
-    pair_support = _pair_supports(sets)
-    item_counts = (
-        sets.select(F.explode("items").alias("item"))
-        .groupBy("item")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    n_baskets = sets.agg(F.count("*").cast("long").alias("n_baskets"))
+    if impl not in ("sets", "bitmask"):
+        raise ValueError(f"impl must be 'sets' or 'bitmask': {impl!r}")
+    if impl == "bitmask":
+        iid, mcnt = _bitmask_frames(baskets, basket_col, item_col)
+        pair_support = _pair_supports_from_masks(iid, mcnt)
+        item_counts = _item_counts_from_masks(iid, mcnt)
+        n_baskets = mcnt.agg(F.sum("cnt").cast("long").alias("n_baskets"))
+    else:
+        sets = _basket_sets(baskets, basket_col, item_col)
+        pair_support = _pair_supports(sets)
+        item_counts = (
+            sets.select(F.explode("items").alias("item"))
+            .groupBy("item")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        n_baskets = sets.agg(F.count("*").cast("long").alias("n_baskets"))
     ca = item_counts.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
     cb = item_counts.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
     return (
@@ -114,9 +157,7 @@ def basket_pairs(
             "support",
             F.expr("(1000000 * support) DIV cnt_a").alias("conf_ab_ppm"),
             F.expr("(1000000 * support) DIV cnt_b").alias("conf_ba_ppm"),
-            F.expr("(1000000 * n_baskets * support) DIV (cnt_a * cnt_b)").alias(
-                "lift_ppm"
-            ),
+            F.expr(_LIFT_PPM_EXPR).alias("lift_ppm"),
         )
         .orderBy(F.col("support").desc(), "item_a", "item_b")
         .limit(top)
@@ -230,35 +271,40 @@ def length_buckets(
             "n_docs",
             "sum_tokens",
             F.expr(f"(n_docs + {batch_size - 1}) DIV {batch_size}").alias("n_batches"),
-            F.expr("(1000000 * sum_tokens) DIV (n_docs * bucket_len)").alias(
-                "util_ppm"
-            ),
+            # DECIMAL(38) numerator (r14, prophylactic): 1e6 ×
+            # per-(group, bucket) token sum passes 2^63 once the sum
+            # passes ~9.2e12 tokens — clean at the third measured
+            # decade (~1e9) but not at the 100 TB target; same class
+            # as the basket lift overflow that DID fire. The DuckDB
+            # oracle's HUGEINT sum() was always exact.
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum_tokens)"
+                " DIV (CAST(n_docs AS DECIMAL(38,0)) * bucket_len) AS BIGINT)"
+            ).alias("util_ppm"),
         )
         .orderBy("grp", "bucket_len")
     )
 
 
-def _pair_supports_bitmask(
+def _bitmask_frames(
     baskets: DataFrame, basket_col: str, item_col: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(item_a, item_b, support) plus the 1-row n_baskets frame, via
-    per-basket 64-bit membership masks — requires item vocabulary
-    <= 64, asserted INSIDE the plan (raise_error in the bit value
-    path, the ks_drift precedent — not prunable), never silently
-    wrong.
+    """(iid, mcnt) — the shared core of the bitmask basket family:
+    ``iid`` maps each distinct item to a dense bit by ascending item
+    order (vocab <= 64 asserted INSIDE the plan: raise_error in the
+    bit value path, the ks_drift precedent — not prunable, never
+    silently wrong), and ``mcnt`` counts baskets per DISTINCT 64-bit
+    membership mask.
 
     Why this beats the generic set path when it applies (r14,
     measured at sf10/sf100 in SCALE.md): the basket-keyed exchange
     carries ONE (key, int64 mask) row per basket per map partition —
     16-byte payload where collect_set's partial sets carry every
-    distinct item STRING — and pair generation runs over DISTINCT
-    masks weighted by count (vocabulary-bounded, <= 2^V kinds and in
-    practice orders of magnitude below basket count), not over every
-    basket. n_baskets = sum of mask counts — a byproduct, so the big
-    subtree is consumed ONCE (no reliance on AQE stage reuse at all).
-    Items map to bits by ascending item order (dense row_number over
-    the distinct-item frame — tiny by precondition), so bit order ==
-    item order and bit pairs decode straight to item_a < item_b."""
+    distinct item STRING — and everything downstream (pair supports,
+    per-item counts, n_baskets) derives from the DISTINCT-mask frame
+    (vocabulary-bounded, <= 2^V kinds and in practice orders of
+    magnitude below basket count), so the corpus-scale subtree is
+    consumed exactly once, with no reliance on AQE stage reuse."""
     items = baskets.select(F.col(item_col).alias("item")).distinct()
     iid = (
         items.select(
@@ -269,7 +315,7 @@ def _pair_supports_bitmask(
             "item",
             F.expr(
                 "CASE WHEN _b <= 63 THEN _b ELSE raise_error("
-                "'cooccurrence_triangles impl=bitmask requires item"
+                "'impl=bitmask requires item"
                 " vocabulary <= 64') END"
             ).cast("int").alias("bit"),
         )
@@ -281,6 +327,13 @@ def _pair_supports_bitmask(
         .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("mask"))
     )
     mcnt = masks.groupBy("mask").agg(F.count("*").cast("long").alias("cnt"))
+    return iid, mcnt
+
+
+def _pair_supports_from_masks(iid: DataFrame, mcnt: DataFrame) -> DataFrame:
+    """(item_a, item_b, support) from the distinct-mask counts. Bit
+    order == item order (``_bitmask_frames``), so numeric bit pairs
+    decode straight to item_a < item_b."""
     bits = F.expr("filter(sequence(0, 63), b -> ((mask >> b) & 1) = 1)")
     pairs_arr = F.flatten(
         F.transform(
@@ -302,11 +355,29 @@ def _pair_supports_bitmask(
     ib = F.broadcast(
         iid.select(F.col("item").alias("item_b"), F.col("bit").alias("bb"))
     )
-    n_baskets = mcnt.agg(F.sum("cnt").cast("long").alias("n_baskets"))
-    return (
-        sup.join(ia, "ba").join(ib, "bb").select("item_a", "item_b", "support"),
-        n_baskets,
+    return sup.join(ia, "ba").join(ib, "bb").select("item_a", "item_b", "support")
+
+
+def _item_counts_from_masks(iid: DataFrame, mcnt: DataFrame) -> DataFrame:
+    """(item, cnt) — baskets containing each item, from distinct-mask
+    counts: sum cnt over masks with the item's bit set."""
+    bits = F.expr("filter(sequence(0, 63), b -> ((mask >> b) & 1) = 1)")
+    per_bit = (
+        mcnt.select(F.explode(bits).alias("bit"), "cnt")
+        .groupBy("bit")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+    return per_bit.join(F.broadcast(iid), "bit").select("item", "cnt")
+
+
+def _pair_supports_bitmask(
+    baskets: DataFrame, basket_col: str, item_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(item_a, item_b, support) plus the 1-row n_baskets frame —
+    see ``_bitmask_frames`` for the why and the vocab guard."""
+    iid, mcnt = _bitmask_frames(baskets, basket_col, item_col)
+    n_baskets = mcnt.agg(F.sum("cnt").cast("long").alias("n_baskets"))
+    return _pair_supports_from_masks(iid, mcnt), n_baskets
 
 
 def cooccurrence_triangles(
@@ -646,7 +717,15 @@ def gini_concentration(events: DataFrame) -> DataFrame:
             F.count("*").cast("long").alias("n_users"),
             F.sum("x").cast("long").alias("total_cents"),
             F.min("_grank").cast("long").alias("_minr"),
-            F.sum(F.col("_grank") * 2 * F.col("x")).cast("long").alias("_s2rx"),
+            # DECIMAL(38) per-term AND sum (r14): grank·2·x is
+            # rank × cents — two corpus-scale factors; the long form
+            # overflowed at the third measured decade (ANSI caught
+            # it; the DuckDB oracle was never wrong — its sum()
+            # already returns HUGEINT). Same class as the basket
+            # lift_ppm fix, test-pinned at overflow-shape magnitudes.
+            F.sum(
+                F.col("_grank").cast("decimal(38,0)") * 2 * F.col("x")
+            ).alias("_s2rx"),
         )
         .select(
             "event_type",
@@ -657,10 +736,7 @@ def gini_concentration(events: DataFrame) -> DataFrame:
             # per-user spends sum to 0 (all-zero 'view' values) would
             # otherwise be NULL here but a hard error in the DuckDB
             # oracle — the ewma dev_ppm precedent, applied both sides.
-            F.expr(
-                "(_s2rx - (2 * _minr - 2 + n_users + 1) * total_cents)"
-                " * 1000000 DIV greatest(1L, n_users * total_cents)"
-            ).alias("gini_ppm"),
+            F.expr(_GINI_PPM_EXPR).alias("gini_ppm"),
         )
         .orderBy("event_type")
     )

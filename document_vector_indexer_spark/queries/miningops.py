@@ -43,11 +43,17 @@ def basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Baskets are orders; items are part BRANDS (via the broadcast part
     dim): 25 brands over 15k orders at sf0.01 makes every surviving
     pair genuinely frequent — part-granularity pairs would almost all
-    have support 1 (vacuous). Pair generation is per-basket HOF
-    combinatorics over sorted collect_set, never a self-join."""
+    have support 1 (vacuous). impl="bitmask" (r14): 25 brands <= 64,
+    so supports/item-counts/n_baskets all come off the distinct-mask
+    frame — one 16-byte-row basket exchange, value-identical
+    (parity-pinned; the set path OOM'd under adjacent load at ~sf100
+    where this path completes, SCALE.md §r14)."""
     from document_vector_indexer_spark.operators.mining import basket_pairs
 
-    return basket_pairs(_brand_baskets(spark, sf_dir), "basket", "item", top=50)
+    return basket_pairs(
+        _brand_baskets(spark, sf_dir), "basket", "item", top=50,
+        impl="bitmask",
+    )
 
 
 SQL_BASKET_RULES = """
@@ -66,7 +72,8 @@ p AS (
 SELECT item_a, item_b, support,
        CAST((1000000 * support) // ia.cnt AS BIGINT) AS conf_ab_ppm,
        CAST((1000000 * support) // ib.cnt AS BIGINT) AS conf_ba_ppm,
-       CAST((1000000 * n_baskets * support) // (ia.cnt * ib.cnt) AS BIGINT)
+       CAST((CAST(1000000 AS HUGEINT) * n_baskets * support)
+            // (CAST(ia.cnt AS HUGEINT) * ib.cnt) AS BIGINT)
          AS lift_ppm
 FROM p JOIN ic ia ON ia.item = p.item_a
        JOIN ic ib ON ib.item = p.item_b

@@ -147,6 +147,27 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     identical (sets-vs-bitmask parity +
                             #     pure-Python oracle tests); oracle
                             #     untouched
+    "q_basket_rules",       # r14: same bitmask frames — supports,
+                            #     item counts, and n_baskets all off
+                            #     the distinct-mask frame; full-list
+                            #     parity with the set path pinned.
+                            #     ALSO: lift_ppm moved to DECIMAL(38)
+                            #     intermediates — the long form
+                            #     overflowed int64 at ~sf100 (first
+                            #     run ever at that scale; ANSI caught
+                            #     it). Oracle lift widened to HUGEINT
+                            #     (same values at compare scale)
+    "q_gini",               # r14: rank-weighted cents sum + ppm expr
+                            #     moved to DECIMAL(38) — the long form
+                            #     OVERFLOWED at ~sf100 (measured ERR;
+                            #     DuckDB's HUGEINT sums were always
+                            #     exact, so the oracle is untouched
+                            #     and small-sf values are identical)
+    "q_length_buckets",     # r14: util_ppm numerator widened to
+                            #     DECIMAL(38) prophylactically (clean
+                            #     at sf100, ~1e9 tokens/bucket, but
+                            #     not at 100 TB; same class). Oracle
+                            #     untouched
 ]
 # (The round-13 list — the decontaminate kernel-hash rewrite, the
 # CDC pair, the ragged-kernel dedup family — got green rows in

@@ -51,6 +51,83 @@ def test_basket_pairs_match_pure_python(spark):
     }
 
 
+def test_basket_lift_exact_at_corpus_scale_counts(spark):
+    """The production lift expression must survive counts where the
+    old pure-long form overflowed int64 (n_baskets * support past
+    ~9.2e12 — first hit at the third measured decade under ANSI mode)
+    AND stay value-identical to Python integer floor division."""
+    from document_vector_indexer_spark.operators.mining import _LIFT_PPM_EXPR
+
+    cases = [
+        (147_236_000, 7_000_000, 10_000_000, 9_000_000),  # ~sf100 shape
+        (5, 2, 4, 3),                                     # tiny fixture shape
+        (10**9, 10**9, 10**9, 10**9),                     # absurd headroom
+    ]
+    for nb, sup, ca, cb in cases:
+        got = spark.sql(
+            f"SELECT {_LIFT_PPM_EXPR} AS lift_ppm FROM (SELECT "
+            f"CAST({nb} AS BIGINT) n_baskets, CAST({sup} AS BIGINT) support, "
+            f"CAST({ca} AS BIGINT) cnt_a, CAST({cb} AS BIGINT) cnt_b)"
+        ).collect()[0].lift_ppm
+        assert got == 1_000_000 * nb * sup // (ca * cb), (nb, sup, ca, cb)
+
+
+def test_gini_expr_exact_at_corpus_scale_counts(spark):
+    """The gini ppm expression must survive magnitudes where the old
+    pure-long form overflowed (rank-weighted cents sum ~2e19 at the
+    third measured decade — q_gini ERR'd there before r14) and stay
+    identical to Python big-int arithmetic, including the zero-spend
+    guard branch."""
+    from document_vector_indexer_spark.operators.mining import _GINI_PPM_EXPR
+
+    cases = [
+        # (_s2rx, _minr, n_users, total_cents)
+        (15 * 10**20, 1, 10**8, 10**13),  # ~sf100+ overflow shape
+        (20, 1, 3, 6),                    # tiny exact shape
+        (0, 1, 5, 0),                     # all-zero spend -> guard
+        (10**19, 5, 10**7, 10**12),       # non-1 rank offset
+    ]
+    for s2rx, minr, n, tc in cases:
+        got = spark.sql(
+            f"SELECT {_GINI_PPM_EXPR} AS gini_ppm FROM (SELECT "
+            f"CAST({s2rx} AS DECIMAL(38,0)) _s2rx, CAST({minr} AS BIGINT) _minr, "
+            f"CAST({n} AS BIGINT) n_users, CAST({tc} AS BIGINT) total_cents)"
+        ).collect()[0].gini_ppm
+        # DIV truncates toward zero (the long form's semantic too) —
+        # mirror that exactly rather than Python's flooring //
+        num = (s2rx - (2 * minr - 2 + n + 1) * tc) * 10**6
+        den = max(1, n * tc)
+        want = abs(num) // den * (1 if num >= 0 else -1)
+        assert got == want, (s2rx, minr, n, tc, got, want)
+
+
+def test_basket_pairs_bitmask_parity_with_sets_path(spark):
+    """impl="bitmask" must reproduce the set path's full rule list
+    (support, conf, lift, order) on the tiny hand-checked fixture AND
+    on the real brand baskets — the top-50 ordering has a full
+    tiebreak, so exact list equality is well-defined."""
+    from document_vector_indexer_spark.operators.mining import basket_pairs
+    from document_vector_indexer_spark.queries.miningops import _brand_baskets
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "b"),
+        (5, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["bk", "it"])
+    a = basket_pairs(df, "bk", "it", top=10, impl="sets").collect()
+    b = basket_pairs(df, "bk", "it", top=10, impl="bitmask").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    bk = _brand_baskets(spark, SF)
+    a = basket_pairs(bk, "basket", "item", top=50, impl="sets").collect()
+    b = basket_pairs(bk, "basket", "item", top=50, impl="bitmask").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(b) == 50
+
+
 def test_basket_pairs_fanout_is_bounded_not_self_join(spark):
     """Candidate pairs come from per-basket HOF combinatorics — the
     plan must contain NO join between two basket-sized frames (the
