@@ -132,9 +132,9 @@ def basket_pairs(
     if impl not in ("sets", "bitmask"):
         raise ValueError(f"impl must be 'sets' or 'bitmask': {impl!r}")
     if impl == "bitmask":
-        iid, mcnt = _bitmask_frames(baskets, basket_col, item_col)
-        pair_support = _pair_supports_from_masks(iid, mcnt)
-        item_counts = _item_counts_from_masks(iid, mcnt)
+        vocab, mcnt = _bitmask_frames(baskets, basket_col, item_col)
+        pair_support = _pair_supports_from_masks(vocab, mcnt)
+        item_counts = _item_counts_from_masks(vocab, mcnt)
         n_baskets = mcnt.agg(F.sum("cnt").cast("long").alias("n_baskets"))
     else:
         sets = _basket_sets(baskets, basket_col, item_col)
@@ -289,12 +289,15 @@ def length_buckets(
 def _bitmask_frames(
     baskets: DataFrame, basket_col: str, item_col: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(iid, mcnt) — the shared core of the bitmask basket family:
-    ``iid`` maps each distinct item to a dense bit by ascending item
-    order (vocab <= 64 asserted INSIDE the plan: raise_error in the
-    bit value path, the ks_drift precedent — not prunable, never
+    """(vocab, mcnt) — the shared core of the bitmask basket family:
+    ``vocab`` is a ONE-ROW frame holding the ascending sorted item
+    array (vocab <= 64 asserted INSIDE the plan: raise_error in the
+    array value path, the ks_drift precedent — not prunable, never
     silently wrong), and ``mcnt`` counts baskets per DISTINCT 64-bit
-    membership mask.
+    membership mask. An item's bit is its 0-based position in the
+    vocab array — assigned map-side via array_position against the
+    1-row broadcast (the mix_sources 1-row crossJoin precedent), so
+    no global window and no per-item join ever exist in the plan.
 
     Why this beats the generic set path when it applies (r14,
     measured at sf10/sf100 in SCALE.md): the basket-keyed exchange
@@ -305,35 +308,34 @@ def _bitmask_frames(
     (vocabulary-bounded, <= 2^V kinds and in practice orders of
     magnitude below basket count), so the corpus-scale subtree is
     consumed exactly once, with no reliance on AQE stage reuse."""
-    items = baskets.select(F.col(item_col).alias("item")).distinct()
-    iid = (
-        items.select(
-            "item",
-            (F.row_number().over(Window.orderBy("item")) - 1).alias("_b"),
-        )
-        .select(
-            "item",
-            F.expr(
-                "CASE WHEN _b <= 63 THEN _b ELSE raise_error("
-                "'impl=bitmask requires item"
-                " vocabulary <= 64') END"
-            ).cast("int").alias("bit"),
-        )
+    vocab = baskets.agg(
+        F.sort_array(F.collect_set(F.col(item_col))).alias("_items")
+    ).select(
+        F.expr(
+            "CASE WHEN size(_items) <= 64 THEN _items ELSE raise_error("
+            "'impl=bitmask requires item vocabulary <= 64') END"
+        ).alias("items")
     )
     masks = (
         baskets.select(F.col(basket_col).alias("bk"), F.col(item_col).alias("item"))
-        .join(F.broadcast(iid), "item")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bk",
+            (F.array_position(F.col("items"), F.col("item")) - 1)
+            .cast("int")
+            .alias("bit"),
+        )
         .groupBy("bk")
         .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("mask"))
     )
     mcnt = masks.groupBy("mask").agg(F.count("*").cast("long").alias("cnt"))
-    return iid, mcnt
+    return vocab, mcnt
 
 
-def _pair_supports_from_masks(iid: DataFrame, mcnt: DataFrame) -> DataFrame:
+def _pair_supports_from_masks(vocab: DataFrame, mcnt: DataFrame) -> DataFrame:
     """(item_a, item_b, support) from the distinct-mask counts. Bit
     order == item order (``_bitmask_frames``), so numeric bit pairs
-    decode straight to item_a < item_b."""
+    decode straight to item_a < item_b via the broadcast vocab array."""
     bits = F.expr("filter(sequence(0, 63), b -> ((mask >> b) & 1) = 1)")
     pairs_arr = F.flatten(
         F.transform(
@@ -349,16 +351,17 @@ def _pair_supports_from_masks(iid: DataFrame, mcnt: DataFrame) -> DataFrame:
         .groupBy(F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb"))
         .agg(F.sum("cnt").cast("long").alias("support"))
     )
-    ia = F.broadcast(
-        iid.select(F.col("item").alias("item_a"), F.col("bit").alias("ba"))
+    return (
+        sup.crossJoin(F.broadcast(vocab))
+        .select(
+            F.element_at(F.col("items"), F.col("ba") + 1).alias("item_a"),
+            F.element_at(F.col("items"), F.col("bb") + 1).alias("item_b"),
+            "support",
+        )
     )
-    ib = F.broadcast(
-        iid.select(F.col("item").alias("item_b"), F.col("bit").alias("bb"))
-    )
-    return sup.join(ia, "ba").join(ib, "bb").select("item_a", "item_b", "support")
 
 
-def _item_counts_from_masks(iid: DataFrame, mcnt: DataFrame) -> DataFrame:
+def _item_counts_from_masks(vocab: DataFrame, mcnt: DataFrame) -> DataFrame:
     """(item, cnt) — baskets containing each item, from distinct-mask
     counts: sum cnt over masks with the item's bit set."""
     bits = F.expr("filter(sequence(0, 63), b -> ((mask >> b) & 1) = 1)")
@@ -367,7 +370,13 @@ def _item_counts_from_masks(iid: DataFrame, mcnt: DataFrame) -> DataFrame:
         .groupBy("bit")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
-    return per_bit.join(F.broadcast(iid), "bit").select("item", "cnt")
+    return (
+        per_bit.crossJoin(F.broadcast(vocab))
+        .select(
+            F.element_at(F.col("items"), F.col("bit") + 1).alias("item"),
+            "cnt",
+        )
+    )
 
 
 def _pair_supports_bitmask(
@@ -375,9 +384,9 @@ def _pair_supports_bitmask(
 ) -> tuple[DataFrame, DataFrame]:
     """(item_a, item_b, support) plus the 1-row n_baskets frame —
     see ``_bitmask_frames`` for the why and the vocab guard."""
-    iid, mcnt = _bitmask_frames(baskets, basket_col, item_col)
+    vocab, mcnt = _bitmask_frames(baskets, basket_col, item_col)
     n_baskets = mcnt.agg(F.sum("cnt").cast("long").alias("n_baskets"))
-    return _pair_supports_from_masks(iid, mcnt), n_baskets
+    return _pair_supports_from_masks(vocab, mcnt), n_baskets
 
 
 def cooccurrence_triangles(

@@ -14,26 +14,43 @@ from pyspark.sql import functions as F
 
 
 def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
-    """-> (column, n_rows, n_nulls, n_distinct, min_str, max_str)."""
+    """-> (column, n_rows, n_nulls, n_distinct, min_str, max_str).
+
+    Plan shape (r14): one single-distinct aggregate PER COLUMN,
+    unioned — not one wide aggregate with k countDistinct's. Multiple
+    distinct aggregates in one agg make Catalyst EXPAND the input
+    (one replica per distinct spec: k+1 x the corpus rows through the
+    aggregation — measured 306 s at ~sf100 on a 5-column profile,
+    47.6 s this shape, 6.4x, same-load A/B). Per-column aggs each get the
+    specialized single-distinct two-phase plan (partial dedup
+    map-side, no Expand) and a one-column pruned scan; the union is
+    k 1-row frames. Same exact semantics, and the same shape as the
+    DuckDB oracle's UNION ALL."""
     cols = cols or df.columns
-    aggs = [F.count("*").alias("__n")]
+    parts = []
     for c in cols:
-        aggs += [
-            F.count_if(F.col(c).isNull()).alias(f"__nulls_{c}"),
-            F.countDistinct(c).alias(f"__dist_{c}"),
-            # min/max of the VALUE, stringified after (not lexicographic)
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
-        ]
-    wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __nulls_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+        parts.append(
+            df.select(F.col(c))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.count_if(F.col(c).isNull()).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                # min/max of the VALUE, stringified after (not
+                # lexicographic)
+                F.min(F.col(c)).cast("string").alias("min_str"),
+                F.max(F.col(c)).cast("string").alias("max_str"),
+            )
+            .select(
+                F.lit(c).alias("column"),
+                "n_rows", "n_nulls", "n_distinct", "min_str", "max_str",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str"
     )
-    return wide.selectExpr(
-        "__n as n_rows",
-        f"stack({len(cols)}, {stack_args}) as "
-        "(column, n_nulls, n_distinct, min_str, max_str)",
-    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
 
 
 def zscore_outliers(

@@ -168,6 +168,13 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     at sf100, ~1e9 tokens/bucket, but
                             #     not at 100 TB; same class). Oracle
                             #     untouched
+    "q_profile",            # r14: k countDistinct's in ONE agg made
+                            #     Catalyst Expand the input (k+1)x —
+                            #     306 s at ~sf100; rewritten as
+                            #     per-column single-distinct aggs
+                            #     unioned (47.6 s, 6.4x, no Expand).
+                            #     Same exact semantics, oracle
+                            #     untouched (already union-shaped)
 ]
 # (The round-13 list — the decontaminate kernel-hash rewrite, the
 # CDC pair, the ragged-kernel dedup family — got green rows in
