@@ -249,31 +249,10 @@ def ngram_jaccard_pairs(
     emitted = F.when(
         F.size("ids") >= 2, F.concat(single_arr, pair_arr)
     ).otherwise(single_arr)
-    counted = (
-        buckets.select(F.explode(emitted).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count("*").alias("cnt"))
-    )
-    # Attach the per-doc retained-set sizes with two WINDOW passes over
-    # the one counted frame instead of the old sizes/pairs split + two
-    # self-joins (r6 plan-depth cut: the splits and SMJ joins cost ~8
-    # scheduled stages of pure per-stage floor; the two windows cost 2).
-    # It works because the singleton marker (x, -1) lands in the same
-    # hash partition as the pair rows that need x's size: window 1 keys
-    # on id_a (markers carry id_a = x); window 2 keys on id_b with the
-    # markers REMAPPED onto their own doc id, so doc b's marker meets
-    # the (a, b) pair rows. No artificial -1 key partition ever holds
-    # more than one doc's rows — no skew — and each exchange carries
-    # the already-combined distinct pairs.
-    is_single = F.col("id_b") == -1
-    size_here = F.max(F.when(is_single, F.col("cnt")))
-    out = (
-        counted.withColumn("n_a", size_here.over(Window.partitionBy("id_a")))
-        .withColumn(
-            "_k2", F.when(is_single, F.col("id_a")).otherwise(F.col("id_b"))
+    out = _pair_counts_with_sizes(
+        buckets.select(F.explode(emitted).alias("p")).select(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
         )
-        .withColumn("n_b", size_here.over(Window.partitionBy("_k2")))
-        .filter(~is_single)
     )
     return out.select(
         "id_a",
@@ -285,6 +264,61 @@ def ngram_jaccard_pairs(
             F.col("cnt").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("cnt"))
         ).alias("jaccard"),
+    )
+
+
+def _pair_counts_with_sizes(emitted: DataFrame) -> DataFrame:
+    """Shared tail of the marker-trick inverted-index dedups
+    (``ngram_jaccard_pairs``, ``cdc_chunk_pairs``): turn a frame of
+    (id_a, id_b) rows — candidate pairs plus one (x, -1) singleton
+    marker per retained (bucket, member) — into distinct pairs with
+    per-doc retained sizes attached: (id_a, id_b, cnt, n_a, n_b).
+
+    The count aggregation is keyed (id_a, id_b) but EXCHANGED on id_a
+    alone (explicit repartition): hashpartitioning(id_a) satisfies
+    both the aggregate's ClusteredDistribution(id_a, id_b) and window
+    1's ClusteredDistribution(id_a), so the aggregate and the first
+    window share ONE exchange instead of two (r14, guide §2.4;
+    measured on q_dedup_ngram: 4 Exchanges -> 3, 6 stages -> 5,
+    alternating A/B med 0.766 -> 0.660 s at sf0.1). What the old
+    (id_a, id_b)-keyed shape bought — map-side partial aggregation of
+    duplicate (a, b) emissions — is worth little at scale: a pair's
+    duplicate emissions live in DIFFERENT buckets, which hash to
+    different partitions of the bucket exchange, so with production
+    partition counts (32k) each map task sees ~one emission and
+    partial agg combines nothing, while the extra distinct-pair
+    exchange is a full second shuffle of the pair frame. Skew bound:
+    one doc's rows on one key were already window 1's partition
+    shape, and a doc contributes <= n_ret * (max_df - 1) pair rows.
+
+    Sizes attach via two WINDOW passes instead of a sizes/pairs split
+    + two self-joins (r6 plan-depth cut, now also serving
+    cdc_chunk_pairs — r14: its old join tail re-ran the bucket
+    subtree three times; 9 Exchanges -> 4). Window 1 keys on id_a
+    (markers carry id_a = x); window 2 keys on id_b with markers
+    REMAPPED onto their own doc id, so doc b's marker meets the
+    (a, b) pair rows. No artificial -1 key partition ever holds more
+    than one doc's rows — no skew — and the id_b exchange carries the
+    already-combined distinct pairs.
+
+    Precondition: ids are NONNEGATIVE longs (-1 is the in-band
+    singleton sentinel).
+    """
+    counted = (
+        emitted.repartition("id_a")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    is_single = F.col("id_b") == -1
+    size_here = F.max(F.when(is_single, F.col("cnt")))
+    return (
+        counted.withColumn("n_a", size_here.over(Window.partitionBy("id_a")))
+        .withColumn(
+            "_k2", F.when(is_single, F.col("id_a")).otherwise(F.col("id_b"))
+        )
+        .withColumn("n_b", size_here.over(Window.partitionBy("_k2")))
+        .filter(~is_single)
+        .drop("_k2")
     )
 
 
@@ -1764,26 +1798,27 @@ def cdc_chunk_pairs(
             ),
         )
     )
-    counted = (
+    # Sizes attach via the shared marker-window tail
+    # (_pair_counts_with_sizes). The old shape here split counted into
+    # sizes/pairs and re-joined with two shuffle-hash joins — which
+    # re-ran the post-shuffle half of the bucket subtree once per
+    # branch and paid 4 extra exchanges (r14 plan diff: 9 Exchanges ->
+    # 4, 11 stages -> 6, min 1.05 -> measured below; values identical,
+    # oracle-pinned).
+    withsizes = _pair_counts_with_sizes(
         buckets.select(
             F.explode(F.concat(marker_arr, pair_arr)).alias("p")
-        )
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count("*").cast("long").alias("cnt"))
+        ).select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
     )
-    sizes = counted.filter(F.col("id_b") == -1).select(
-        F.col("id_a").alias("id"), F.col("cnt").alias("n")
-    )
-    pairs = (
-        counted.filter(F.col("id_b") != -1)
-        .withColumnRenamed("cnt", "shared")
-        .filter(F.col("shared") >= min_shared)
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
     return (
-        pairs.join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), "id_b")
+        withsizes.filter(F.col("cnt") >= min_shared)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("cnt").cast("long").alias("shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
         .select(
             "id_a",
             "id_b",

@@ -455,6 +455,17 @@ def cooccurrence_triangles(
     e_ab = edges
     e_bc = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e_ac = edges.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    if impl == "bitmask":
+        # The bitmask path ASSERTS vocabulary <= 64 in-plan, so the
+        # edge list is provably <= C(64,2) = 2,016 rows — broadcast
+        # the two build sides instead of letting Catalyst plan
+        # sort-merge joins off its (useless, post-aggregate) size
+        # estimates (r14, guide §3.1: measured 4 Exchanges + 4 Sorts
+        # removed from the tail; the probe side never shuffles). The
+        # generic sets path keeps the planner's choice: its vocabulary
+        # is unbounded, so a hint there would be a 100 TB landmine.
+        e_bc = F.broadcast(e_bc)
+        e_ac = F.broadcast(e_ac)
     tri = (
         e_ab.join(e_bc, "b")
         .join(

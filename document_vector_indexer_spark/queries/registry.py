@@ -175,6 +175,17 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     unioned (47.6 s, 6.4x, no Expand).
                             #     Same exact semantics, oracle
                             #     untouched (already union-shaped)
+    "q_dedup_ngram",        # r14 opt: pair-count exchange keyed id_a
+                            #     (shared with window 1) — 4 Exchanges
+                            #     -> 3; values identical, oracle
+                            #     untouched; sim green at 3 sfs
+    "q_dedup_contain",      # r14 opt: same operator tail as
+                            #     q_dedup_ngram (shared helper); sim
+                            #     green at 3 sfs
+    "q_dedup_cdc",          # r14 opt: join tail -> shared marker-
+                            #     window tail (9 Exchanges -> 4);
+                            #     values identical, oracle untouched;
+                            #     sim green at 3 sfs
 ]
 # (The round-13 list — the decontaminate kernel-hash rewrite, the
 # CDC pair, the ragged-kernel dedup family — got green rows in
