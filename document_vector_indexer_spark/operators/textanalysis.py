@@ -207,10 +207,17 @@ def unigram_logprob_scores(
     """
     from pyspark.sql import functions as F
 
-    words = df.repartition(F.col(id_col)).select(
+    # Tokenize BELOW the barrier + explode_outer + no-op isNotNull
+    # filter: one tokenizer pass materialized in the shuffle, and the
+    # vocabulary aggregation and the final token->weight probe share
+    # byte-identical subtrees so ReuseExchange fires (r14 — same
+    # rework as collocations_pmi / bigram_logprob_scores).
+    words = df.select(
         F.col(id_col), TX.word_tokens(F.col(text_col)).alias("words")
+    ).repartition(F.col(id_col))
+    toks = words.select(id_col, F.explode_outer("words").alias("word")).filter(
+        F.col("word").isNotNull()
     )
-    toks = words.select(id_col, F.explode("words").alias("word"))
     vocab = toks.groupBy("word").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     weights = vocab.join(F.broadcast(total)).select(
@@ -325,35 +332,66 @@ def collocations_pmi(
     ordering and the top-k cut are integer comparisons. Tiebreak
     (w1, w2) makes the LIMIT set unique.
 
-    Scale shape: one bigram-keyed aggregation (partial agg absorbs
-    zipf-hot pairs), one word-keyed unigram aggregation, two word-keyed
-    shuffle joins for the c_a/c_b lookups — shuffle-hash pinned, NOT
-    broadcast (a web corpus's vocabulary need not fit an executor; the
-    unigram side arrives pre-partitioned from its own agg), the two
-    1-row totals ride broadcasts, and the top-k is TakeOrdered, never
-    a global sort.
+    Scale shape: ONE (w1, w2)-keyed aggregation carries both the
+    bigram counts and the unigram counts (tagged rows, w2 NULL =
+    unigram marker; partial agg absorbs zipf-hot keys for both), two
+    word-keyed shuffle joins for the c_a/c_b lookups — shuffle-hash
+    pinned, NOT broadcast (a web corpus's vocabulary need not fit an
+    executor), the two 1-row totals ride broadcasts, and the top-k is
+    TakeOrdered, never a global sort.
     """
     from pyspark.sql import functions as F
 
-    words = df.repartition(F.col(id_col)).select(
-        TX.word_tokens(F.col(text_col)).alias("words")
+    # Tokenize BELOW the barrier exchange (select before repartition)
+    # so the shuffle materializes the words ARRAY and the regexp
+    # tokenizer runs exactly once per row — the old
+    # repartition-then-select shape re-tokenized in every consumer
+    # branch (4x here: bigram agg, unigram agg, and both totals). The
+    # branches explode via explode_outer + an isNotNull filter on the
+    # GENERATED column: a plain explode makes the optimizer infer and
+    # push a branch-specific size(arr) > 0 predicate below the
+    # exchange, which de-duplicates the barrier subtree and split the
+    # plan into TWO parquet scans (r14 plan diff: 2 scans -> 1,
+    # 9 Exchanges -> 7; guide §2.4 / §2.3 project-before-exchange).
+    words = (
+        df.select(
+            F.col(id_col), TX.word_tokens(F.col(text_col)).alias("words")
+        )
+        .repartition(F.col(id_col))
+        .select("words")
     )
     n = F.size("words")
-    bigrams = words.select(
-        F.explode(
-            F.when(
-                n >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), n - 1),
-                    lambda i: F.struct(
-                        F.element_at("words", i).alias("w1"),
-                        F.element_at("words", i + 1).alias("w2"),
+    bigrams = (
+        words.select(
+            F.explode_outer(
+                F.when(
+                    n >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: F.struct(
+                            F.element_at("words", i).alias("w1"),
+                            F.element_at("words", i + 1).alias("w2"),
+                        ),
                     ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
-    toks = words.select(F.explode("words").alias("word"))
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                )
+            ).alias("bg")
+        )
+        .filter(F.col("bg").isNotNull())
+        .select("bg.w1", "bg.w2")
+        # semantically a no-op (tokens are never null) — placed here so
+        # the pair-count subtree BELOW its aggregation exchange is
+        # byte-identical whether the consumer is the c_a/c_b join
+        # (which infers these isnotnulls) or the n_big total (which
+        # doesn't): identical subtrees are what ReuseExchange keys on,
+        # so the total reads the aggregation's exchange instead of
+        # re-exploding the corpus (r14)
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    )
+    toks = words.select(F.explode_outer("words").alias("word")).filter(
+        F.col("word").isNotNull()
+    )
 
     pair_cnt = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
     uni_cnt = toks.groupBy("word").agg(F.count("*").alias("c"))
@@ -470,33 +508,60 @@ def bigram_logprob_scores(
     """
     from pyspark.sql import functions as F
 
-    words = df.repartition(F.col(id_col)).select(
+    # Tokenize BELOW the barrier (select before repartition) so the
+    # shuffle materializes the words array and the regexp tokenizer
+    # runs once per row, not once per consumer branch; explode_outer +
+    # explicit isNotNull filters keep every consumer's subtree
+    # byte-identical so ReuseExchange can share the barrier and the
+    # bigram aggregation across the three readers (r14 — the same
+    # rework as collocations_pmi; the old shape re-scanned the parquet
+    # for the vocabulary branch and re-tokenized per branch).
+    words = df.select(
         F.col(id_col), TX.word_tokens(F.col(text_col)).alias("words")
-    )
+    ).repartition(F.col(id_col))
     n = F.size("words")
-    stream = words.select(
-        id_col,
-        F.explode(
-            F.when(
-                n >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), n - 1),
-                    lambda i: F.struct(
-                        F.element_at("words", i).alias("w1"),
-                        F.concat_ws(
-                            " ",
-                            F.element_at("words", i),
-                            F.element_at("words", i + 1),
-                        ).alias("bg"),
+    stream = (
+        words.select(
+            id_col,
+            F.explode_outer(
+                F.when(
+                    n >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: F.struct(
+                            F.element_at("words", i).alias("w1"),
+                            F.concat_ws(
+                                " ",
+                                F.element_at("words", i),
+                                F.element_at("words", i + 1),
+                            ).alias("bg"),
+                        ),
                     ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
-        ).alias("b"),
-    ).select(id_col, "b.w1", "b.bg")
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,bg:string>>")
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .select(id_col, "b.w1", "b.bg")
+        # no-op filters (tokens are never null) that mirror what the
+        # downstream joins infer, keeping both aggregation consumers'
+        # subtrees identical for ReuseExchange (r14)
+        .filter(F.col("w1").isNotNull() & F.col("bg").isNotNull())
+    )
     bg_cnt = stream.groupBy("w1", "bg").agg(F.count("*").alias("c_ab"))
-    ctx_cnt = stream.groupBy("w1").agg(F.count("*").alias("c1"))
+    # c(w1·) = sum of c(w1 w2) over w2 — derived from the ALREADY
+    # COMBINED bigram table instead of a second aggregation over the
+    # raw occurrence stream, which re-ran the explode + partial agg
+    # over the whole corpus (r14, guide §2.3 "aggregate before you
+    # shuffle": the ctx branch now reads bg_cnt's exchange via
+    # ReuseExchange; one fewer corpus-wide pass; values identical).
+    ctx_cnt = bg_cnt.groupBy("w1").agg(
+        F.sum("c_ab").cast("long").alias("c1")
+    )
     vocab_n = (
-        words.select(F.explode("words").alias("word"))
+        words.select(F.explode_outer("words").alias("word"))
+        .filter(F.col("word").isNotNull())
         .agg(F.countDistinct("word").cast("long").alias("v"))
     )
     weights = (

@@ -186,6 +186,19 @@ _CHANGED_SINCE_VERIFIED: list[str] = [
                             #     window tail (9 Exchanges -> 4);
                             #     values identical, oracle untouched;
                             #     sim green at 3 sfs
+    "q_collocations",       # r14 opt: tokenize below the barrier +
+                            #     explode_outer/uniform filters so all
+                            #     four consumers share one scan and
+                            #     the totals reuse the agg exchanges
+                            #     (2 scans -> 1, 9 Exchanges -> 7);
+                            #     values identical; sim green 3 sfs
+    "q_bigram_lm",          # r14 opt: same barrier rework + ctx
+                            #     counts derived from the combined
+                            #     bigram table (one fewer corpus
+                            #     pass); values identical; sim green
+                            #     at 3 sfs
+    "q_unigram_logprob",    # r14 opt: same barrier rework; values
+                            #     identical; sim green at 3 sfs
 ]
 # (The round-13 list — the decontaminate kernel-hash rewrite, the
 # CDC pair, the ragged-kernel dedup family — got green rows in
