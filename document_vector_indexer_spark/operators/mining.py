@@ -455,17 +455,17 @@ def cooccurrence_triangles(
     e_ab = edges
     e_bc = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e_ac = edges.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
-    if impl == "bitmask":
-        # The bitmask path ASSERTS vocabulary <= 64 in-plan, so the
-        # edge list is provably <= C(64,2) = 2,016 rows — broadcast
-        # the two build sides instead of letting Catalyst plan
-        # sort-merge joins off its (useless, post-aggregate) size
-        # estimates (r14, guide §3.1: measured 4 Exchanges + 4 Sorts
-        # removed from the tail; the probe side never shuffles). The
-        # generic sets path keeps the planner's choice: its vocabulary
-        # is unbounded, so a hint there would be a 100 TB landmine.
-        e_bc = F.broadcast(e_bc)
-        e_ac = F.broadcast(e_ac)
+    # Measured NON-change (r14): broadcasting e_bc/e_ac on the bitmask
+    # path (edge list provably <= C(64,2) rows under the in-plan vocab
+    # guard) removes 4 exchanges + 4 sorts and won 2.56 -> 1.40 s at
+    # sf0.1 under bench confs — but LOST ~60% at sf10 under engine
+    # confs (interleaved fresh-process A/B: hinted 15.6/21.5 s vs
+    # planner-chosen 11.7/9.3 s): each BroadcastExchange build is its
+    # own job whose corpus-scale supports subtree does not reliably
+    # ride AQE stage reuse, so the mask aggregation can run per build.
+    # The SMJ tail's exchanges carry <= 2,016 rows at ANY scale — the
+    # sf0.1 delta was pure stage-barrier latency, not bytes. Scale
+    # wins: no hint; the planner (and AQE at runtime) picks.
     tri = (
         e_ab.join(e_bc, "b")
         .join(
