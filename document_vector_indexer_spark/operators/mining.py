@@ -133,9 +133,7 @@ def basket_pairs(
         raise ValueError(f"impl must be 'sets' or 'bitmask': {impl!r}")
     if impl == "bitmask":
         vocab, mcnt = _bitmask_frames(baskets, basket_col, item_col)
-        pair_support = _pair_supports_from_masks(vocab, mcnt)
-        item_counts = _item_counts_from_masks(vocab, mcnt)
-        n_baskets = mcnt.agg(F.sum("cnt").cast("long").alias("n_baskets"))
+        enriched = _pair_stats_from_masks(vocab, mcnt)
     else:
         sets = _basket_sets(baskets, basket_col, item_col)
         pair_support = _pair_supports(sets)
@@ -145,13 +143,19 @@ def basket_pairs(
             .agg(F.count("*").cast("long").alias("cnt"))
         )
         n_baskets = sets.agg(F.count("*").cast("long").alias("n_baskets"))
-    ca = item_counts.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
-    cb = item_counts.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
+        ca = item_counts.select(
+            F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a")
+        )
+        cb = item_counts.select(
+            F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b")
+        )
+        enriched = (
+            pair_support.join(F.broadcast(ca), "item_a")
+            .join(F.broadcast(cb), "item_b")
+            .crossJoin(F.broadcast(n_baskets))
+        )
     return (
-        pair_support.join(F.broadcast(ca), "item_a")
-        .join(F.broadcast(cb), "item_b")
-        .crossJoin(F.broadcast(n_baskets))
-        .select(
+        enriched.select(
             "item_a",
             "item_b",
             "support",
@@ -332,12 +336,35 @@ def _bitmask_frames(
     return vocab, mcnt
 
 
-def _pair_supports_from_masks(vocab: DataFrame, mcnt: DataFrame) -> DataFrame:
-    """(item_a, item_b, support) from the distinct-mask counts. Bit
-    order == item order (``_bitmask_frames``), so numeric bit pairs
-    decode straight to item_a < item_b via the broadcast vocab array."""
+def _pair_stats_from_masks(vocab: DataFrame, mcnt: DataFrame) -> DataFrame:
+    """(item_a, item_b, support, cnt_a, cnt_b, n_baskets): EVERY
+    per-rule statistic off ONE consumption of the distinct-mask frame
+    (r15; guide §2.4 "remove shuffles outright").
+
+    The r14 shape derived item counts and n_baskets as separate frames
+    joined back via ``F.broadcast`` — static ReuseExchange did share
+    the mask exchange, but each broadcast build still ran as its OWN
+    job (the triangles r14 lesson), re-executing the mask-exchange
+    reduce stage + its explode/agg per build: 5 jobs / 14 stages at
+    sf0.1, with the distinct-mask reduction computed 3x at sf100's
+    partition counts. Now ONE explode over the distinct masks emits,
+    per mask, its bit pairs (ba, bb), its bits tagged twice as
+    per-item marker rows ((bit, -1) for the a-side, (-2, bit) for the
+    b-side), and one (-1, -1) total row; ONE (ba, bb) aggregation
+    sums basket counts for all four row kinds together (map-side
+    partial agg absorbs the fan-out exactly as before — the extra
+    tagged rows are 2k+1 per mask vs C(k,2) pair rows); then window
+    maxes over the VOCABULARY-BOUNDED aggregate (<= C(64,2) + 2*64 +
+    1 = 2,145 rows, kilobytes) attach cnt_a (partition ba: the
+    (a, -1) marker row lands with a's pair rows), cnt_b (partition
+    bb), and n_baskets (single-partition window; the (-1, -1) row).
+    Exchanges added: three KILOBYTE window exchanges inside the one
+    spine job. Jobs removed: the item-count and n_baskets broadcast
+    builds (and their BroadcastNestedLoopJoins). Bit order == item
+    order, so pair bits decode to item_a < item_b via the broadcast
+    vocab array, as before."""
     bits = F.expr("filter(sequence(0, 63), b -> ((mask >> b) & 1) = 1)")
-    pairs_arr = F.flatten(
+    pair_rows = F.flatten(
         F.transform(
             bits,
             lambda x, i: F.transform(
@@ -346,47 +373,92 @@ def _pair_supports_from_masks(vocab: DataFrame, mcnt: DataFrame) -> DataFrame:
             ),
         )
     )
-    sup = (
-        mcnt.select(F.explode(pairs_arr).alias("p"), "cnt")
-        .groupBy(F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb"))
-        .agg(F.sum("cnt").cast("long").alias("support"))
+    a_rows = F.transform(
+        bits, lambda b: F.struct(b.alias("ba"), F.lit(-1).alias("bb"))
     )
-    return (
-        sup.crossJoin(F.broadcast(vocab))
-        .select(
-            F.element_at(F.col("items"), F.col("ba") + 1).alias("item_a"),
-            F.element_at(F.col("items"), F.col("bb") + 1).alias("item_b"),
-            "support",
+    b_rows = F.transform(
+        bits, lambda b: F.struct(F.lit(-2).alias("ba"), b.alias("bb"))
+    )
+    total_row = F.array(F.struct(F.lit(-1).alias("ba"), F.lit(-1).alias("bb")))
+    tagged = mcnt.select(
+        F.explode(F.concat(pair_rows, a_rows, b_rows, total_row)).alias("p"),
+        "cnt",
+    )
+    agg = tagged.groupBy(
+        F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb")
+    ).agg(F.sum("cnt").cast("long").alias("c"))
+    w_a = Window.partitionBy("ba")
+    w_b = Window.partitionBy("bb")
+    w_g = Window.partitionBy(F.lit(1))
+    stats = (
+        agg.withColumn(
+            "cnt_a", F.max(F.when(F.col("bb") == -1, F.col("c"))).over(w_a)
         )
-    )
-
-
-def _item_counts_from_masks(vocab: DataFrame, mcnt: DataFrame) -> DataFrame:
-    """(item, cnt) — baskets containing each item, from distinct-mask
-    counts: sum cnt over masks with the item's bit set."""
-    bits = F.expr("filter(sequence(0, 63), b -> ((mask >> b) & 1) = 1)")
-    per_bit = (
-        mcnt.select(F.explode(bits).alias("bit"), "cnt")
-        .groupBy("bit")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
-    )
-    return (
-        per_bit.crossJoin(F.broadcast(vocab))
-        .select(
-            F.element_at(F.col("items"), F.col("bit") + 1).alias("item"),
-            "cnt",
+        .withColumn(
+            "cnt_b", F.max(F.when(F.col("ba") == -2, F.col("c"))).over(w_b)
         )
+        .withColumn(
+            "n_baskets",
+            F.max(F.when(F.col("ba") == -1, F.col("c"))).over(w_g),
+        )
+        .filter((F.col("ba") >= 0) & (F.col("bb") >= 0))
+    )
+    return stats.crossJoin(F.broadcast(vocab)).select(
+        F.element_at(F.col("items"), F.col("ba") + 1).alias("item_a"),
+        F.element_at(F.col("items"), F.col("bb") + 1).alias("item_b"),
+        F.col("c").alias("support"),
+        "cnt_a",
+        "cnt_b",
+        "n_baskets",
     )
 
 
 def _pair_supports_bitmask(
     baskets: DataFrame, basket_col: str, item_col: str
-) -> tuple[DataFrame, DataFrame]:
-    """(item_a, item_b, support) plus the 1-row n_baskets frame —
-    see ``_bitmask_frames`` for the why and the vocab guard."""
+) -> DataFrame:
+    """(item_a, item_b, support, n_baskets) — pair supports with the
+    basket total attached as a COLUMN; see ``_bitmask_frames`` for the
+    mask design and the vocab guard.
+
+    r15: the total rides the same tagged-explode/aggregate as the
+    pairs (one (-1, -1) marker row per mask; a single-partition window
+    max over the <= C(64,2)+1-row aggregate spreads it) instead of a
+    separate ``mcnt.agg(sum(cnt))`` frame joined via ``F.broadcast``
+    — that broadcast build was its own job whose barrier re-ran the
+    reused mask exchange's reduce stage (a 1,153-task re-run at the
+    sf100 layout) before the main query could start. Same collapse as
+    ``_pair_stats_from_masks``, minus the per-item rows the triangle
+    path never needed."""
     vocab, mcnt = _bitmask_frames(baskets, basket_col, item_col)
-    n_baskets = mcnt.agg(F.sum("cnt").cast("long").alias("n_baskets"))
-    return _pair_supports_from_masks(vocab, mcnt), n_baskets
+    bits = F.expr("filter(sequence(0, 63), b -> ((mask >> b) & 1) = 1)")
+    pair_rows = F.flatten(
+        F.transform(
+            bits,
+            lambda x, i: F.transform(
+                F.slice(bits, i + F.lit(2), F.size(bits)),
+                lambda y: F.struct(x.alias("ba"), y.alias("bb")),
+            ),
+        )
+    )
+    total_row = F.array(F.struct(F.lit(-1).alias("ba"), F.lit(-1).alias("bb")))
+    tagged = mcnt.select(
+        F.explode(F.concat(pair_rows, total_row)).alias("p"), "cnt"
+    )
+    agg = tagged.groupBy(
+        F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb")
+    ).agg(F.sum("cnt").cast("long").alias("c"))
+    stats = agg.withColumn(
+        "n_baskets",
+        F.max(F.when(F.col("ba") == -1, F.col("c"))).over(
+            Window.partitionBy(F.lit(1))
+        ),
+    ).filter(F.col("ba") >= 0)
+    return stats.crossJoin(F.broadcast(vocab)).select(
+        F.element_at(F.col("items"), F.col("ba") + 1).alias("item_a"),
+        F.element_at(F.col("items"), F.col("bb") + 1).alias("item_b"),
+        F.col("c").alias("support"),
+        "n_baskets",
+    )
 
 
 def cooccurrence_triangles(
@@ -436,16 +508,14 @@ def cooccurrence_triangles(
     if impl not in ("sets", "bitmask"):
         raise ValueError(f"impl must be 'sets' or 'bitmask': {impl!r}")
     if impl == "bitmask":
-        supports, n_baskets = _pair_supports_bitmask(
-            baskets, basket_col, item_col
-        )
+        with_total = _pair_supports_bitmask(baskets, basket_col, item_col)
     else:
         sets = _basket_sets(baskets, basket_col, item_col)
         n_baskets = sets.agg(F.count("*").cast("long").alias("n_baskets"))
         supports = _pair_supports(sets)
+        with_total = supports.crossJoin(F.broadcast(n_baskets))
     edges = (
-        supports
-        .crossJoin(F.broadcast(n_baskets))
+        with_total
         .filter(
             F.col("support")
             >= F.expr(f"greatest(2L, (n_baskets * {min_support_frac_ppm}) DIV 1000000)")

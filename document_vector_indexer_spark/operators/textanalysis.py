@@ -332,13 +332,23 @@ def collocations_pmi(
     ordering and the top-k cut are integer comparisons. Tiebreak
     (w1, w2) makes the LIMIT set unique.
 
-    Scale shape: ONE (w1, w2)-keyed aggregation carries both the
-    bigram counts and the unigram counts (tagged rows, w2 NULL =
-    unigram marker; partial agg absorbs zipf-hot keys for both), two
-    word-keyed shuffle joins for the c_a/c_b lookups — shuffle-hash
+    Scale shape (r14): ONE tokenizer pass materialized by the barrier
+    exchange feeds all four consumers (bigram agg, unigram agg, both
+    totals — one parquet scan total, ReuseExchange-unified); TWO
+    aggregations follow — a (w1, w2)-keyed bigram count and a
+    word-keyed unigram count, each with map-side partial agg absorbing
+    zipf-hot keys, each consumed via its own reused exchange (the
+    n_big/n_uni totals read the agg exchanges, never the corpus). The
+    c_a/c_b lookups are word-keyed shuffle joins — shuffle-hash
     pinned, NOT broadcast (a web corpus's vocabulary need not fit an
     executor), the two 1-row totals ride broadcasts, and the top-k is
-    TakeOrdered, never a global sort.
+    TakeOrdered, never a global sort. (A tagged single-aggregation
+    variant — unigrams as w2-NULL rows in the bigram agg — was
+    considered r15 and NOT landed: it would merge the two agg
+    exchanges but re-keys the combined frame to (w1, w2), so the
+    c_a/c_b joins lose the word-keyed partitioning the separate
+    unigram agg already gives them and must re-exchange; net exchange
+    count is unchanged while the one merged exchange gets hotter.)
     """
     from pyspark.sql import functions as F
 

@@ -219,6 +219,8 @@ def contamination_hits(
     bench_text_col: str | None = None,
     n: int = 5,
     impl: str = "hash",
+    bench_broadcast: bool | None = None,
+    bench_broadcast_max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Benchmark decontamination: for each training doc sharing at
     least one word ``n``-gram with the benchmark corpus, report how
@@ -260,18 +262,31 @@ def contamination_hits(
     need exact gram identity (e.g. auditing individual flagged docs
     rather than bulk-dropping them) should pass ``impl="string"``.
 
-    Broadcast-pin limit (r14): the forced ``F.broadcast(bench_keys)``
-    is correct for the operator's contract — an eval BENCHMARK of
-    thousands of rows, ~10^5-10^6 distinct gram hashes, single-digit
-    MBs (measured constant at that shape in SCALE.md §r14). If a
-    caller feeds a bench side whose distinct-gram count approaches
-    ~10^8 (hundreds of MBs of longs before hashed-relation overhead;
-    the registry fixture's 10%-of-corpus split at the largest tested
-    scale is the known example, where the broadcast build was observed
-    to fail under heap pressure), the pin should become a plain
-    shuffled semi-join on the hash — at that size the bench side is
-    corpus-shaped data, not a benchmark, and broadcasting it is the
-    wrong plan, not a tuning problem.
+    Broadcast-pin limit (r14, guard IMPLEMENTED r15): the forced
+    ``F.broadcast(bench_keys)`` is correct for the operator's contract
+    — an eval BENCHMARK of thousands of rows, ~10^5-10^6 distinct gram
+    hashes, single-digit MBs (measured constant at that shape in
+    SCALE.md §r14). If a caller feeds a bench side whose distinct-gram
+    count approaches ~10^8 (hundreds of MBs of longs before
+    hashed-relation overhead; the registry fixture's 10%-of-corpus
+    split at the largest tested scale is the known example, where the
+    broadcast build was observed to fail under heap pressure), the
+    broadcast is the wrong PLAN, not a tuning problem: at that size
+    the bench side is corpus-shaped data and the probe becomes a
+    MERGE-pinned hash-keyed join (sort-merge spills gracefully where
+    a forced hash build cannot — the q_tpch_q21 lesson; guide §3.1).
+    ``bench_broadcast=None`` (default) decides from the Catalyst
+    size estimate of ``bench_df``'s optimized plan (driver-side, no
+    job): broadcast iff the estimated BENCH INPUT bytes are <=
+    ``bench_broadcast_max_bytes`` (default 512 MB — at ~6 input bytes
+    per word-gram that corresponds to ~0.8e8 distinct gram hashes,
+    just under the observed ~1e8 failure regime). The estimate
+    deliberately reads the RAW bench frame, not the kernel output:
+    Catalyst statistics cannot see through the MapInPandas gram
+    kernel, while the scan-level estimate is file-size-grounded.
+    Callers that know better pass ``bench_broadcast=True/False``.
+    Either regime returns identical values (join strategy, never
+    semantics).
 
     Returns (``id_col``, n_contaminated, n_grams) for flagged docs only.
     """
@@ -305,9 +320,21 @@ def contamination_hits(
             .select(id_col, key)
             .distinct()
         )
-    probed = dg.join(
-        F.broadcast(bench_keys.withColumn("_hit", F.lit(True))), key, "left"
-    )
+    if bench_broadcast is None:
+        est = int(
+            str(
+                bench_df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+        bench_broadcast = est <= bench_broadcast_max_bytes
+    marked = bench_keys.withColumn("_hit", F.lit(True))
+    if bench_broadcast:
+        probed = dg.join(F.broadcast(marked), key, "left")
+    else:
+        probed = dg.join(marked.hint("merge"), key, "left")
     return (
         probed.groupBy(id_col)
         .agg(

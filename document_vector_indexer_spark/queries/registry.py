@@ -126,86 +126,35 @@ def all_queries() -> dict[str, QuerySpec]:
 # the back of the queue. tests/test_registry.py simulates the rotation
 # forward and asserts the staleness bound.
 
-# Changed in round 14: see rule 1 above.
+# Changed in round 15: see rule 1 above. (The full round-14 list — the
+# bitmask basket family, the DECIMAL(38) widenings, the dedup-tail and
+# text-family exchange reworks — got green rows in CORRECTNESS_r14.json
+# and rotates by age now. Keys touched in round 15 are added below as
+# they change.)
 _CHANGED_SINCE_VERIFIED: list[str] = [
-    "q_chunk_cdc",          # r14: the r13 verdict's one `weak` — the
-                            #     presentation .orderBy("doc_id",
-                            #     "chunk_pos") dropped from the query
-                            #     wrapper (queries/textops.py). The
-                            #     driver hash is order-insensitive
-                            #     (tests/parity_util) and the sort was
-                            #     a full-corpus text exchange priced
-                            #     at ~half the key's sf100 wall
-                            #     (108.5 vs 54.8 s operator-alone).
-                            #     VALUES identical, operator + oracle
-                            #     untouched; sim green at 3 sfs
-    "q_triangles",          # r14: impl="bitmask" — pair supports via
-                            #     per-basket bit_or masks (16-byte
-                            #     exchange rows; pairs generated over
-                            #     DISTINCT masks only; in-plan vocab
-                            #     <= 64 guard raises loudly). VALUES
-                            #     identical (sets-vs-bitmask parity +
-                            #     pure-Python oracle tests); oracle
-                            #     untouched
-    "q_basket_rules",       # r14: same bitmask frames — supports,
-                            #     item counts, and n_baskets all off
-                            #     the distinct-mask frame; full-list
-                            #     parity with the set path pinned.
-                            #     ALSO: lift_ppm moved to DECIMAL(38)
-                            #     intermediates — the long form
-                            #     overflowed int64 at ~sf100 (first
-                            #     run ever at that scale; ANSI caught
-                            #     it). Oracle lift widened to HUGEINT
-                            #     (same values at compare scale)
-    "q_gini",               # r14: rank-weighted cents sum + ppm expr
-                            #     moved to DECIMAL(38) — the long form
-                            #     OVERFLOWED at ~sf100 (measured ERR;
-                            #     DuckDB's HUGEINT sums were always
-                            #     exact, so the oracle is untouched
-                            #     and small-sf values are identical)
-    "q_length_buckets",     # r14: util_ppm numerator widened to
-                            #     DECIMAL(38) prophylactically (clean
-                            #     at sf100, ~1e9 tokens/bucket, but
-                            #     not at 100 TB; same class). Oracle
-                            #     untouched
-    "q_profile",            # r14: k countDistinct's in ONE agg made
-                            #     Catalyst Expand the input (k+1)x —
-                            #     306 s at ~sf100; rewritten as
-                            #     per-column single-distinct aggs
-                            #     unioned (47.6 s, 6.4x, no Expand).
-                            #     Same exact semantics, oracle
-                            #     untouched (already union-shaped)
-    "q_dedup_ngram",        # r14 opt: pair-count exchange keyed id_a
-                            #     (shared with window 1) — 4 Exchanges
-                            #     -> 3; values identical, oracle
-                            #     untouched; sim green at 3 sfs
-    "q_dedup_contain",      # r14 opt: same operator tail as
-                            #     q_dedup_ngram (shared helper); sim
-                            #     green at 3 sfs
-    "q_dedup_cdc",          # r14 opt: join tail -> shared marker-
-                            #     window tail (9 Exchanges -> 4);
-                            #     values identical, oracle untouched;
-                            #     sim green at 3 sfs
-    "q_collocations",       # r14 opt: tokenize below the barrier +
-                            #     explode_outer/uniform filters so all
-                            #     four consumers share one scan and
-                            #     the totals reuse the agg exchanges
-                            #     (2 scans -> 1, 9 Exchanges -> 7);
-                            #     values identical; sim green 3 sfs
-    "q_bigram_lm",          # r14 opt: same barrier rework + ctx
-                            #     counts derived from the combined
-                            #     bigram table (one fewer corpus
-                            #     pass); values identical; sim green
-                            #     at 3 sfs
-    "q_unigram_logprob",    # r14 opt: same barrier rework; values
-                            #     identical; sim green at 3 sfs
+    "q_basket_rules",       # r15 opt: supports/item-counts/n_baskets
+                            #     off ONE tagged explode + (ba, bb)
+                            #     agg + window maxes over the
+                            #     vocabulary-bounded aggregate — the
+                            #     r14 item-count and n_baskets
+                            #     broadcast-build jobs are gone (5
+                            #     jobs -> 3, 14 stages -> 10). Values
+                            #     identical (sets parity pinned);
+                            #     oracle untouched; sim green 3 sfs
+    "q_triangles",          # r15 opt: same collapse for the edge
+                            #     threshold's n_baskets (tagged total
+                            #     row + single-partition window, no
+                            #     broadcast-build job). Values
+                            #     identical; sim green 3 sfs
+    "q_decontaminate",      # r15: bench-broadcast size guard — past
+                            #     512 MB estimated bench input the
+                            #     probe becomes a MERGE-pinned join
+                            #     (q_tpch_q21 spill lesson). Declared
+                            #     query keeps the broadcast plan at
+                            #     every testdata sf (plan pin green);
+                            #     values identical either regime;
+                            #     sim green 3 sfs
 ]
-# (The round-13 list — the decontaminate kernel-hash rewrite, the
-# CDC pair, the ragged-kernel dedup family — got green rows in
-# CORRECTNESS_r13.json and rotates by age like everything else now,
-# exactly as the round-5/6/9/10/12 lists did. Keeping this list at one
-# key is deliberate: the r10-stale bucket is 33 keys and the driver's
-# 50-key prefix must cover all of them this round.)
 
 
 def _last_verified_rounds() -> dict[str, int]:

@@ -396,3 +396,64 @@ def test_contamination_bench_side_needs_no_id_column(spark):
     got = {r.doc_id: (r.n_contaminated, r.n_grams)
            for r in contamination_hits(train, bench, n=5).collect()}
     assert got == {1: (1, 2)}
+
+
+def test_contamination_broadcast_guard_regimes_value_identical(spark):
+    """r15: the bench-side broadcast pin has a size guard — past
+    ``bench_broadcast_max_bytes`` (estimated bench INPUT bytes, from
+    Catalyst stats, no job) the probe becomes a MERGE-pinned hash join
+    (sort-merge spills where a forced broadcast build OOMs — the
+    q_tpch_q21 lesson). Both regimes must return identical values, and
+    each must plan the join it promises."""
+    from document_vector_indexer_spark.operators.trainprep import (
+        contamination_hits,
+    )
+
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally unrelated words here only now"),
+            (3, "alpha beta gamma delta epsilon"),
+        ],
+    )
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+
+    bcast = contamination_hits(train, bench, n=5, bench_broadcast=True)
+    merge = contamination_hits(train, bench, n=5, bench_broadcast=False)
+    assert sorted(map(tuple, bcast.collect())) == sorted(
+        map(tuple, merge.collect())
+    ) == [(1, 1, 2), (3, 1, 1)]
+
+    def _plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    p_b = _plan(bcast)
+    p_m = _plan(merge)
+    assert "BroadcastHashJoin" in p_b and "SortMergeJoin" not in p_b
+    assert "SortMergeJoin" in p_m and "BroadcastHashJoin" not in p_m
+
+    # default (None) reads Catalyst's size estimate of the bench input.
+    # An ExistingRDD (createDataFrame) has NO stats -> defaultSizeInBytes
+    # (huge) -> the guard conservatively picks the merge path; a
+    # parquet-backed bench has a real file-size estimate -> KBs ->
+    # broadcast. The declared q_decontaminate bench side is parquet.
+    assert "SortMergeJoin" in _plan(contamination_hits(train, bench, n=5))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        bench.write.mode("overwrite").parquet(td + "/bench")
+        bench_pq = spark.read.parquet(td + "/bench")
+        assert "BroadcastHashJoin" in _plan(
+            contamination_hits(train, bench_pq, n=5)
+        )
+        # and a 1-byte threshold forces merge even with tiny real stats
+        assert "SortMergeJoin" in _plan(
+            contamination_hits(
+                train, bench_pq, n=5, bench_broadcast_max_bytes=1
+            )
+        )
