@@ -129,10 +129,67 @@ old = finish(
 vocab_n, mcnt_n = _bitmask_frames(baskets, "basket", "item")
 new = finish(_pair_stats_from_masks(vocab_n, mcnt_n))
 
-arms = {"old": old, "new": new}
+
+def _pair_stats_hybrid(vocab, mcnt):
+    # arm 3: tagged explode (pairs + a-side markers + total) + ONE
+    # global window (attaches n_baskets AND blocks filter pushdown so
+    # every consumer shares the agg exchange); cnt_a/cnt_b via
+    # broadcast joins whose builds re-run only the <= 2,081-row
+    # single-partition reduce (overlapped), never the mask reduce.
+    from pyspark.sql import Window
+
+    bits = F.expr("filter(sequence(0, 63), b -> ((mask >> b) & 1) = 1)")
+    pair_rows = F.flatten(
+        F.transform(
+            bits,
+            lambda x, i: F.transform(
+                F.slice(bits, i + F.lit(2), F.size(bits)),
+                lambda y: F.struct(x.alias("ba"), y.alias("bb")),
+            ),
+        )
+    )
+    a_rows = F.transform(
+        bits, lambda b: F.struct(b.alias("ba"), F.lit(-1).alias("bb"))
+    )
+    total_row = F.array(F.struct(F.lit(-1).alias("ba"), F.lit(-1).alias("bb")))
+    tagged = mcnt.select(
+        F.explode(F.concat(pair_rows, a_rows, total_row)).alias("p"), "cnt"
+    )
+    agg = tagged.groupBy(
+        F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb")
+    ).agg(F.sum("cnt").cast("long").alias("c"))
+    stats0 = agg.withColumn(
+        "n_baskets",
+        F.max(F.when(F.col("ba") == -1, F.col("c"))).over(
+            Window.partitionBy(F.lit(1))
+        ),
+    )
+    pairs = stats0.filter((F.col("ba") >= 0) & (F.col("bb") >= 0))
+    items = stats0.filter((F.col("ba") >= 0) & (F.col("bb") == -1))
+    ca = items.select(F.col("ba"), F.col("c").alias("cnt_a"))
+    cb = items.select(F.col("ba").alias("bb"), F.col("c").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ca), "ba")
+        .join(F.broadcast(cb), "bb")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.element_at(F.col("items"), F.col("ba") + 1).alias("item_a"),
+            F.element_at(F.col("items"), F.col("bb") + 1).alias("item_b"),
+            F.col("c").alias("support"),
+            "cnt_a",
+            "cnt_b",
+            "n_baskets",
+        )
+    )
+
+
+vocab_h, mcnt_h = _bitmask_frames(baskets, "basket", "item")
+hyb = finish(_pair_stats_hybrid(vocab_h, mcnt_h))
+
+arms = {"old": old, "new": new, "hyb": hyb}
 a = sorted(map(tuple, old.collect()))
-b = sorted(map(tuple, new.collect()))
-assert a == b, "ARM VALUE MISMATCH"
+for df in (new, hyb):
+    assert a == sorted(map(tuple, df.collect())), "ARM VALUE MISMATCH"
 print(f"values identical across arms ({len(a)} rows)", flush=True)
 
 for name, df in arms.items():
