@@ -128,6 +128,10 @@ def basket_pairs(
     distinct-mask frame — one 16-byte-row basket exchange instead of
     three consumptions of the collect_set subtree; value-identical
     (parity test-pinned). Same trade as ``cooccurrence_triangles``.
+    As of r15 the three statistics ride ONE tagged explode +
+    aggregation with window attachment (``_pair_stats_from_masks``)
+    instead of separate broadcast-built frames — see that helper for
+    the job/stage accounting.
     """
     if impl not in ("sets", "bitmask"):
         raise ValueError(f"impl must be 'sets' or 'bitmask': {impl!r}")

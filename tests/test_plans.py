@@ -290,6 +290,18 @@ _GLOBAL_WINDOW_ALLOWED = {
         "#distinct order dates (calendar-bounded, ~2.4k over the TPC-H "
         "7-year span) at ANY raw data scale"
     ),
+    "q_basket_rules": (
+        "r15: the n_baskets window (partitionBy(lit(1)), folded to an "
+        "empty spec by Catalyst) runs over the tagged bit-pair "
+        "aggregate, whose cardinality the in-plan vocab <= 64 "
+        "raise_error guard bounds at C(64,2) + 2*64 + 1 = 2,145 rows "
+        "at ANY corpus size (mining._pair_stats_from_masks)"
+    ),
+    "q_triangles": (
+        "r15: same bounded n_baskets window over the pair aggregate "
+        "(<= C(64,2) + 1 rows under the same in-plan vocab guard; "
+        "mining._pair_supports_bitmask)"
+    ),
 }
 
 
